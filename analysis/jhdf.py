@@ -1,0 +1,79 @@
+"""Dump reader — the equivalent of the reference's ``analysis/jhdf.py`` (a thin
+subclass of Parthenon's ``phdf``): loads a ``.phdf`` dump written by
+``jaybenne_tpu.io`` and reconstructs per-block node/center coordinates and variables.
+
+Exposes the same surface the regression harness and plotter consume:
+``Time``, ``NumBlocks``, ``NX1/NX2/NX3``, ``X1c/X2c/X3c`` (shape
+``[n_blocks, nz, ny, nx]``), ``X1n/X2n/X3n`` (nodes), ``BlockBounds``, and
+``Get(variable_name)``.
+"""
+
+from __future__ import annotations
+
+import h5py
+import numpy as np
+
+
+class jhdf:
+    def __init__(self, filename):
+        self.file = filename
+        with h5py.File(filename, "r") as h:
+            self.Time = float(h.attrs["Time"])
+            self.NCycle = int(h.attrs["NCycle"])
+            self.NumBlocks = int(h.attrs["NumBlocks"])
+            self.ndim = int(h.attrs["ndim"])
+            self.NX1 = int(h.attrs["NX1"])
+            self.NX2 = int(h.attrs["NX2"])
+            self.NX3 = int(h.attrs["NX3"])
+            self.bounds = np.asarray(h.attrs["bounds"])
+            self.origin = h["blocks/origin"][...]
+            self.dx = h["blocks/dx"][...]
+            self.level = h["blocks/level"][...]
+            self._vars = {k: h[f"vars/{k}"][...] for k in h.get("vars", {})}
+            self._swarm = {}
+            if "swarm" in h:
+                for sname in h["swarm"]:
+                    for vname in h[f"swarm/{sname}"]:
+                        self._swarm[(sname, vname)] = h[f"swarm/{sname}/{vname}"][...]
+
+        nb, nx, ny, nz = self.NumBlocks, self.NX1, self.NX2, self.NX3
+        shape = (nb, nz, ny, nx)
+        ii = np.arange(nx)
+        jj = np.arange(ny)
+        kk = np.arange(nz)
+        self.X1c = (
+            self.origin[:, 0][:, None, None, None]
+            + (ii[None, None, None, :] + 0.5) * self.dx[:, 0][:, None, None, None]
+        ) * np.ones(shape)
+        self.X2c = (
+            self.origin[:, 1][:, None, None, None]
+            + (jj[None, None, :, None] + 0.5) * self.dx[:, 1][:, None, None, None]
+        ) * np.ones(shape)
+        self.X3c = (
+            self.origin[:, 2][:, None, None, None]
+            + (kk[None, :, None, None] + 0.5) * self.dx[:, 2][:, None, None, None]
+        ) * np.ones(shape)
+        # block node coordinates (outline corners), shape [nb, n+1]
+        self.X1n = self.origin[:, 0][:, None] + np.arange(nx + 1)[None, :] * self.dx[:, 0][:, None]
+        self.X2n = self.origin[:, 1][:, None] + np.arange(ny + 1)[None, :] * self.dx[:, 1][:, None]
+        self.X3n = self.origin[:, 2][:, None] + np.arange(nz + 1)[None, :] * self.dx[:, 2][:, None]
+        # per-block physical bounds [nb, 6] = (x1lo, x1hi, x2lo, x2hi, x3lo, x3hi)
+        self.BlockBounds = np.stack(
+            [
+                self.origin[:, 0], self.origin[:, 0] + nx * self.dx[:, 0],
+                self.origin[:, 1], self.origin[:, 1] + ny * self.dx[:, 1],
+                self.origin[:, 2], self.origin[:, 2] + nz * self.dx[:, 2],
+            ],
+            axis=1,
+        )
+
+    def Get(self, variable):
+        """Cell variable as ``[n_blocks, nz, ny, nx]``."""
+        if variable in self._vars:
+            return self._vars[variable]
+        raise KeyError(
+            f"variable {variable!r} not in dump (have {sorted(self._vars)})"
+        )
+
+    def GetSwarm(self, swarm, variable):
+        return self._swarm[(swarm, variable)]

@@ -1,0 +1,179 @@
+"""Evolution driver and CLI — the mcblock equivalent.
+
+Owns what Parthenon's ``EvolutionDriver`` + ``McblockDriver`` own in the reference
+(``/root/reference/src/mcblock/mcblock_driver.cpp``, ``main.cpp``): the cycle loop,
+per-cycle stdout, output cadence, and the wall of initialization (problem generation,
+post-init, radiation init). One cycle is ``RadiationStep`` then the host derived-field
+update, exactly the reference's ``Step()`` (``mcblock_driver.cpp:38-53``).
+
+CLI: ``python -m jaybenne_tpu.driver -i inputs/stepdiff.in [-d outdir] [-r ckpt]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time as _time
+
+import jax
+
+from . import config as config_mod
+from . import io as io_mod
+from . import state as state_mod
+from .mesh import build_mesh
+from .models.problems import generate_problem
+from .step import initialize_radiation, make_radiation_step
+
+
+class Simulation:
+    """Host-side orchestration around the jitted step."""
+
+    def __init__(self, cfg: config_mod.RunConfig, outdir: str = ".", quiet: bool = False):
+        self.cfg = cfg
+        self.outdir = outdir
+        self.quiet = quiet
+        jb = cfg.jaybenne
+        if jb.precision == "f64" and not jax.config.read("jax_enable_x64"):
+            jax.config.update("jax_enable_x64", True)
+        self.dtype = jb.dtype
+        self.mesh = build_mesh(cfg.mesh, dtype=self.dtype)
+        capacity = self._capacity()
+        self.state = state_mod.initial_state(self.mesh, capacity, jb.seed, self.dtype)
+        self.state = state_mod.SimState(
+            fields=generate_problem(self.state.fields, self.mesh, cfg, self.dtype),
+            particles=self.state.particles,
+            t=self.state.t,
+            cycle=self.state.cycle,
+            rng_key=self.state.rng_key,
+            overflow=self.state.overflow,
+        )
+        self.state = initialize_radiation(self.state, self.mesh, cfg)
+        self.step_fn = make_radiation_step(self.mesh, cfg)
+        self.t = 0.0  # authoritative (host float64) simulation time
+        self.cycle = 0
+        self.total_events = 0
+        self.total_iters = 0
+        self.dump_count = 0
+        self._next_dump_t = 0.0
+
+    def _capacity(self) -> int:
+        jb = self.cfg.jaybenne
+        # room for census survivors + one step of births + stochastic slack
+        return int(jb.num_particles * jb.capacity_factor) + self.mesh.total_cells + 1024
+
+    def _ensure_headroom(self):
+        """Grow the particle ledger before the next sourcing could overflow it — the
+        equivalent of Parthenon's swarm pool growth in ``AddEmptyParticles``
+        (reference ``sourcing.cpp:122-131``). Growth doubles capacity (amortized
+        recompile) and keeps all live particles in place."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        p = self.state.particles
+        need = int(p.num_alive()) + self.cfg.jaybenne.num_particles + self.mesh.total_cells + 64
+        if need <= p.capacity:
+            return
+        new_cap = max(need, 2 * p.capacity)
+        pad = new_cap - p.capacity
+
+        def grow(arr):
+            return jnp.concatenate(
+                [arr, jnp.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)]
+            )
+
+        import dataclasses as _dc
+
+        grown = _dc.replace(
+            p, **{f.name: grow(getattr(p, f.name)) for f in _dc.fields(p)}
+        )
+        self.state = _dc.replace(self.state, particles=grown)
+        if not self.quiet:
+            print(f"ledger grown: capacity {p.capacity} -> {new_cap}", flush=True)
+
+    # ------------------------------------------------------------------ outputs
+    def _maybe_dump(self, force=False):
+        outs = self.cfg.outputs
+        if not outs:
+            return
+        out = outs[0]
+        if force or (out.dt > 0 and self.t >= self._next_dump_t - 1e-12 * max(out.dt, 1.0)):
+            path = io_mod.dump_filename(self.cfg.problem_id, self.dump_count, self.outdir)
+            io_mod.write_dump(
+                path, self.state, self.mesh, self.cfg, out.variables, out.swarm_variables
+            )
+            self.dump_count += 1
+            while out.dt > 0 and self._next_dump_t <= self.t + 1e-12 * max(out.dt, 1.0):
+                self._next_dump_t += out.dt
+
+    # ------------------------------------------------------------------ run loop
+    def run(self) -> None:
+        cfg = self.cfg
+        dt = cfg.jaybenne.dt
+        tlim = cfg.time.tlim
+        n_cycles = max(1, int(round(tlim / dt)))
+        self._maybe_dump()  # initial conditions
+
+        wall0 = _time.time()
+        for n in range(n_cycles):
+            step_dt = min(dt, tlim - self.t)
+            if step_dt <= 0:
+                break
+            if self.cfg.jaybenne.do_emission:
+                self._ensure_headroom()
+            self.state, stats = self.step_fn(self.state, self.dtype(step_dt))
+            self.t += step_dt
+            self.cycle += 1
+            ev = int(stats.events)
+            self.total_events += ev
+            self.total_iters += int(stats.iterations)
+            if not self.quiet:
+                print(
+                    f"cycle={self.cycle} time={self.t:.6e} dt={step_dt:.6e} "
+                    f"iters={int(stats.iterations)} events={ev} "
+                    f"alive={int(stats.n_alive)}",
+                    flush=True,
+                )
+            if int(stats.dropped) > 0:
+                print(
+                    f"WARNING: particle ledger overflow, dropped {int(stats.dropped)} "
+                    f"sourced particles (raise jaybenne/capacity_factor)",
+                    file=sys.stderr,
+                )
+            self._maybe_dump()
+        self.walltime = _time.time() - wall0
+        self._maybe_dump(force=True)
+        if not self.quiet:
+            rate = self.total_events / max(self.walltime, 1e-9)
+            print(
+                f"walltime={self.walltime:.3f}s events={self.total_events} "
+                f"({rate:.3e} events/s)",
+                flush=True,
+            )
+
+
+def run_file(input_path, outdir=".", modified_inputs=None, quiet=False) -> Simulation:
+    from .utils.deck import Deck
+
+    deck = Deck.from_file(input_path).update(modified_inputs or {})
+    cfg = config_mod.from_deck(deck)
+    os.makedirs(outdir, exist_ok=True)
+    sim = Simulation(cfg, outdir=outdir, quiet=quiet)
+    sim.run()
+    return sim
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native IMC thermal photon transport")
+    ap.add_argument("-i", "--input", required=True, help="input deck (.in)")
+    ap.add_argument("-d", "--outdir", default=".", help="output directory")
+    ap.add_argument("-q", "--quiet", action="store_true")
+    args = ap.parse_args(argv)
+    run_file(args.input, outdir=args.outdir, quiet=args.quiet)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

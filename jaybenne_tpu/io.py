@@ -1,0 +1,132 @@
+"""HDF5 dumps and checkpoint/restart.
+
+Replaces Parthenon's ``.phdf`` output machinery (consumed by the reference's
+``analysis/jhdf.py``) with a compact HDF5 schema carrying the same information:
+per-block bounds/levels, cell variables ``[n_blocks, nz, ny, nx]``, and (optionally)
+swarm positions. ``analysis/jhdf.py`` in this repo reads these files and presents the
+same attributes the reference reader exposes (``Time``, ``NumBlocks``, ``NX1..3``,
+``X1c/X2c/X3c``, ``Get(var)``).
+
+Checkpointing (a capability the reference inherits from Parthenon restart dumps but
+never exercises — SURVEY §5) is a straight dump of the full state pytree: mesh
+fields + particle ledger + RNG key + counters, written with the same writer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+
+import numpy as np
+
+try:
+    import h5py
+
+    HAVE_H5PY = True
+except Exception:  # pragma: no cover
+    HAVE_H5PY = False
+
+# dump-variable name -> Fields attribute
+VARIABLE_MAP = {
+    "field.material.density": "rho",
+    "field.material.sie": "sie",
+    "field.material.internal_energy": "u",
+    "field.jaybenne.energy_tally": "energy_tally",
+    "field.jaybenne.fleck_factor": "fleck",
+    "field.jaybenne.energy_delta": "energy_delta",
+    "field.jaybenne.source_ew_per_cell": "source_ew",
+    "field.jaybenne.source_num_per_cell": "source_num",
+}
+
+
+def dump_filename(problem_id: str, number: int, outdir: str = ".") -> str:
+    return os.path.join(outdir, f"{problem_id}.out0.{number:05d}.phdf")
+
+
+def write_dump(path, state, mesh, cfg, variables, swarm_variables=()):
+    if not HAVE_H5PY:  # pragma: no cover
+        raise RuntimeError("h5py is unavailable; cannot write HDF5 dumps")
+    f = state.fields
+    with h5py.File(path, "w") as h:
+        h.attrs["Time"] = float(state.t)
+        h.attrs["NCycle"] = int(state.cycle)
+        h.attrs["NumBlocks"] = mesh.n_blocks
+        h.attrs["ndim"] = mesh.ndim
+        h.attrs["NX1"] = mesh.nx
+        h.attrs["NX2"] = mesh.ny
+        h.attrs["NX3"] = mesh.nz
+        h.attrs["bounds"] = np.asarray(mesh.bounds)
+        h.create_dataset("blocks/origin", data=np.asarray(mesh.block_origin))
+        h.create_dataset("blocks/dx", data=np.asarray(mesh.block_dx))
+        h.create_dataset("blocks/level", data=np.asarray(mesh.block_level))
+        for var in variables:
+            attr = VARIABLE_MAP.get(var)
+            if attr is None:
+                continue
+            h.create_dataset(f"vars/{var}", data=np.asarray(getattr(f, attr)))
+        if swarm_variables:
+            p = state.particles
+            alive = np.asarray(p.alive)
+            gx, gy, gz = p.global_position(mesh)
+            sw = {
+                "swarm.x": np.asarray(gx)[alive],
+                "swarm.y": np.asarray(gy)[alive],
+                "swarm.z": np.asarray(gz)[alive],
+                "swarm.weight": np.asarray(p.weight)[alive],
+            }
+            for name in swarm_variables:
+                if name in sw:
+                    h.create_dataset(f"swarm/photons/{name}", data=sw[name])
+
+
+def latest_dump(problem_id: str, outdir: str = ".") -> str:
+    files = sorted(glob.glob(os.path.join(outdir, f"{problem_id}.out0.*.phdf")))
+    if not files:
+        raise FileNotFoundError(f"no dumps for {problem_id} in {outdir}")
+    return files[-1]
+
+
+# ---------------------------------------------------------------- checkpoint
+def write_checkpoint(path, state, mesh):
+    """Full-state restart dump: fields + particle ledger + RNG + counters."""
+    if not HAVE_H5PY:  # pragma: no cover
+        raise RuntimeError("h5py is unavailable; cannot write checkpoints")
+    with h5py.File(path, "w") as h:
+        h.attrs["Time"] = float(state.t)
+        h.attrs["NCycle"] = int(state.cycle)
+        h.attrs["overflow"] = int(state.overflow)
+        for fld in dataclasses.fields(state.fields):
+            h.create_dataset(
+                f"fields/{fld.name}", data=np.asarray(getattr(state.fields, fld.name))
+            )
+        for fld in dataclasses.fields(state.particles):
+            h.create_dataset(
+                f"particles/{fld.name}",
+                data=np.asarray(getattr(state.particles, fld.name)),
+            )
+        h.create_dataset("rng_key", data=np.asarray(state.rng_key))
+
+
+def read_checkpoint(path, state):
+    """Load a checkpoint into an existing (shape-compatible) state."""
+    import jax.numpy as jnp
+
+    with h5py.File(path, "r") as h:
+        fields = dataclasses.replace(
+            state.fields,
+            **{k: jnp.asarray(h[f"fields/{k}"][...]) for k in h["fields"]},
+        )
+        particles = dataclasses.replace(
+            state.particles,
+            **{k: jnp.asarray(h[f"particles/{k}"][...]) for k in h["particles"]},
+        )
+        return dataclasses.replace(
+            state,
+            fields=fields,
+            particles=particles,
+            t=jnp.asarray(h.attrs["Time"], dtype=state.t.dtype),
+            cycle=jnp.asarray(h.attrs["NCycle"], dtype=jnp.int32),
+            overflow=jnp.asarray(h.attrs["overflow"], dtype=jnp.int32),
+            rng_key=jnp.asarray(h["rng_key"][...], dtype=state.rng_key.dtype),
+        )

@@ -1,0 +1,197 @@
+"""Photon absorption opacity and scattering models.
+
+TPU-native replacement for the singularity-opac surface jaybenne consumes
+(``Opacity::AbsorptionCoefficient(rho, T, nu)``, ``Opacity::Emissivity(rho, T)``,
+``Scattering::TotalScatteringCoefficient(rho, T, nu)``,
+``GetRuntimePhysicalConstants``; call sites ``/root/reference/src/jaybenne/jaybenne.cpp:182,
+313``, ``transport.cpp:126-127``). Models are frozen dataclasses of scalars with pure
+jnp methods, vectorized over arrays and closed over by jitted kernels.
+
+Model inventory mirrors what mcblock constructs (``src/mcblock/mcblock.cpp:94-145``,
+``src/mcblock/opacity.hpp:22-30``):
+
+  * absorption: ``Gray(kappa)`` (also covers ``opacity_model = none`` as
+    ``Gray(0)``), ``EPBremss`` — each wrappable in ``NonCGSUnits``;
+  * scattering: ``GrayS(kappa_s, apm)`` (covers ``none`` as ``GrayS(0, apm)``),
+    ``ThomsonS(apm)`` — each wrappable in ``NonCGSUnitsS``.
+
+Conventions (gray physics, CGS unless wrapped):
+
+  * absorption coefficient  ``alpha = kappa * rho``            [1/cm]
+  * total emissivity        ``J = alpha * c * a * T^4``        [erg/cm^3/s]
+    (this is the ``J = opacP * c * aR * T^4`` identity stated in the Fleck-factor
+    comment at ``src/jaybenne/jaybenne.cpp:281-284``)
+  * scattering coefficient  ``sigma_s = (rho / apm) * s``      [1/cm], where ``s`` is a
+    per-particle cross section and ``apm`` the average particle mass — matching the
+    singularity-opac convention flagged by the TODO at ``src/mcblock/mcblock.cpp:122``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimePhysicalConstants:
+    c: float
+    sb: float
+
+    @property
+    def ar(self) -> float:
+        return 4.0 * self.sb / self.c
+
+
+# ---------------------------------------------------------------- absorption models
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class Gray:
+    """Gray (frequency-independent) absorption opacity ``kappa`` [cm^2/g]."""
+
+    kappa: float
+
+    def absorption_coefficient(self, rho, temp, nu=1.0):
+        del temp, nu
+        return self.kappa * jnp.asarray(rho)
+
+    def emissivity(self, rho, temp):
+        alpha = self.kappa * jnp.asarray(rho)
+        return alpha * constants.CC * constants.AR * jnp.asarray(temp) ** 4
+
+    def get_runtime_physical_constants(self) -> RuntimePhysicalConstants:
+        return RuntimePhysicalConstants(c=constants.CC, sb=constants.SB)
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class EPBremss:
+    """Electron-positron (free-free) bremsstrahlung Planck-mean absorption.
+
+    Capability parity for the reference's ``singularity::photons::EPBremss``
+    (constructed at ``src/mcblock/mcblock.cpp:109-113``; no input deck in the snapshot
+    exercises it). Implemented as a Kramers-type free-free Planck mean,
+    ``kappa_P = kff * rho * T^{-7/2}`` [cm^2/g], with the standard hydrogenic
+    free-free coefficient as default.
+    """
+
+    kff: float = 3.68e22  # Kramers free-free constant [cgs], kappa = kff rho T^-3.5
+
+    def absorption_coefficient(self, rho, temp, nu=1.0):
+        del nu
+        rho = jnp.asarray(rho)
+        return self.kff * rho * rho * jnp.asarray(temp) ** (-3.5)
+
+    def emissivity(self, rho, temp):
+        alpha = self.absorption_coefficient(rho, temp)
+        return alpha * constants.CC * constants.AR * jnp.asarray(temp) ** 4
+
+    def get_runtime_physical_constants(self) -> RuntimePhysicalConstants:
+        return RuntimePhysicalConstants(c=constants.CC, sb=constants.SB)
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class NonCGSUnits:
+    """Unit-scale wrapper around an absorption model (the reference's
+    ``singularity::photons::NonCGSUnits<...>``, ``src/mcblock/mcblock.cpp:100-113``).
+
+    Scales are conversion factors from code units to CGS (all decks use 1.0).
+    """
+
+    base: object
+    time_scale: float = 1.0
+    mass_scale: float = 1.0
+    length_scale: float = 1.0
+    temperature_scale: float = 1.0
+
+    @property
+    def _rho_scale(self):
+        return self.mass_scale / self.length_scale**3
+
+    @property
+    def _energy_scale(self):
+        return self.mass_scale * self.length_scale**2 / self.time_scale**2
+
+    def absorption_coefficient(self, rho, temp, nu=1.0):
+        alpha_cgs = self.base.absorption_coefficient(
+            jnp.asarray(rho) * self._rho_scale,
+            jnp.asarray(temp) * self.temperature_scale,
+            nu,
+        )
+        return alpha_cgs * self.length_scale  # [1/cm] -> [1/code-length]
+
+    def emissivity(self, rho, temp):
+        emis_cgs = self.base.emissivity(
+            jnp.asarray(rho) * self._rho_scale,
+            jnp.asarray(temp) * self.temperature_scale,
+        )
+        # [erg/cm^3/s] -> code energy / code volume / code time
+        return emis_cgs * self.length_scale**3 * self.time_scale / self._energy_scale
+
+    def get_runtime_physical_constants(self) -> RuntimePhysicalConstants:
+        cgs = self.base.get_runtime_physical_constants()
+        return RuntimePhysicalConstants(
+            c=cgs.c * self.time_scale / self.length_scale,
+            sb=cgs.sb
+            * self.time_scale**3
+            * self.temperature_scale**4
+            / self.mass_scale,
+        )
+
+
+# ---------------------------------------------------------------- scattering models
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class GrayS:
+    """Gray scattering: per-particle cross section ``s`` [cm^2] with average particle
+    mass ``apm`` [g] (``singularity::photons::GrayS(kappa_s, apm)``,
+    ``src/mcblock/mcblock.cpp:132-140``)."""
+
+    s: float
+    apm: float = 1.0
+
+    def total_scattering_coefficient(self, rho, temp, nu=1.0):
+        del temp, nu
+        return (jnp.asarray(rho) / self.apm) * self.s
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class ThomsonS:
+    """Thomson scattering (``singularity::photons::ThomsonS`` variant arm,
+    ``src/mcblock/opacity.hpp:26-30``)."""
+
+    apm: float = 1.0
+
+    def total_scattering_coefficient(self, rho, temp, nu=1.0):
+        del temp, nu
+        return (jnp.asarray(rho) / self.apm) * constants.SIGMA_THOMSON
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class NonCGSUnitsS:
+    """Unit-scale wrapper around a scattering model (``NonCGSUnitsS``,
+    ``src/mcblock/mcblock.cpp:132-140``)."""
+
+    base: object
+    time_scale: float = 1.0
+    mass_scale: float = 1.0
+    length_scale: float = 1.0
+    temperature_scale: float = 1.0
+
+    @property
+    def _rho_scale(self):
+        return self.mass_scale / self.length_scale**3
+
+    def total_scattering_coefficient(self, rho, temp, nu=1.0):
+        sig_cgs = self.base.total_scattering_coefficient(
+            jnp.asarray(rho) * self._rho_scale,
+            jnp.asarray(temp) * self.temperature_scale,
+            nu,
+        )
+        return sig_cgs * self.length_scale

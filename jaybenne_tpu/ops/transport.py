@@ -1,0 +1,521 @@
+"""Event-based IMC / DDMC photon transport.
+
+TPU-native replacement for the reference's per-history device loops
+(``TransportPhotons``, ``/root/reference/src/jaybenne/transport.cpp:28-181``;
+``TransportPhotons_DDMC``, ``transport_ddmc.cpp:28-237``; step math in
+``transport_utils.hpp:111-397``). The divergent per-particle ``while`` loop becomes a
+``lax.while_loop`` whose body advances EVERY unfinished particle by exactly one event
+— a fully vectorized, gather-only kernel (no scatter ops in the loop; absorption is
+recorded in the ledger and tallied once afterwards).
+
+One body application per active particle is one **event** (free-flight segment capped
+at a cell width, scatter, absorption, cell/block crossing, DDMC leak/absorb, or
+census) — the unit of the benchmark metric.
+
+Key architectural deviations from the reference (correctness-preserving, see
+SURVEY §7):
+
+  * Cell identity is tracked by integer (block, i, j, k) through every event; the
+    crossing branch increments indices and pins the position exactly onto the shared
+    face. The reference instead re-derives indices from nudged positions
+    (``Xtoijk`` + ``eps_imc_offset`` games, ``transport_utils.hpp:151-159``), which is
+    fragile in float32.
+  * Block transitions are resolved inline via the mesh's O(1) block-lookup grid
+    (same-level, 2:1 coarse/fine, periodic wrap), replacing swarm send/receive and the
+    iterate-until-complete task loop on a single shard. The multi-device spatial
+    decomposition reintroduces the census iteration with ``all_to_all`` migration +
+    ``psum`` completion (see ``jaybenne_tpu.parallel``).
+  * The hybrid IMC/DDMC switch (``dx_min * sigma_t > tau_ddmc``,
+    ``transport_ddmc.cpp:135``) is a per-particle mask, not a branch.
+
+Physics is per the reference exactly:
+
+  IMC step: sample ``d_abs ~ Exp(1/(f sa))``, ``d_sc ~ Exp(1/(ss + (1-f) sa))``,
+  compare against the zone-size cap (min cell width), census distance, and the three
+  face distances; absorb / isotropically scatter / cross / advance accordingly.
+
+  DDMC step: leakage opacities ``P_face / dx`` per face; exponential event time vs
+  census; event CDF = absorb vs six-way face leak (mid-face exit, cosine-weighted
+  hemisphere direction); census resamples position uniformly in the cell and an
+  isotropic direction. Particles arriving at a DDMC cell edge first pass the
+  Habetler-Matkowsky albedo test ``P = 2 P_face (1 +/- 1.5 v_a / c)`` and are bounced
+  back with a hemisphere direction on rejection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from . import rng
+from .fleck import LAM_EXT
+from ..utils.tree import pytree_dataclass, static
+
+
+@pytree_dataclass
+class TransportCoefs:
+    """Per-cell transport coefficients, precomputed once per radiation step (fields do
+    not change during transport; the reference re-evaluates EOS/opacity per event,
+    ``transport.cpp:122-127``, with identical in-step values).
+
+    Frequency-dependent opacities would need per-particle evaluation here; all models
+    currently in the inventory (Gray/EPBremss/GrayS/ThomsonS) are gray, matching the
+    reference's exercised configurations.
+    """
+
+    sigma_a: jnp.ndarray  # [NC] absorption coefficient
+    sigma_s: jnp.ndarray  # [NC] scattering coefficient
+    fleck: jnp.ndarray    # [NC] Fleck factor
+    px: jnp.ndarray       # [B, nz, ny, nx+1] DDMC face probs (zeros if unused)
+    py: jnp.ndarray       # [B, nz, ny+1, nx]
+    pz: jnp.ndarray       # [B, nz+1, ny, nx]
+
+
+@pytree_dataclass
+class TransportParams:
+    # static configuration (hashable -> one compilation per physics setup)
+    ndim: int = static()
+    use_ddmc: bool = static()
+    max_iters: int = static()
+    swarm_bc: tuple = static()   # 6 BC enums (ix1, ox1, ix2, ox2, ix3, ox3)
+    c: float = static()          # speed of light (code units)
+    tau_ddmc: float = static()
+    eps_imc: float = static()    # relative face offset for albedo bounce-back
+    eps_ddmc: float = static()   # relative face offset for DDMC leak placement
+    at_face_tol: float = static()  # relative tolerance for at-face detection
+
+
+def default_eps(dtype):
+    """Face-offset epsilons. The reference uses 1e6/1e8 x DBL_EPSILON
+    (``transport_utils.hpp:24-25``); in float32 the offsets must clear the position
+    representation error (~1e-5 of a cell near large coordinates), so they are scaled
+    up. They only set where bounced/leaked particles are re-seeded inside a cell —
+    O(eps * dx) spatial blur, far below Monte Carlo noise."""
+    if dtype == jnp.float64:
+        return dict(eps_imc=2.2e-10, eps_ddmc=2.2e-8, at_face_tol=5.5e-10)
+    return dict(eps_imc=1.0e-3, eps_ddmc=1.0e-2, at_face_tol=2.5e-3)
+
+
+def precompute_coefs(fields, mesh, eos, opacity, scattering, use_ddmc, dtype):
+    temp = eos.temperature_from_density_internal_energy(fields.rho, fields.sie)
+    sigma_s = scattering.total_scattering_coefficient(fields.rho, temp, 1.0)
+    sigma_a = opacity.absorption_coefficient(fields.rho, temp, 1.0)
+    sigma_s = jnp.broadcast_to(jnp.asarray(sigma_s, dtype), fields.rho.shape)
+    sigma_a = jnp.broadcast_to(jnp.asarray(sigma_a, dtype), fields.rho.shape)
+    return TransportCoefs(
+        sigma_a=sigma_a.reshape(-1),
+        sigma_s=sigma_s.reshape(-1),
+        fleck=fields.fleck.reshape(-1).astype(dtype),
+        px=fields.ddmc_px if use_ddmc else jnp.zeros_like(fields.ddmc_px),
+        py=fields.ddmc_py if use_ddmc else jnp.zeros_like(fields.ddmc_py),
+        pz=fields.ddmc_pz if use_ddmc else jnp.zeros_like(fields.ddmc_pz),
+    )
+
+
+def _face_flat(mesh, b, k, j, i, axis):
+    """Flat index into the face array for `axis` at cell-corner index (k, j, i)."""
+    nx, ny, nz = mesh.nx, mesh.ny, mesh.nz
+    if axis == 0:
+        return ((b * nz + k) * ny + j) * (nx + 1) + i
+    if axis == 1:
+        return ((b * nz + k) * (ny + 1) + j) * nx + i
+    return ((b * (nz + 1) + k) * ny + j) * nx + i
+
+
+# --------------------------------------------------------------------------- body
+def _one_event(p, coefs, mesh, prm: TransportParams, dt, key):
+    """Advance every unfinished particle by one event. Returns (particles, n_active)."""
+    dtype = p.x.dtype
+    tiny = jnp.finfo(dtype).tiny
+    BIG = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    c = jnp.asarray(prm.c, dtype)
+    multi_d = prm.ndim >= 2
+    three_d = prm.ndim == 3
+
+    active = p.alive & (p.tau < 1.0)
+
+    dxv = mesh.block_dx[p.block]  # [P, 3]
+    dx, dy, dz = dxv[:, 0], dxv[:, 1], dxv[:, 2]
+    dmin = jnp.minimum(dx, jnp.minimum(dy, dz))
+    cell = mesh.flat_cell(p.block, p.k, p.j, p.i)
+    sa = jnp.take(coefs.sigma_a, cell)
+    ss = jnp.take(coefs.sigma_s, cell)
+    ff = jnp.take(coefs.fleck, cell)
+    sig_t = sa + ss
+
+    is_ddmc = active & (dmin * sig_t > prm.tau_ddmc) if prm.use_ddmc else jnp.zeros_like(active)
+    is_imc = active & ~is_ddmc
+
+    # cell bounds in block-local coordinates
+    fi = p.i.astype(dtype)
+    fj = p.j.astype(dtype)
+    fk = p.k.astype(dtype)
+    xl, xu = fi * dx, (fi + 1.0) * dx
+    yl, yu = fj * dy, (fj + 1.0) * dy
+    zl, zu = fk * dz, (fk + 1.0) * dz
+
+    ks = jax.random.split(key, 12)
+    shape = p.x.shape
+
+    # ===================== IMC branch (ptcl_transport_step) ====================
+    d_abs = rng.exponential(ks[0], shape, dtype) / (ff * sa + tiny)
+    d_sc = rng.exponential(ks[1], shape, dtype) / (ss + (1.0 - ff) * sa + tiny)
+    d_end = c * dt * (1.0 - p.tau)
+    d_geom = jnp.minimum(dmin, d_end)
+
+    def face_dist(v, lo, hi, x):
+        return jnp.where(
+            v > 0, c * (hi - x) / jnp.where(v > 0, v, 1.0),
+            jnp.where(v < 0, c * (lo - x) / jnp.where(v < 0, v, 1.0), BIG),
+        )
+
+    fxd = face_dist(p.vx, xl, xu, p.x)
+    fyd = face_dist(p.vy, yl, yu, p.y) if multi_d else jnp.full(shape, BIG, dtype)
+    fzd = face_dist(p.vz, zl, zu, p.z) if three_d else jnp.full(shape, BIG, dtype)
+
+    d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
+    i_abs = is_imc & (d_abs < d_push) & (d_abs < d_sc)
+    i_sc = is_imc & ~i_abs & (d_sc < d_push)
+    no_coll = is_imc & ~i_abs & ~i_sc
+    cr_x = no_coll & (fxd <= fyd) & (fxd <= fzd) & (fxd <= d_geom)
+    cr_y = no_coll & ~cr_x & (fyd <= fzd) & (fyd <= d_geom)
+    cr_z = no_coll & ~cr_x & ~cr_y & (fzd <= d_geom)
+    i_census = no_coll & ~cr_x & ~cr_y & ~cr_z & (d_end <= dmin)
+
+    d = jnp.where(i_abs, d_abs, jnp.where(i_sc, d_sc, d_push))
+
+    imc_tau = jnp.where(i_census, 1.0, p.tau + d / (c * dt))
+    imc_x = p.x + p.vx * (d / c)
+    imc_y = p.y + p.vy * (d / c) if multi_d else p.y
+    imc_z = p.z + p.vz * (d / c) if three_d else p.z
+    # pin crossings exactly onto the shared face and step the cell index
+    imc_x = jnp.where(cr_x, jnp.where(p.vx > 0, xu, xl), imc_x)
+    imc_y = jnp.where(cr_y, jnp.where(p.vy > 0, yu, yl), imc_y)
+    imc_z = jnp.where(cr_z, jnp.where(p.vz > 0, zu, zl), imc_z)
+    step_x = jnp.where(cr_x, jnp.where(p.vx > 0, 1, -1), 0).astype(jnp.int32)
+    step_y = jnp.where(cr_y, jnp.where(p.vy > 0, 1, -1), 0).astype(jnp.int32)
+    step_z = jnp.where(cr_z, jnp.where(p.vz > 0, 1, -1), 0).astype(jnp.int32)
+
+    # isotropic scatter redraw (scattering.hpp:21-29)
+    snx, sny, snz = rng.isotropic_direction(ks[2], shape, dtype)
+    imc_vx = jnp.where(i_sc, c * snx, p.vx)
+    imc_vy = jnp.where(i_sc, c * sny, p.vy)
+    imc_vz = jnp.where(i_sc, c * snz, p.vz)
+
+    # ===================== DDMC branch =========================================
+    if prm.use_ddmc:
+        tol = prm.at_face_tol
+        at = [
+            is_ddmc & (jnp.abs(p.x - xl) < tol * dx),
+            is_ddmc & (jnp.abs(p.x - xu) < tol * dx),
+            is_ddmc & multi_d & (jnp.abs(p.y - yl) < tol * dy),
+            is_ddmc & multi_d & (jnp.abs(p.y - yu) < tol * dy),
+            is_ddmc & three_d & (jnp.abs(p.z - zl) < tol * dz),
+            is_ddmc & three_d & (jnp.abs(p.z - zu) < tol * dz),
+        ]
+        # priority chain (xl, xu, yl, yu, zl, zu) like ptcl_ddmc_albedo
+        sel = []
+        taken = jnp.zeros_like(active)
+        for m in at:
+            m = m & ~taken
+            sel.append(m)
+            taken = taken | m
+        at_face = taken
+
+        # albedo acceptance: P = 2 P_face (1 +/- 1.5 v_a/c)
+        face_dx = [dx, dx, dy, dy, dz, dz]
+        face_v = [p.vx, p.vx, p.vy, p.vy, p.vz, p.vz]
+        face_sign = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0]  # + for lower faces
+        P = jnp.zeros(shape, dtype)
+        for m, fdx, fv, sgn in zip(sel, face_dx, face_v, face_sign):
+            Pf = (2.0 / 3.0) / (sig_t * fdx + 2.0 * LAM_EXT)
+            P = jnp.where(m, 2.0 * Pf * (1.0 + sgn * 1.5 * fv / c), P)
+        u_alb = rng.uniform(ks[3], shape, dtype)
+        rejected = at_face & (u_alb > P)
+
+        # rejected: hemisphere direction away from the face; re-seed eps into the
+        # neighboring cell (index steps; block transition handles edges)
+        a1, a2, a3 = rng.face_isotropic_direction(ks[4], shape, dtype)
+        rj_x, rj_y, rj_z = p.x, p.y, p.z
+        rj_vx, rj_vy, rj_vz = p.vx, p.vy, p.vz
+        rj_si = jnp.zeros(shape, jnp.int32)
+        rj_sj = jnp.zeros(shape, jnp.int32)
+        rj_sk = jnp.zeros(shape, jnp.int32)
+        # (axis permutations follow sample_face_iso_dir call sites in
+        #  transport_utils.hpp:296-386: principal, then the cyclically next axes)
+        specs = [
+            # (mask, axis, lower?)
+            (sel[0], 0, True), (sel[1], 0, False),
+            (sel[2], 1, True), (sel[3], 1, False),
+            (sel[4], 2, True), (sel[5], 2, False),
+        ]
+        for m, axis, lower in specs:
+            sgn = jnp.asarray(-1.0 if lower else 1.0, dtype)  # outward = away from cell
+            v1 = c * sgn * a1
+            v2 = c * a2
+            v3 = c * a3
+            if axis == 0:
+                rj_vx = jnp.where(m, v1, rj_vx)
+                rj_vy = jnp.where(m, v2, rj_vy)
+                rj_vz = jnp.where(m, v3, rj_vz)
+                rj_x = jnp.where(m, jnp.where(lower, xl - prm.eps_imc * dx, xu + prm.eps_imc * dx), rj_x)
+                rj_si = jnp.where(m, -1 if lower else 1, rj_si)
+            elif axis == 1:
+                rj_vy = jnp.where(m, v1, rj_vy)
+                rj_vz = jnp.where(m, v2, rj_vz)
+                rj_vx = jnp.where(m, v3, rj_vx)
+                rj_y = jnp.where(m, jnp.where(lower, yl - prm.eps_imc * dy, yu + prm.eps_imc * dy), rj_y)
+                rj_sj = jnp.where(m, -1 if lower else 1, rj_sj)
+            else:
+                rj_vz = jnp.where(m, v1, rj_vz)
+                rj_vx = jnp.where(m, v2, rj_vx)
+                rj_vy = jnp.where(m, v3, rj_vy)
+                rj_z = jnp.where(m, jnp.where(lower, zl - prm.eps_imc * dz, zu + prm.eps_imc * dz), rj_z)
+                rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
+
+        # ---- in-cell DDMC step (ptcl_ddmc_step) for non-rejected particles ----
+        do_step = is_ddmc & ~rejected
+        fp_xl = jnp.take(coefs.px.reshape(-1), _face_flat(mesh, p.block, p.k, p.j, p.i, 0))
+        fp_xu = jnp.take(coefs.px.reshape(-1), _face_flat(mesh, p.block, p.k, p.j, p.i + 1, 0))
+        if multi_d:
+            fp_yl = jnp.take(coefs.py.reshape(-1), _face_flat(mesh, p.block, p.k, p.j, p.i, 1))
+            fp_yu = jnp.take(coefs.py.reshape(-1), _face_flat(mesh, p.block, p.k, p.j + 1, p.i, 1))
+        else:
+            fp_yl = fp_yu = jnp.zeros(shape, dtype)
+        if three_d:
+            fp_zl = jnp.take(coefs.pz.reshape(-1), _face_flat(mesh, p.block, p.k, p.j, p.i, 2))
+            fp_zu = jnp.take(coefs.pz.reshape(-1), _face_flat(mesh, p.block, p.k + 1, p.j, p.i, 2))
+        else:
+            fp_zl = fp_zu = jnp.zeros(shape, dtype)
+
+        lk = [fp_xl / dx, fp_xu / dx, fp_yl / dy, fp_yu / dy, fp_zl / dz, fp_zu / dz]
+        leak_tot = sum(lk)
+        cdf = ff * sa + leak_tot + tiny
+        dt_ev = rng.exponential(ks[5], shape, dtype) / (c * cdf)
+        dt_rem = dt * (1.0 - p.tau)
+        is_event = dt_ev < dt_rem
+
+        dd_tau = jnp.where(is_event, p.tau + dt_ev / dt, 1.0)
+
+        xi = cdf * rng.uniform(ks[6], shape, dtype)
+        dd_absorbed = do_step & is_event & (xi < ff * sa)
+        xim = xi - ff * sa
+        cum = jnp.zeros(shape, dtype)
+        leak_sel = []
+        leak_any = jnp.zeros_like(active)
+        for l in lk:
+            m = do_step & is_event & ~dd_absorbed & ~leak_any & (xim < cum + l)
+            leak_sel.append(m)
+            leak_any = leak_any | m
+            cum = cum + l
+        # numerical remainder: force the last face for leak events that fell through
+        fallthrough = do_step & is_event & ~dd_absorbed & ~leak_any
+        leak_sel[5] = leak_sel[5] | (fallthrough & three_d)
+        leak_sel[3] = leak_sel[3] | (fallthrough & multi_d & ~three_d)
+        leak_sel[1] = leak_sel[1] | (fallthrough & ~multi_d)
+        leak_any = leak_any | fallthrough
+
+        b1, b2, b3 = rng.face_isotropic_direction(ks[7], shape, dtype)
+        dd_x, dd_y, dd_z = p.x, p.y, p.z
+        dd_vx, dd_vy, dd_vz = p.vx, p.vy, p.vz
+        dd_si = jnp.zeros(shape, jnp.int32)
+        dd_sj = jnp.zeros(shape, jnp.int32)
+        dd_sk = jnp.zeros(shape, jnp.int32)
+        cx, cy, cz = xl + 0.5 * dx, yl + 0.5 * dy, zl + 0.5 * dz
+        leak_specs = [
+            (leak_sel[0], 0, True), (leak_sel[1], 0, False),
+            (leak_sel[2], 1, True), (leak_sel[3], 1, False),
+            (leak_sel[4], 2, True), (leak_sel[5], 2, False),
+        ]
+        for m, axis, lower in leak_specs:
+            sgn = jnp.asarray(1.0 if lower else 1.0, dtype)
+            out_sgn = -1.0 if lower else 1.0  # direction of travel = outward
+            v1 = c * out_sgn * b1
+            v2 = c * b2
+            v3 = c * b3
+            if axis == 0:
+                dd_x = jnp.where(m, jnp.where(lower, xl - prm.eps_ddmc * dx, xu + prm.eps_ddmc * dx), dd_x)
+                dd_y = jnp.where(m, cy, dd_y)
+                dd_z = jnp.where(m, cz, dd_z)
+                dd_vx = jnp.where(m, v1, dd_vx)
+                dd_vy = jnp.where(m, v2, dd_vy)
+                dd_vz = jnp.where(m, v3, dd_vz)
+                dd_si = jnp.where(m, -1 if lower else 1, dd_si)
+            elif axis == 1:
+                dd_y = jnp.where(m, jnp.where(lower, yl - prm.eps_ddmc * dy, yu + prm.eps_ddmc * dy), dd_y)
+                dd_z = jnp.where(m, cz, dd_z)
+                dd_x = jnp.where(m, cx, dd_x)
+                dd_vy = jnp.where(m, v1, dd_vy)
+                dd_vz = jnp.where(m, v2, dd_vz)
+                dd_vx = jnp.where(m, v3, dd_vx)
+                dd_sj = jnp.where(m, -1 if lower else 1, dd_sj)
+            else:
+                dd_z = jnp.where(m, jnp.where(lower, zl - prm.eps_ddmc * dz, zu + prm.eps_ddmc * dz), dd_z)
+                dd_x = jnp.where(m, cx, dd_x)
+                dd_y = jnp.where(m, cy, dd_y)
+                dd_vz = jnp.where(m, v1, dd_vz)
+                dd_vx = jnp.where(m, v2, dd_vx)
+                dd_vy = jnp.where(m, v3, dd_vy)
+                dd_sk = jnp.where(m, -1 if lower else 1, dd_sk)
+
+        # census: resample position uniform in cell + isotropic direction
+        dd_census = do_step & ~is_event
+        ucx = rng.uniform(ks[8], shape, dtype)
+        ucy = rng.uniform(ks[9], shape, dtype)
+        ucz = rng.uniform(ks[10], shape, dtype)
+        cnx, cny, cnz = rng.isotropic_direction(ks[11], shape, dtype)
+        dd_x = jnp.where(dd_census, xl + ucx * dx, dd_x)
+        dd_y = jnp.where(dd_census, yl + ucy * dy, dd_y)
+        dd_z = jnp.where(dd_census, zl + ucz * dz, dd_z)
+        dd_vx = jnp.where(dd_census, c * cnx, dd_vx)
+        dd_vy = jnp.where(dd_census, c * cny, dd_vy)
+        dd_vz = jnp.where(dd_census, c * cnz, dd_vz)
+
+        # merge rejected-bounce with ddmc-step results
+        dd_x = jnp.where(rejected, rj_x, dd_x)
+        dd_y = jnp.where(rejected, rj_y, dd_y)
+        dd_z = jnp.where(rejected, rj_z, dd_z)
+        dd_vx = jnp.where(rejected, rj_vx, dd_vx)
+        dd_vy = jnp.where(rejected, rj_vy, dd_vy)
+        dd_vz = jnp.where(rejected, rj_vz, dd_vz)
+        dd_si = jnp.where(rejected, rj_si, dd_si)
+        dd_sj = jnp.where(rejected, rj_sj, dd_sj)
+        dd_sk = jnp.where(rejected, rj_sk, dd_sk)
+        dd_tau = jnp.where(rejected, p.tau, dd_tau)  # bounce-back costs no time
+    else:
+        dd_x = dd_y = dd_z = jnp.zeros(shape, dtype)
+        dd_vx = dd_vy = dd_vz = jnp.zeros(shape, dtype)
+        dd_si = dd_sj = dd_sk = jnp.zeros(shape, jnp.int32)
+        dd_tau = jnp.zeros(shape, dtype)
+        dd_absorbed = jnp.zeros_like(active)
+
+    # ===================== merge branches =====================================
+    new_x = jnp.where(is_ddmc, dd_x, jnp.where(is_imc, imc_x, p.x))
+    new_y = jnp.where(is_ddmc, dd_y, jnp.where(is_imc, imc_y, p.y))
+    new_z = jnp.where(is_ddmc, dd_z, jnp.where(is_imc, imc_z, p.z))
+    new_vx = jnp.where(is_ddmc, dd_vx, jnp.where(is_imc, imc_vx, p.vx))
+    new_vy = jnp.where(is_ddmc, dd_vy, jnp.where(is_imc, imc_vy, p.vy))
+    new_vz = jnp.where(is_ddmc, dd_vz, jnp.where(is_imc, imc_vz, p.vz))
+    new_tau = jnp.where(is_ddmc, dd_tau, jnp.where(is_imc, imc_tau, p.tau))
+    new_i = p.i + jnp.where(is_ddmc, dd_si, step_x)
+    new_j = p.j + jnp.where(is_ddmc, dd_sj, step_y)
+    new_k = p.k + jnp.where(is_ddmc, dd_sk, step_z)
+
+    absorbed_now = i_abs | dd_absorbed
+    new_alive = p.alive & ~absorbed_now
+    new_absorbed = p.absorbed | absorbed_now
+
+    p = dataclasses.replace(
+        p,
+        x=new_x, y=new_y, z=new_z,
+        vx=new_vx, vy=new_vy, vz=new_vz,
+        tau=new_tau, i=new_i, j=new_j, k=new_k,
+        alive=new_alive, absorbed=new_absorbed,
+    )
+
+    # ===================== block transition / boundary conditions =============
+    p = resolve_block_transition(p, mesh, prm)
+    return p, jnp.sum(active.astype(jnp.int32))
+
+
+def resolve_block_transition(p, mesh, prm: TransportParams):
+    """Re-home particles whose cell index stepped off their block: apply domain
+    (swarm) boundary conditions, locate the new owning block via the lookup grid, and
+    rebase local coordinates. Replaces the reference's swarm communication + photon
+    reflect BC (``boundaries.hpp:24-84``) + post-comms ``Xtoijk``."""
+    from ..config import BC  # local import to avoid a cycle
+
+    dtype = p.x.dtype
+    out_lo_x = p.i < 0
+    out_hi_x = p.i >= mesh.nx
+    out_lo_y = p.j < 0
+    out_hi_y = p.j >= mesh.ny
+    out_lo_z = p.k < 0
+    out_hi_z = p.k >= mesh.nz
+    out = (out_lo_x | out_hi_x | out_lo_y | out_hi_y | out_lo_z | out_hi_z) & p.alive
+    # fast exit is not possible under jit; the ops below are cheap masked arithmetic
+
+    org = mesh.block_origin[p.block]
+    gx = org[:, 0] + p.x
+    gy = org[:, 1] + p.y
+    gz = org[:, 2] + p.z
+    x1min, x1max, x2min, x2max, x3min, x3max = mesh.bounds
+
+    alive = p.alive
+    vx, vy, vz = p.vx, p.vy, p.vz
+
+    def apply_bc(g, v, lo, hi, out_lo, out_hi, bc_lo, bc_hi):
+        nonlocal alive
+        L = hi - lo
+        hit_lo = out_lo & (g <= lo)
+        hit_hi = out_hi & (g >= hi)
+        # reflecting: mirror position about the bound, flip velocity
+        if bc_lo == BC.reflecting:
+            g = jnp.where(hit_lo, 2.0 * lo - g, g)
+            v = jnp.where(hit_lo, -v, v)
+        elif bc_lo == BC.periodic:
+            g = jnp.where(hit_lo, g + L, g)
+        else:  # outflow
+            alive = jnp.where(hit_lo, False, alive)
+        if bc_hi == BC.reflecting:
+            g = jnp.where(hit_hi, 2.0 * hi - g, g)
+            v = jnp.where(hit_hi, -v, v)
+        elif bc_hi == BC.periodic:
+            g = jnp.where(hit_hi, g - L, g)
+        else:
+            alive = jnp.where(hit_hi, False, alive)
+        return g, v
+
+    bcs = prm.swarm_bc
+    gx, vx = apply_bc(gx, vx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1])
+    if prm.ndim >= 2:
+        gy, vy = apply_bc(gy, vy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3])
+    if prm.ndim == 3:
+        gz, vz = apply_bc(gz, vz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5])
+
+    b_new = mesh.locate_block(gx, gy, gz)
+    org_new = mesh.block_origin[b_new]
+    lx = (gx - org_new[:, 0]).astype(dtype)
+    ly = (gy - org_new[:, 1]).astype(dtype)
+    lz = (gz - org_new[:, 2]).astype(dtype)
+    i_new, j_new, k_new = mesh.cell_of_local(b_new, lx, ly, lz)
+
+    upd = out & alive
+    return dataclasses.replace(
+        p,
+        x=jnp.where(upd, lx, p.x),
+        y=jnp.where(upd, ly, p.y),
+        z=jnp.where(upd, lz, p.z),
+        vx=jnp.where(upd, vx, p.vx),
+        vy=jnp.where(upd, vy, p.vy),
+        vz=jnp.where(upd, vz, p.vz),
+        block=jnp.where(upd, b_new, p.block),
+        i=jnp.where(upd, i_new, jnp.clip(p.i, 0, mesh.nx - 1)),
+        j=jnp.where(upd, j_new, jnp.clip(p.j, 0, mesh.ny - 1)),
+        k=jnp.where(upd, k_new, jnp.clip(p.k, 0, mesh.nz - 1)),
+        alive=alive,
+    )
+
+
+def transport(particles, coefs, mesh, key, prm: TransportParams, dt):
+    """Run the census loop: advance all particles event-by-event until every live
+    particle reaches ``tau >= 1`` (or ``max_iters``, the reference's
+    ``max_transport_iterations`` hang backstop, ``jaybenne.cpp:195-197``).
+
+    Returns (particles, n_iterations, n_events)."""
+
+    def cond(carry):
+        p, it, _ = carry
+        return (it < prm.max_iters) & jnp.any(p.alive & (p.tau < 1.0))
+
+    def body(carry):
+        p, it, ev = carry
+        p, n_active = _one_event(p, coefs, mesh, prm, dt, rng.fold(key, it))
+        return p, it + 1, ev + n_active
+
+    p, iters, events = jax.lax.while_loop(
+        cond, body, (particles, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    )
+    return p, iters, events

@@ -1,0 +1,80 @@
+"""Fixed-capacity SoA photon ledger.
+
+TPU-native replacement for Parthenon's per-block ``Swarm`` pools (SURVEY §2c "the big
+one"): one flat struct-of-arrays ledger with an ``alive`` mask instead of per-block
+pools with defrag. Slots are recycled by rank-order free-slot assignment at sourcing
+time (a sort/prefix-sum, replacing ``AddEmptyParticles``/``Defrag``); particle death
+just clears the mask (replacing ``MarkParticleForRemoval``/``RemoveMarkedParticles``).
+
+Per-particle storage (reference swarm fields at
+``/root/reference/src/jaybenne/jaybenne_variables.hpp:49-57`` + framework positions):
+
+  * ``x, y, z``  — position **local to the owning block** (not global, unlike the
+    reference): block extents are O(10-100) cells so float32 keeps uniform absolute
+    resolution everywhere in the domain, and a block transition is a cheap rebase.
+  * ``vx, vy, vz`` — velocity components, |v| = c.
+  * ``tau`` — time within the current radiation step in units of dt, in [0, 1]
+    (the reference stores absolute time, ``particle.photons.time``; census is
+    ``tau >= 1`` instead of ``t >= t_start + dt`` — better float conditioning).
+  * ``weight`` — energy weight; ``energy`` — sampled photon energy (frequency proxy).
+  * ``block, i, j, k`` — owning block id and cell indices. Cell identity is tracked
+    **by integers** through every event (the crossing logic increments them), never
+    re-derived from positions in the hot loop: this removes the reference's
+    face-nudging epsilons (``transport_utils.hpp:151-159``) and is what makes the
+    event loop robust in float32.
+  * ``alive`` — active-slot mask.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .utils.tree import pytree_dataclass
+
+
+@pytree_dataclass
+class ParticleLedger:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    tau: jnp.ndarray
+    weight: jnp.ndarray
+    energy: jnp.ndarray
+    block: jnp.ndarray
+    i: jnp.ndarray
+    j: jnp.ndarray
+    k: jnp.ndarray
+    alive: jnp.ndarray
+    # absorbed-this-step flag: absorption events only clear ``alive`` and set this
+    # mask; the energy_delta deposition (reference: atomic add at
+    # transport.cpp:157-163) becomes ONE segment-sum after the census loop, keeping
+    # the hot loop free of scatter ops.
+    absorbed: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    def num_alive(self):
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+    def global_position(self, mesh):
+        """Physical (x, y, z) of each particle (block origin + local offset)."""
+        org = mesh.block_origin[self.block]
+        return org[:, 0] + self.x, org[:, 1] + self.y, org[:, 2] + self.z
+
+
+def empty_ledger(capacity: int, dtype=jnp.float32) -> ParticleLedger:
+    fz = jnp.zeros((capacity,), dtype=dtype)
+    iz = jnp.zeros((capacity,), dtype=jnp.int32)
+    return ParticleLedger(
+        x=fz, y=fz, z=fz,
+        vx=fz, vy=fz, vz=fz,
+        tau=fz, weight=fz, energy=fz,
+        block=iz, i=iz, j=iz, k=iz,
+        alive=jnp.zeros((capacity,), dtype=bool),
+        absorbed=jnp.zeros((capacity,), dtype=bool),
+    )

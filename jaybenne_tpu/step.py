@@ -1,0 +1,171 @@
+"""The radiation step: one full cycle from t to t + dt.
+
+TPU-native equivalent of ``jaybenne::RadiationStep``
+(``/root/reference/src/jaybenne/jaybenne.cpp:68-151``). The reference builds a
+Parthenon task graph (derived fields -> sourcing -> [ddmc ghost exchange] ->
+iterative {transport -> swarm comms -> completion check} -> tally -> fluid update);
+under XLA the whole graph collapses to straight-line jitted code with the census
+iteration inside ``lax.while_loop`` — there is no task DAG, no per-task launch, and
+on a single shard no communication at all.
+
+``make_radiation_step`` closes over the (static) mesh geometry and physics models and
+returns a pure jitted ``step(state, dt) -> (state, StepStats)``. The driver's
+"HostUpdateTasks" (ghost exchange + ``sie = u / rho``,
+``src/mcblock/mcblock_driver.cpp:58-71``) is folded into the same function: the
+derived ``sie`` update happens right after the fluid update, and ghost exchange does
+not exist (neighbor data is gathered positionally where needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import RunConfig
+from .ops import fleck as fleck_ops
+from .ops import sourcing, tally
+from .ops import transport as transport_ops
+from .utils.tree import pytree_dataclass
+
+
+@pytree_dataclass
+class StepStats:
+    iterations: jnp.ndarray  # census-loop iterations this step
+    events: jnp.ndarray      # particle events this step
+    n_alive: jnp.ndarray     # live particles after the step
+    dropped: jnp.ndarray     # sourced particles dropped (ledger overflow)
+
+
+def make_transport_params(cfg: RunConfig, dtype) -> transport_ops.TransportParams:
+    consts = cfg.mcblock.build_opacity().get_runtime_physical_constants()
+    eps = transport_ops.default_eps(dtype)
+    return transport_ops.TransportParams(
+        ndim=cfg.mesh.ndim,
+        use_ddmc=cfg.jaybenne.use_ddmc,
+        max_iters=cfg.jaybenne.max_transport_iterations,
+        swarm_bc=cfg.mesh.swarm_bc,
+        c=consts.c,
+        tau_ddmc=cfg.jaybenne.tau_ddmc,
+        **eps,
+    )
+
+
+def make_radiation_step(mesh, cfg: RunConfig):
+    """Build the jitted per-cycle step function."""
+    eos = cfg.mcblock.build_eos()
+    opacity = cfg.mcblock.build_opacity()
+    scattering = cfg.mcblock.build_scattering()
+    consts = opacity.get_runtime_physical_constants()
+    jb = cfg.jaybenne
+    dtype = jb.dtype
+    prm = make_transport_params(cfg, dtype)
+    periodic = cfg.mesh.periodic_flags
+
+    @jax.jit
+    def step(state, dt):
+        f = state.fields
+        p = state.particles
+        key = jax.random.fold_in(state.rng_key, state.cycle)
+        k_src, k_tr = jax.random.split(key)
+
+        # 1. derived transport fields (jaybenne.cpp:104 -> :277-492)
+        f = dataclasses.replace(
+            f, fleck=fleck_ops.fleck_factor(f.rho, f.sie, eos, opacity, dt, dtype)
+        )
+        if jb.use_ddmc:
+            temp = eos.temperature_from_density_internal_energy(f.rho, f.sie)
+            sig_t = (
+                opacity.absorption_coefficient(f.rho, temp, 1.0)
+                + scattering.total_scattering_coefficient(f.rho, temp, 1.0)
+            )
+            sig_t = jnp.broadcast_to(jnp.asarray(sig_t, dtype), f.rho.shape)
+            px, py, pz = fleck_ops.ddmc_face_probs(
+                mesh, sig_t, jb.tau_ddmc, periodic, dtype
+            )
+            f = dataclasses.replace(f, ddmc_px=px, ddmc_py=py, ddmc_pz=pz)
+
+        # 2. emission sourcing (jaybenne.cpp:105 -> sourcing.cpp)
+        dropped = jnp.zeros((), jnp.int32)
+        if jb.do_emission:
+            f, p, dropped = sourcing.source_photons(
+                f, p, mesh, k_src,
+                source_type="emission",
+                eos=eos, opacity=opacity,
+                sb=consts.sb, c=consts.c,
+                num_particles=jb.num_particles,
+                dt=dt, dtype=dtype,
+            )
+            dropped = dropped.astype(jnp.int32)
+        else:
+            f = dataclasses.replace(f, energy_delta=jnp.zeros_like(f.energy_delta))
+
+        # 3. census transport loop (jaybenne.cpp:113-131)
+        coefs = transport_ops.precompute_coefs(
+            f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
+        )
+        p, iters, events = transport_ops.transport(p, coefs, mesh, k_tr, prm, dt)
+
+        # absorption deposition + 4. radiation tally (jaybenne.cpp:134)
+        f = tally.accumulate_absorption(f, p, mesh)
+        f = tally.evaluate_radiation_energy(f, p, mesh)
+
+        # 5. fluid feedback (jaybenne.cpp:138) + derived update (mcblock.cpp:208-232)
+        if jb.do_feedback:
+            f = tally.update_fluid(f, mesh)
+
+        # reset per-step flags; census survivors restart at tau = 0 next cycle
+        p = dataclasses.replace(
+            p,
+            absorbed=jnp.zeros_like(p.absorbed),
+            tau=jnp.zeros_like(p.tau),
+        )
+
+        new_state = dataclasses.replace(
+            state,
+            fields=f,
+            particles=p,
+            t=state.t + dt,
+            cycle=state.cycle + 1,
+            rng_key=state.rng_key,
+            overflow=state.overflow + dropped,
+        )
+        stats = StepStats(
+            iterations=iters,
+            events=events,
+            n_alive=p.num_alive(),
+            dropped=dropped,
+        )
+        return new_state, stats
+
+    return step
+
+
+def initialize_radiation(state, mesh, cfg: RunConfig):
+    """Thermal-source the initial photon field (if requested) and evaluate the tally
+    for outputs — ``jaybenne::InitializeRadiation`` (``jaybenne.cpp:570-578``)."""
+    from .config import InitialRadiation
+
+    eos = cfg.mcblock.build_eos()
+    opacity = cfg.mcblock.build_opacity()
+    consts = opacity.get_runtime_physical_constants()
+    jb = cfg.jaybenne
+    f, p = state.fields, state.particles
+    dropped = jnp.zeros((), jnp.int32)
+    if cfg.mcblock.initial_radiation == InitialRadiation.thermal:
+        key = jax.random.fold_in(state.rng_key, 0x7FFFFFFF)
+        f, p, dropped = sourcing.source_photons(
+            f, p, mesh, key,
+            source_type="thermal",
+            eos=eos, opacity=opacity,
+            sb=consts.sb, c=consts.c,
+            num_particles=jb.num_particles,
+            dt=0.0, dtype=jb.dtype,
+        )
+        dropped = dropped.astype(jnp.int32)
+    f = tally.evaluate_radiation_energy(f, p, mesh)
+    return dataclasses.replace(
+        state, fields=f, particles=p, overflow=state.overflow + dropped
+    )

@@ -1,0 +1,69 @@
+"""EOS / opacity / scattering model unit tests (values vs hand calculation;
+conventions per SURVEY §2c and the singularity call sites)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jaybenne_tpu.models import eos as eos_m
+from jaybenne_tpu.models import opacity as op_m
+from jaybenne_tpu.utils import constants
+
+
+def test_ideal_gas_roundtrip():
+    gas = eos_m.IdealGas(gm1=2.0 / 3.0, cv=1.0e8)
+    t = gas.temperature_from_density_internal_energy(1.0, 1.0e13)
+    assert np.isclose(float(t), 1.0e5)
+    cv = gas.specific_heat_from_density_internal_energy(1.0, 1.0e13)
+    assert np.isclose(float(cv), 1.0e8)
+    sie = gas.internal_energy_from_density_temperature(1.0, 1.0e5)
+    assert np.isclose(float(sie), 1.0e13)
+
+
+def test_unit_system_identity_at_unit_scales():
+    base = eos_m.IdealGas(gm1=2.0 / 3.0, cv=1.0e8)
+    w = eos_m.UnitSystemEOS(base)
+    assert np.isclose(
+        float(w.temperature_from_density_internal_energy(1.0, 1.0e13)), 1.0e5
+    )
+
+
+def test_gray_opacity_values():
+    g = op_m.Gray(kappa=2.0)
+    rho, T = 3.0, 1.0e5
+    alpha = float(g.absorption_coefficient(rho, T))
+    assert np.isclose(alpha, 6.0)
+    # emissivity identity J = alpha * c * a * T^4 (jaybenne.cpp:281-284)
+    emis = float(g.emissivity(rho, T))
+    assert np.isclose(emis, 6.0 * constants.CC * constants.AR * T**4, rtol=1e-5)
+
+
+def test_gray_scattering_apm():
+    s = op_m.GrayS(s=1.0e3, apm=2.0)
+    assert np.isclose(float(s.total_scattering_coefficient(4.0, 1.0)), 2.0e3)
+
+
+def test_noncgs_wrappers_identity():
+    g = op_m.NonCGSUnits(op_m.Gray(kappa=2.0))
+    assert np.isclose(float(g.absorption_coefficient(3.0, 1.0e5)), 6.0)
+    consts = g.get_runtime_physical_constants()
+    assert np.isclose(consts.c, constants.CC)
+    assert np.isclose(consts.sb, constants.SB)
+
+
+def test_noncgs_wrapper_scaling():
+    # length_scale = 100 (code unit = 1 m): coefficient in 1/m = 100x the 1/cm value
+    g = op_m.NonCGSUnits(op_m.Gray(kappa=1.0), length_scale=100.0)
+    # rho in code units (g/m^3): rho_cgs = rho_code * 1/100^3
+    rho_code = 1.0e6  # = 1 g/cm^3
+    alpha_code = float(g.absorption_coefficient(rho_code, 1.0))
+    assert np.isclose(alpha_code, 100.0)  # 1/cm -> 100/m
+
+
+def test_ep_bremss_scalings():
+    e = op_m.EPBremss()
+    a1 = float(e.absorption_coefficient(1.0, 1.0e6))
+    a2 = float(e.absorption_coefficient(2.0, 1.0e6))
+    a3 = float(e.absorption_coefficient(1.0, 2.0e6))
+    assert np.isclose(a2 / a1, 4.0)          # ~ rho^2
+    assert np.isclose(a3 / a1, 2.0**-3.5)    # ~ T^-3.5

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark: particle-event throughput on the stepdiff problem (BASELINE.md north
+star). Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+An event = one application of the transport body to an active particle: a free-flight
+segment (capped at a cell width), scatter, absorption, DDMC leak/absorb/census, or
+census — the unit defined in BASELINE.md ("one iteration of the per-particle while
+loop").
+
+The configuration is the reference's stepdiff acceptance test at full size (128
+cells, 100k particles, 10 steps of dt=3.335641e-11, sigma_s=1e3 -> ~1000 scattering
+events per particle per step ~ 1e9 events total), with correctness asserted against
+the same analytic erf solution (weighted-mean fractional error <= 0.05) so the number
+can't be bought with wrong physics.
+
+vs_baseline: ratio against BASELINE_EVENTS_PER_SEC, the measured single-CPU-node
+throughput of this same code (XLA CPU backend on the build host, all cores) — the
+reference publishes no benchmark numbers (SURVEY §6), so the anchor is the
+"single-CPU-node" clause of the BASELINE.json north star; vs_baseline >= 10 meets it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Single-CPU-node anchor: measured with this repo's code, JAX_PLATFORMS=cpu on the
+# build host (stepdiff, same shapes). See BASELINE.md.
+BASELINE_EVENTS_PER_SEC = 2.0e7
+
+N_PARTICLES = 100_000
+NX = 128
+N_STEPS = 10
+DT = 3.335641e-11
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jaybenne_tpu import config as cfg_mod
+    from jaybenne_tpu.driver import Simulation
+    from jaybenne_tpu.utils.deck import Deck
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    deck = Deck.from_file(os.path.join(here, "inputs/stepdiff.in")).update(
+        {
+            "parthenon/mesh/nx1": NX,
+            "parthenon/meshblock/nx1": NX,
+            "jaybenne/num_particles": N_PARTICLES,
+        }
+    )
+    cfg = cfg_mod.from_deck(deck)
+    sim = Simulation(cfg, quiet=True)
+    dt = jnp.float32(DT)
+
+    # warmup: compile + 1 step
+    state, stats = sim.step_fn(sim.state, dt)
+    state.fields.energy_tally.block_until_ready()
+    warmup_events = int(stats.events)
+    events = warmup_events
+
+    t0 = time.perf_counter()
+    timed_events = 0
+    for _ in range(N_STEPS - 1):
+        state, stats = sim.step_fn(state, dt)
+        timed_events += int(stats.events)  # blocks on the step's completion
+    state.fields.energy_tally.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    events += timed_events
+
+    rate = timed_events / elapsed
+
+    # correctness gate: same analytic solution as tst/stepdiff.py
+    from scipy.special import erf
+
+    tally = np.asarray(state.fields.energy_tally).reshape(-1)
+    xc = np.asarray(sim.mesh.cell_centers()[0]).reshape(-1)
+    t = N_STEPS * DT
+    tau, ur0, shift = 1.000692e-7, 7.5646e5, 0.5
+    sol = (
+        ur0
+        / 2.0
+        * (
+            erf(((xc + shift) + 0.5) / (2.0 * np.sqrt(t / tau)))
+            - erf(((xc + shift) - 0.5) / (2.0 * np.sqrt(t / tau)))
+        )
+    )
+    werr = (np.abs(sol - tally) / np.abs((sol + tally) / 2) * sol).sum() / sol.sum()
+    ok = bool(werr <= 0.05)
+
+    result = {
+        "metric": "particle-events/sec/chip (stepdiff, 128 cells, 100k particles)",
+        "value": float(f"{rate:.4g}"),
+        "unit": "events/s/chip",
+        "vs_baseline": float(f"{rate / BASELINE_EVENTS_PER_SEC:.4g}"),
+        "extra": {
+            "events_total": events,
+            "steps": N_STEPS,
+            "elapsed_s": round(elapsed, 3),
+            "weighted_mean_frac_error": float(f"{werr:.4g}"),
+            "accuracy_pass": ok,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,14 @@ class JaybenneConfig:
     # one step of emission births must fit; overflow is detected and reported)
     capacity_factor: float = 2.0
     precision: str = "f32"  # "f32" (TPU default) | "f64" (needs jax_enable_x64)
+    # devices to distribute over (0 = all visible); replaces mpiexec -n N
+    n_devices: int = 1
+    # "particle" (sharded ledger, replicated fields — TPU-first) or "spatial"
+    # (sharded blocks + all_to_all migration — the reference's decomposition)
+    decomposition: str = "particle"
+    # Pallas census-loop mega-kernel: "auto" (on TPU when the config is supported),
+    # "on" (force), "off"
+    use_pallas: str = "auto"
 
     def __post_init__(self):
         if not (0.0 <= self.min_swarm_occupancy < 1.0):
@@ -313,6 +321,9 @@ def from_deck(deck: Deck) -> RunConfig:
         do_feedback=deck.get_or_add_bool("jaybenne", "do_feedback", True),
         capacity_factor=deck.get_or_add_real("jaybenne", "capacity_factor", 2.0),
         precision=deck.get_or_add_str("jaybenne", "precision", "f32"),
+        n_devices=deck.get_or_add_int("jaybenne", "n_devices", 1),
+        decomposition=deck.get_or_add_str("jaybenne", "decomposition", "particle"),
+        use_pallas=deck.get_or_add_str("jaybenne", "use_pallas", "auto"),
     )
 
     gamma = deck.get_or_add_real("mcblock", "gamma", 1.66666666667)

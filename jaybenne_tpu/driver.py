@@ -39,7 +39,13 @@ class Simulation:
             jax.config.update("jax_enable_x64", True)
         self.dtype = jb.dtype
         self.mesh = build_mesh(cfg.mesh, dtype=self.dtype)
+        self.n_devices = jb.n_devices if jb.n_devices != 0 else len(jax.devices())
         capacity = self._capacity()
+        if self.n_devices > 1:
+            from .parallel import sharding
+
+            self.dmesh = sharding.device_mesh(self.n_devices)
+            capacity = sharding.pad_capacity(capacity, self.n_devices)
         self.state = state_mod.initial_state(self.mesh, capacity, jb.seed, self.dtype)
         self.state = state_mod.SimState(
             fields=generate_problem(self.state.fields, self.mesh, cfg, self.dtype),
@@ -49,8 +55,25 @@ class Simulation:
             rng_key=self.state.rng_key,
             overflow=self.state.overflow,
         )
-        self.state = initialize_radiation(self.state, self.mesh, cfg)
-        self.step_fn = make_radiation_step(self.mesh, cfg)
+        if self.n_devices > 1:
+            from .parallel import sharding
+
+            self.state = sharding.shard_state(self.state, self.dmesh)
+            if jb.decomposition == "spatial":
+                from .parallel import spatial
+
+                self.state = spatial.make_spatial_init(self.mesh, cfg, self.dmesh)(
+                    self.state
+                )
+                self.step_fn = spatial.make_spatial_step(self.mesh, cfg, self.dmesh)
+            else:
+                self.state = sharding.make_sharded_init(self.mesh, cfg, self.dmesh)(
+                    self.state
+                )
+                self.step_fn = sharding.make_sharded_step(self.mesh, cfg, self.dmesh)
+        else:
+            self.state = initialize_radiation(self.state, self.mesh, cfg)
+            self.step_fn = make_radiation_step(self.mesh, cfg)
         self.t = 0.0  # authoritative (host float64) simulation time
         self.cycle = 0
         self.total_events = 0
@@ -58,10 +81,20 @@ class Simulation:
         self.dump_count = 0
         self._next_dump_t = 0.0
 
+    def _round_capacity(self, cap: int) -> int:
+        """Round up to the pallas tile so the census mega-kernel stays eligible."""
+        jb = self.cfg.jaybenne
+        if jb.use_pallas != "off" and jb.precision == "f32" and self.n_devices == 1:
+            from .ops.pallas_transport import TILE
+
+            cap = ((cap + TILE - 1) // TILE) * TILE
+        return cap
+
     def _capacity(self) -> int:
         jb = self.cfg.jaybenne
         # room for census survivors + one step of births + stochastic slack
-        return int(jb.num_particles * jb.capacity_factor) + self.mesh.total_cells + 1024
+        cap = int(jb.num_particles * jb.capacity_factor) + self.mesh.total_cells + 1024
+        return self._round_capacity(cap)
 
     def _ensure_headroom(self):
         """Grow the particle ledger before the next sourcing could overflow it — the
@@ -76,7 +109,7 @@ class Simulation:
         need = int(p.num_alive()) + self.cfg.jaybenne.num_particles + self.mesh.total_cells + 64
         if need <= p.capacity:
             return
-        new_cap = max(need, 2 * p.capacity)
+        new_cap = self._round_capacity(max(need, 2 * p.capacity))
         pad = new_cap - p.capacity
 
         def grow(arr):

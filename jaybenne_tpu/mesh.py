@@ -40,6 +40,7 @@ class MeshGeometry:
     bounds: tuple = static()     # (x1min, x1max, x2min, x2max, x3min, x3max)
     tile_shape: tuple = static() # lookup grid dims (ntz, nty, ntx)
     root_grid: tuple = static()  # root blocks per dim (nrb3, nrb2, nrb1)
+    finest: tuple = static()     # finest cell size per axis (dx, dy, dz)
     # ---- device arrays ----
     block_origin: jnp.ndarray    # f[B, 3] lower corner (x, y, z)
     block_dx: jnp.ndarray        # f[B, 3] cell size (dx, dy, dz)
@@ -261,6 +262,7 @@ def build_mesh(cfg: MeshConfig, dtype=jnp.float32) -> MeshGeometry:
         bounds=(cfg.x1min, cfg.x1max, cfg.x2min, cfg.x2max, cfg.x3min, cfg.x3max),
         tile_shape=(nt[2], nt[1], nt[0]),
         root_grid=(nrb[2], nrb[1], nrb[0]),
+        finest=tuple(float(v) for v in bdx.min(axis=0)),
         block_origin=jnp.asarray(origin, dtype=dtype),
         block_dx=jnp.asarray(bdx, dtype=dtype),
         block_level=jnp.asarray(levels),

@@ -52,8 +52,20 @@ def source_photons(
     num_particles: int,
     dt,
     dtype,
+    axis_name=None,
+    cell_mask=None,
 ):
-    """Returns (fields, particles, n_dropped)."""
+    """Returns (fields, particles, n_dropped).
+
+    Under the particle-sharded distribution (``axis_name`` set, no ``cell_mask``),
+    each shard sources ``num_particles`` candidates locally (callers pass the
+    per-shard share) but the per-particle weight uses the GLOBAL per-cell count
+    (``psum`` over shards) so the summed energy per cell is exactly ``erad``
+    regardless of the device count.
+
+    Under the spatial distribution, ``cell_mask`` ([B,1,1,1] broadcastable bool)
+    restricts births to this shard's owned blocks at the full per-cell rate; the
+    psum again reconstructs the (disjoint-union) global counts."""
     assert source_type in ("thermal", "emission")
     B, nz, ny, nx = fields.rho.shape
     n_cells = B * nz * ny * nx
@@ -72,16 +84,19 @@ def source_photons(
     frac = npc - base
     k_round, k_attr = jax.random.split(key)
     bern = rng.uniform(k_round, erad.shape, dtype) < frac
-    n_cell = base + bern.astype(jnp.int32)  # [B,nz,ny,nx]
-    ew = jnp.where(n_cell > 0, erad / jnp.maximum(n_cell, 1).astype(dtype), 0.0)
+    n_cell = base + bern.astype(jnp.int32)  # [B,nz,ny,nx] — local births this shard
+    if cell_mask is not None:
+        n_cell = jnp.where(cell_mask, n_cell, 0)
+    n_glob = jax.lax.psum(n_cell, axis_name) if axis_name else n_cell
+    ew = jnp.where(n_glob > 0, erad / jnp.maximum(n_glob, 1).astype(dtype), 0.0)
     ew = ew.astype(dtype)
 
     fields = dataclasses.replace(
         fields,
-        source_num=n_cell.astype(dtype),
+        source_num=n_glob.astype(dtype),
         source_ew=ew,
         energy_delta=(
-            -(n_cell.astype(dtype) * ew)
+            -(n_glob.astype(dtype) * ew)
             if source_type == "emission"
             else jnp.zeros_like(ew)
         ),
@@ -127,39 +142,15 @@ def source_photons(
         tau = jnp.zeros(shape, dtype)
 
     # ---- rank-ordered free-slot scatter -------------------------------------
-    cap = particles.capacity
-    vflat = valid.reshape(-1)
-    rank = jnp.cumsum(vflat.astype(jnp.int32)) - 1  # rank among valid candidates
-    # stable sort: dead slots (alive=False) first, in index order
-    order = jnp.argsort(particles.alive, stable=True).astype(jnp.int32)
-    n_dead = cap - particles.num_alive()
-    ok = vflat & (rank < n_dead)
-    n_dropped = jnp.sum(vflat) - jnp.sum(ok)
-    dest = jnp.where(ok, order[jnp.clip(rank, 0, cap - 1)], cap)  # cap -> dropped
+    from ..particles import insert_particles
 
-    def put(arr, val):
-        return arr.at[dest].set(val.reshape(-1).astype(arr.dtype), mode="drop")
-
-    bK = jnp.broadcast_to(b_c[:, None], shape)
-    iK = jnp.broadcast_to(i_c[:, None], shape)
-    jK = jnp.broadcast_to(j_c[:, None], shape)
-    kK = jnp.broadcast_to(k_c[:, None], shape)
-    particles = dataclasses.replace(
-        particles,
-        x=put(particles.x, x),
-        y=put(particles.y, y),
-        z=put(particles.z, z),
-        vx=put(particles.vx, vx),
-        vy=put(particles.vy, vy),
-        vz=put(particles.vz, vz),
-        tau=put(particles.tau, tau),
-        weight=put(particles.weight, weight),
-        energy=put(particles.energy, energy),
-        block=put(particles.block, bK),
-        i=put(particles.i, iK),
-        j=put(particles.j, jK),
-        k=put(particles.k, kK),
-        alive=put(particles.alive, jnp.ones(shape, dtype=bool)),
-        absorbed=put(particles.absorbed, jnp.zeros(shape, dtype=bool)),
+    cand = dict(
+        x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
+        tau=tau, weight=weight, energy=energy,
+        block=jnp.broadcast_to(b_c[:, None], shape),
+        i=jnp.broadcast_to(i_c[:, None], shape),
+        j=jnp.broadcast_to(j_c[:, None], shape),
+        k=jnp.broadcast_to(k_c[:, None], shape),
     )
+    particles, n_dropped = insert_particles(particles, cand, valid)
     return fields, particles, n_dropped

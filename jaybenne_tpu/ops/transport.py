@@ -125,8 +125,14 @@ def _face_flat(mesh, b, k, j, i, axis):
 
 
 # --------------------------------------------------------------------------- body
-def _one_event(p, coefs, mesh, prm: TransportParams, dt, key):
-    """Advance every unfinished particle by one event. Returns (particles, n_active)."""
+def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None):
+    """Advance every unfinished particle by one event. Returns (particles, n_active).
+
+    ``block_offset``: under the spatial (block-sharded) decomposition, the global id
+    of this shard's first block. Field coefficient arrays are then shard-local
+    ([B_local * ncells]); particles whose block lies outside the local range are in
+    transit awaiting migration and are skipped (the analog of the reference's
+    off-block break at ``transport.cpp:151-155``)."""
     dtype = p.x.dtype
     tiny = jnp.finfo(dtype).tiny
     BIG = jnp.asarray(jnp.finfo(dtype).max, dtype)
@@ -135,11 +141,19 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key):
     three_d = prm.ndim == 3
 
     active = p.alive & (p.tau < 1.0)
+    if block_offset is not None:
+        n_local = coefs.px.shape[0]
+        b_local = p.block - block_offset
+        owned = (b_local >= 0) & (b_local < n_local)
+        active = active & owned
+    else:
+        b_local = p.block
 
-    dxv = mesh.block_dx[p.block]  # [P, 3]
+    dxv = mesh.block_dx[p.block]  # [P, 3]  (block metadata is global/replicated)
     dx, dy, dz = dxv[:, 0], dxv[:, 1], dxv[:, 2]
     dmin = jnp.minimum(dx, jnp.minimum(dy, dz))
-    cell = mesh.flat_cell(p.block, p.k, p.j, p.i)
+    b_idx = jnp.clip(b_local, 0, coefs.px.shape[0] - 1)  # field-gather block index
+    cell = mesh.flat_cell(b_idx, p.k, p.j, p.i)
     sa = jnp.take(coefs.sigma_a, cell)
     ss = jnp.take(coefs.sigma_s, cell)
     ff = jnp.take(coefs.fleck, cell)
@@ -277,16 +291,16 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key):
 
         # ---- in-cell DDMC step (ptcl_ddmc_step) for non-rejected particles ----
         do_step = is_ddmc & ~rejected
-        fp_xl = jnp.take(coefs.px.reshape(-1), _face_flat(mesh, p.block, p.k, p.j, p.i, 0))
-        fp_xu = jnp.take(coefs.px.reshape(-1), _face_flat(mesh, p.block, p.k, p.j, p.i + 1, 0))
+        fp_xl = jnp.take(coefs.px.reshape(-1), _face_flat(mesh, b_idx, p.k, p.j, p.i, 0))
+        fp_xu = jnp.take(coefs.px.reshape(-1), _face_flat(mesh, b_idx, p.k, p.j, p.i + 1, 0))
         if multi_d:
-            fp_yl = jnp.take(coefs.py.reshape(-1), _face_flat(mesh, p.block, p.k, p.j, p.i, 1))
-            fp_yu = jnp.take(coefs.py.reshape(-1), _face_flat(mesh, p.block, p.k, p.j + 1, p.i, 1))
+            fp_yl = jnp.take(coefs.py.reshape(-1), _face_flat(mesh, b_idx, p.k, p.j, p.i, 1))
+            fp_yu = jnp.take(coefs.py.reshape(-1), _face_flat(mesh, b_idx, p.k, p.j + 1, p.i, 1))
         else:
             fp_yl = fp_yu = jnp.zeros(shape, dtype)
         if three_d:
-            fp_zl = jnp.take(coefs.pz.reshape(-1), _face_flat(mesh, p.block, p.k, p.j, p.i, 2))
-            fp_zu = jnp.take(coefs.pz.reshape(-1), _face_flat(mesh, p.block, p.k + 1, p.j, p.i, 2))
+            fp_zl = jnp.take(coefs.pz.reshape(-1), _face_flat(mesh, b_idx, p.k, p.j, p.i, 2))
+            fp_zu = jnp.take(coefs.pz.reshape(-1), _face_flat(mesh, b_idx, p.k + 1, p.j, p.i, 2))
         else:
             fp_zl = fp_zu = jnp.zeros(shape, dtype)
 
@@ -475,7 +489,18 @@ def resolve_block_transition(p, mesh, prm: TransportParams):
     if prm.ndim == 3:
         gz, vz = apply_bc(gz, vz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5])
 
-    b_new = mesh.locate_block(gx, gy, gz)
+    # Crossing positions sit EXACTLY on block faces, where a position-only lookup is
+    # ambiguous (it would always pick the upper block, livelocking a downward-moving
+    # particle in zero-length crossings). Probe the lookup with the position nudged a
+    # hundredth of the finest cell along the (post-BC) velocity: the direction of
+    # travel picks the correct block, including at corners. Only the block choice
+    # uses the probe; local coordinates rebase the exact position.
+    finest = jnp.min(mesh.block_dx, axis=0)  # [3]
+    c = jnp.asarray(prm.c, dtype)
+    px = gx + 0.01 * finest[0] * (vx / c)
+    py = gy + 0.01 * finest[1] * (vy / c) if prm.ndim >= 2 else gy
+    pz = gz + 0.01 * finest[2] * (vz / c) if prm.ndim == 3 else gz
+    b_new = mesh.locate_block(px, py, pz)
     org_new = mesh.block_origin[b_new]
     lx = (gx - org_new[:, 0]).astype(dtype)
     ly = (gy - org_new[:, 1]).astype(dtype)
@@ -499,20 +524,33 @@ def resolve_block_transition(p, mesh, prm: TransportParams):
     )
 
 
-def transport(particles, coefs, mesh, key, prm: TransportParams, dt):
+def transport(particles, coefs, mesh, key, prm: TransportParams, dt, block_offset=None):
     """Run the census loop: advance all particles event-by-event until every live
     particle reaches ``tau >= 1`` (or ``max_iters``, the reference's
     ``max_transport_iterations`` hang backstop, ``jaybenne.cpp:195-197``).
 
+    With ``block_offset`` (spatial decomposition), the loop runs until every OWNED
+    particle is finished or in transit; migration and the global completion check
+    happen in the caller's outer loop (``jaybenne_tpu.parallel.spatial``).
+
     Returns (particles, n_iterations, n_events)."""
+
+    def unfinished(p):
+        m = p.alive & (p.tau < 1.0)
+        if block_offset is not None:
+            b_local = p.block - block_offset
+            m = m & (b_local >= 0) & (b_local < coefs.px.shape[0])
+        return m
 
     def cond(carry):
         p, it, _ = carry
-        return (it < prm.max_iters) & jnp.any(p.alive & (p.tau < 1.0))
+        return (it < prm.max_iters) & jnp.any(unfinished(p))
 
     def body(carry):
         p, it, ev = carry
-        p, n_active = _one_event(p, coefs, mesh, prm, dt, rng.fold(key, it))
+        p, n_active = _one_event(
+            p, coefs, mesh, prm, dt, rng.fold(key, it), block_offset
+        )
         return p, it + 1, ev + n_active
 
     p, iters, events = jax.lax.while_loop(

@@ -67,6 +67,37 @@ class ParticleLedger:
         return org[:, 0] + self.x, org[:, 1] + self.y, org[:, 2] + self.z
 
 
+def insert_particles(ledger: ParticleLedger, cand: dict, valid) -> tuple:
+    """Scatter candidate particles into the ledger's dead slots.
+
+    ``cand`` maps field name -> candidate array (any shape, flattened); ``valid``
+    masks real candidates. Valid candidates are ranked by prefix sum and written to
+    dead slots in stable index order (the pool-allocation analog of Parthenon's
+    ``AddEmptyParticles``). Returns ``(ledger, n_dropped)`` where dropped candidates
+    exceeded the free-slot count.
+    """
+    import dataclasses as _dc
+
+    cap = ledger.capacity
+    vflat = valid.reshape(-1)
+    rank = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    order = jnp.argsort(ledger.alive, stable=True).astype(jnp.int32)  # dead first
+    n_dead = cap - ledger.num_alive()
+    ok = vflat & (rank < n_dead)
+    n_dropped = jnp.sum(vflat) - jnp.sum(ok)
+    dest = jnp.where(ok, order[jnp.clip(rank, 0, cap - 1)], cap)  # cap -> dropped
+
+    def put(arr, val):
+        return arr.at[dest].set(val.reshape(-1).astype(arr.dtype), mode="drop")
+
+    updates = {name: put(getattr(ledger, name), val) for name, val in cand.items()}
+    shape = vflat.shape
+    updates["alive"] = put(ledger.alive, jnp.ones(shape, dtype=bool))
+    if "absorbed" not in cand:
+        updates["absorbed"] = put(ledger.absorbed, jnp.zeros(shape, dtype=bool))
+    return _dc.replace(ledger, **updates), n_dropped
+
+
 def empty_ledger(capacity: int, dtype=jnp.float32) -> ParticleLedger:
     fz = jnp.zeros((capacity,), dtype=dtype)
     iz = jnp.zeros((capacity,), dtype=jnp.int32)

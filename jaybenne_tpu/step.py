@@ -54,7 +54,18 @@ def make_transport_params(cfg: RunConfig, dtype) -> transport_ops.TransportParam
 
 
 def make_radiation_step(mesh, cfg: RunConfig):
-    """Build the jitted per-cycle step function."""
+    """Build the jitted single-device per-cycle step function."""
+    return jax.jit(build_step_core(mesh, cfg))
+
+
+def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
+    """The per-cycle step body.
+
+    With ``axis_name`` set, the function is meant to run inside ``shard_map`` over a
+    particle-sharded ledger: fields/mesh are replicated, each shard sources
+    ``num_particles`` births (the per-shard share), transport needs zero
+    communication, and tallies are ``psum``-ed — the TPU-first distribution strategy
+    (SURVEY §2d/§5 mapping)."""
     eos = cfg.mcblock.build_eos()
     opacity = cfg.mcblock.build_opacity()
     scattering = cfg.mcblock.build_scattering()
@@ -63,12 +74,26 @@ def make_radiation_step(mesh, cfg: RunConfig):
     dtype = jb.dtype
     prm = make_transport_params(cfg, dtype)
     periodic = cfg.mesh.periodic_flags
+    if num_particles is None:
+        num_particles = jb.num_particles
 
-    @jax.jit
+    def _pallas_ok(p):
+        from .ops import pallas_transport as pt
+
+        if jb.use_pallas == "off" or dtype != jnp.float32:
+            return False
+        if p.capacity % pt.TILE != 0 or not pt.supports(mesh, prm):
+            return False
+        if jb.use_pallas == "on":
+            return True
+        return jax.default_backend() == "tpu"
+
     def step(state, dt):
         f = state.fields
         p = state.particles
         key = jax.random.fold_in(state.rng_key, state.cycle)
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_src, k_tr = jax.random.split(key)
 
         # 1. derived transport fields (jaybenne.cpp:104 -> :277-492)
@@ -95,8 +120,9 @@ def make_radiation_step(mesh, cfg: RunConfig):
                 source_type="emission",
                 eos=eos, opacity=opacity,
                 sb=consts.sb, c=consts.c,
-                num_particles=jb.num_particles,
+                num_particles=num_particles,
                 dt=dt, dtype=dtype,
+                axis_name=axis_name,
             )
             dropped = dropped.astype(jnp.int32)
         else:
@@ -106,11 +132,16 @@ def make_radiation_step(mesh, cfg: RunConfig):
         coefs = transport_ops.precompute_coefs(
             f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
         )
-        p, iters, events = transport_ops.transport(p, coefs, mesh, k_tr, prm, dt)
+        if _pallas_ok(p):
+            from .ops.pallas_transport import transport_pallas
+
+            p, iters, events = transport_pallas(p, coefs, mesh, k_tr, prm, dt)
+        else:
+            p, iters, events = transport_ops.transport(p, coefs, mesh, k_tr, prm, dt)
 
         # absorption deposition + 4. radiation tally (jaybenne.cpp:134)
-        f = tally.accumulate_absorption(f, p, mesh)
-        f = tally.evaluate_radiation_energy(f, p, mesh)
+        f = tally.accumulate_absorption(f, p, mesh, axis_name)
+        f = tally.evaluate_radiation_energy(f, p, mesh, axis_name)
 
         # 5. fluid feedback (jaybenne.cpp:138) + derived update (mcblock.cpp:208-232)
         if jb.do_feedback:
@@ -132,10 +163,19 @@ def make_radiation_step(mesh, cfg: RunConfig):
             rng_key=state.rng_key,
             overflow=state.overflow + dropped,
         )
+        n_alive = p.num_alive()
+        if axis_name is not None:
+            iters = jax.lax.pmax(iters, axis_name)
+            events = jax.lax.psum(events, axis_name)
+            n_alive = jax.lax.psum(n_alive, axis_name)
+            dropped = jax.lax.psum(dropped, axis_name)
+            new_state = dataclasses.replace(
+                new_state, overflow=state.overflow + dropped
+            )
         stats = StepStats(
             iterations=iters,
             events=events,
-            n_alive=p.num_alive(),
+            n_alive=n_alive,
             dropped=dropped,
         )
         return new_state, stats

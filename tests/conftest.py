@@ -11,3 +11,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin in this image force-prepends itself to jax_platforms even when
+# JAX_PLATFORMS=cpu is set; pin the config explicitly after import.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,194 @@
+"""Transport invariants: census completion, energy conservation, domain containment,
+block-transition consistency. These are the unit tests the reference lacks
+(SURVEY §4 implication)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jaybenne_tpu import config as cfg_mod
+from jaybenne_tpu.driver import Simulation
+from jaybenne_tpu.utils.deck import Deck
+
+BASE_DECK = """
+<parthenon/job>
+problem_id = uniform
+
+<parthenon/mesh>
+refinement = none
+nx1 = 16
+x1min = -0.5
+x1max = 0.5
+ix1_bc = outflow
+ox1_bc = outflow
+nx2 = 1
+x2min = -0.5
+x2max = 0.5
+ix2_bc = periodic
+ox2_bc = periodic
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+ix3_bc = periodic
+ox3_bc = periodic
+
+<parthenon/swarm>
+ix1_bc = jaybenne_reflecting
+ox1_bc = jaybenne_reflecting
+ix2_bc = periodic
+ox2_bc = periodic
+ix3_bc = periodic
+ox3_bc = periodic
+
+<parthenon/time>
+tlim = 2.e-11
+integrator = rk1
+
+<jaybenne>
+num_particles = 2000
+dt = 1.e-11
+seed = 42
+
+<mcblock>
+opacity_model = constant
+opacity_constant_value = 1.0
+scattering_model = constant
+scattering_constant_value = 1.0e2
+cv = 1.0e8
+initial_density = 1.0
+initial_temperature = 1.0e5
+initial_radiation = thermal
+"""
+
+
+def _sim(mods=None):
+    deck = Deck.parse(BASE_DECK).update(mods or {})
+    cfg = cfg_mod.from_deck(deck)
+    return Simulation(cfg, quiet=True)
+
+
+def test_census_completion_and_containment():
+    sim = _sim()
+    sim.run()
+    p = sim.state.particles
+    alive = np.asarray(p.alive)
+    assert alive.sum() > 0
+    # all survivors reached census (tau reset to 0 post-step) and sit inside blocks
+    i = np.asarray(p.i)[alive]
+    x = np.asarray(p.x)[alive]
+    dx = np.asarray(sim.mesh.block_dx)[np.asarray(p.block)[alive], 0]
+    assert (i >= 0).all() and (i < sim.mesh.nx).all()
+    assert (x >= -1e-4).all() and (x <= sim.mesh.nx * dx + 1e-4).all()
+    gx, gy, gz = p.global_position(sim.mesh)
+    gx = np.asarray(gx)[alive]
+    assert (gx >= -0.5 - 1e-5).all() and (gx <= 0.5 + 1e-5).all()
+
+
+def test_energy_conservation_no_feedback():
+    """With emission + absorption and feedback off: initial thermal energy + emitted
+    == live weights + absorbed deposits (to float32 summation accuracy)."""
+    sim = _sim({"jaybenne/do_emission": "true", "jaybenne/do_feedback": "false"})
+    # initial radiation energy
+    f0 = sim.state.fields
+    dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
+    e_init = float((np.asarray(f0.energy_tally) * dv).sum())
+    p0 = sim.state.particles
+    w_init = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+    assert np.isclose(e_init, w_init / dv.mean() * dv.mean(), rtol=1e-4)
+
+    state, stats = sim.step_fn(sim.state, jnp.float32(1.0e-11))
+    f1, p1 = state.fields, state.particles
+    w_live = float(np.asarray(p1.weight)[np.asarray(p1.alive)].sum())
+    # energy_delta = absorbed - emitted  =>  w_init = w_live - emitted + absorbed
+    delta = float(np.asarray(f1.energy_delta).sum())
+    assert np.isclose(w_live + delta, w_init, rtol=5e-4)
+
+
+def test_feedback_total_energy_conserved():
+    """With feedback on: (matter internal energy * dV + radiation weights) is
+    conserved across a step."""
+    sim = _sim({"jaybenne/do_emission": "true", "jaybenne/do_feedback": "true"})
+    dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
+    f0, p0 = sim.state.fields, sim.state.particles
+    e_mat0 = float((np.asarray(f0.u) * dv).sum())
+    e_rad0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+
+    state, _ = sim.step_fn(sim.state, jnp.float32(1.0e-11))
+    f1, p1 = state.fields, state.particles
+    e_mat1 = float((np.asarray(f1.u) * dv).sum())
+    e_rad1 = float(np.asarray(p1.weight)[np.asarray(p1.alive)].sum())
+    total0, total1 = e_mat0 + e_rad0, e_mat1 + e_rad1
+    assert abs(total1 - total0) / total0 < 1e-4
+
+
+def test_pure_scattering_conserves_weight():
+    """stepdiff physics: no absorption, reflecting walls -> total live weight exactly
+    invariant; tally energy == initial thermal energy."""
+    sim = _sim(
+        {
+            "mcblock/opacity_model": "none",
+            "mcblock/scattering_constant_value": "1.0e3",
+            "jaybenne/do_emission": "false",
+        }
+    )
+    p0 = sim.state.particles
+    w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+    n0 = int(np.asarray(p0.alive).sum())
+    state, stats = sim.step_fn(sim.state, jnp.float32(1.0e-11))
+    p1 = state.particles
+    w1 = float(np.asarray(p1.weight)[np.asarray(p1.alive)].sum())
+    assert int(np.asarray(p1.alive).sum()) == n0
+    assert np.isclose(w0, w1, rtol=1e-5)
+    # census reached by everyone
+    assert int(stats.iterations) < sim.cfg.jaybenne.max_transport_iterations
+
+
+def test_two_blocks_statistics_match_one_block():
+    """Block decomposition must not change the physics: 1-block vs 2-block runs of
+    the same pure-scattering slab agree to MC noise (reference exercises this via
+    its 1-vs-8-rank CI matrix)."""
+    mods = {
+        "mcblock/opacity_model": "none",
+        "jaybenne/do_emission": "false",
+        "jaybenne/num_particles": "80000",
+        "parthenon/mesh/nx1": "32",
+    }
+    sim1 = _sim(mods)
+    sim1.run()
+    t1 = np.asarray(sim1.state.fields.energy_tally).reshape(-1)
+
+    sim2 = _sim({**mods, "parthenon/meshblock/nx1": "16"})
+    sim2.run()
+    assert sim2.mesh.n_blocks == 2
+    t2 = np.asarray(sim2.state.fields.energy_tally).reshape(-1)
+
+    # same profile within MC noise (weighted mean fractional difference)
+    w = t1 + t2
+    err = np.abs(t1 - t2)[w > 0].sum() / w[w > 0].sum()
+    # expected MC noise for two independent 80k-particle runs is ~1.5-3%
+    assert err < 0.05, err
+
+
+def test_outflow_removes_particles():
+    sim = _sim(
+        {
+            "parthenon/swarm/ix1_bc": "outflow",
+            "parthenon/swarm/ox1_bc": "outflow",
+            "mcblock/opacity_model": "none",
+            "mcblock/scattering_model": "none",
+            "jaybenne/do_emission": "false",
+            "parthenon/time/tlim": "1.e-10",
+            "jaybenne/dt": "1.e-10",
+        }
+    )
+    # free streaming across a 1-cm box for one light-crossing time: directions are
+    # 3D-isotropic, so survivors are those with small |mu_x| (~17% analytically) —
+    # assert the bulk left through the outflow faces
+    n0 = int(sim.state.particles.num_alive())
+    assert n0 > 0
+    sim.run()
+    n1 = int(sim.state.particles.num_alive())
+    assert n1 < 0.25 * n0, (n0, n1)

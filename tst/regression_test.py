@@ -58,7 +58,21 @@ def get_default_parser():
     return parser
 
 
+def _force_cpu_devices(n):
+    """Pin jax to N virtual CPU devices (the axon TPU plugin overrides
+    JAX_PLATFORMS, so set the config directly)."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or n > 1:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max(n, 1)}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def run_problem(input_file, modified_inputs, outdir, n_devices=1, precision=None):
+    _force_cpu_devices(n_devices)
     from jaybenne_tpu.driver import run_file
 
     mods = dict(modified_inputs or {})

@@ -6,7 +6,21 @@ block-structured optionally statically-refined Cartesian meshes). See SURVEY.md 
 repository root for the reference analysis and the design mapping.
 """
 
-from . import config, driver, io, mesh, particles, state, step  # noqa: F401
-from .config import from_deck, from_file  # noqa: F401
+import os as _os
+
+import jax as _jax
+
+# Some TPU platform plugins force-prepend themselves to jax_platforms, silently
+# overriding the user's JAX_PLATFORMS environment variable. Re-assert the user's
+# explicit choice so `JAX_PLATFORMS=cpu <anything>` reliably runs on CPU.
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms and _jax.config.jax_platforms != _env_platforms:
+    try:
+        _jax.config.update("jax_platforms", _env_platforms)
+    except Exception:  # pragma: no cover - never fatal
+        pass
+
+from . import config, driver, io, mesh, particles, state, step  # noqa: F401,E402
+from .config import from_deck, from_file  # noqa: F401,E402
 
 __version__ = "0.1.0"

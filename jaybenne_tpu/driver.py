@@ -30,7 +30,13 @@ from .step import initialize_radiation, make_radiation_step
 class Simulation:
     """Host-side orchestration around the jitted step."""
 
-    def __init__(self, cfg: config_mod.RunConfig, outdir: str = ".", quiet: bool = False):
+    def __init__(
+        self,
+        cfg: config_mod.RunConfig,
+        outdir: str = ".",
+        quiet: bool = False,
+        restart: str = None,
+    ):
         self.cfg = cfg
         self.outdir = outdir
         self.quiet = quiet
@@ -80,6 +86,19 @@ class Simulation:
         self.total_iters = 0
         self.dump_count = 0
         self._next_dump_t = 0.0
+        if restart:
+            # checkpoint/resume: full state (fields + particle ledger + RNG +
+            # counters) — SURVEY §5 notes this as a cheap win over the reference,
+            # whose restart path is inherited from Parthenon but never exercised
+            self.state = io_mod.read_checkpoint(restart, self.state)
+            import h5py
+
+            with h5py.File(restart, "r") as h:
+                self.t = float(h.attrs["Time"])  # full-precision host time
+                self.cycle = int(h.attrs["NCycle"])
+            self._next_dump_t = self.t
+            if not quiet:
+                print(f"restarted from {restart} at t={self.t:.6e} cycle={self.cycle}")
 
     def _round_capacity(self, cap: int) -> int:
         """Round up to the pallas tile so the census mega-kernel stays eligible."""
@@ -128,7 +147,7 @@ class Simulation:
 
     # ------------------------------------------------------------------ outputs
     def _maybe_dump(self, force=False):
-        outs = self.cfg.outputs
+        outs = [o for o in self.cfg.outputs if o.file_type in ("hdf5", "phdf")]
         if not outs:
             return
         out = outs[0]
@@ -140,6 +159,13 @@ class Simulation:
             self.dump_count += 1
             while out.dt > 0 and self._next_dump_t <= self.t + 1e-12 * max(out.dt, 1.0):
                 self._next_dump_t += out.dt
+
+    def write_checkpoint(self, path=None) -> str:
+        path = path or os.path.join(
+            self.outdir, f"{self.cfg.problem_id}.ckpt.{self.cycle:05d}.rhdf"
+        )
+        io_mod.write_checkpoint(path, self.state, self.mesh, t=self.t, cycle=self.cycle)
+        return path
 
     # ------------------------------------------------------------------ run loop
     def run(self) -> None:
@@ -187,13 +213,15 @@ class Simulation:
             )
 
 
-def run_file(input_path, outdir=".", modified_inputs=None, quiet=False) -> Simulation:
+def run_file(
+    input_path, outdir=".", modified_inputs=None, quiet=False, restart=None
+) -> Simulation:
     from .utils.deck import Deck
 
     deck = Deck.from_file(input_path).update(modified_inputs or {})
     cfg = config_mod.from_deck(deck)
     os.makedirs(outdir, exist_ok=True)
-    sim = Simulation(cfg, outdir=outdir, quiet=quiet)
+    sim = Simulation(cfg, outdir=outdir, quiet=quiet, restart=restart)
     sim.run()
     return sim
 
@@ -202,9 +230,26 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU-native IMC thermal photon transport")
     ap.add_argument("-i", "--input", required=True, help="input deck (.in)")
     ap.add_argument("-d", "--outdir", default=".", help="output directory")
+    ap.add_argument("-r", "--restart", default=None, help="checkpoint (.rhdf) to resume")
     ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler trace of the run into this directory",
+    )
     args = ap.parse_args(argv)
-    run_file(args.input, outdir=args.outdir, quiet=args.quiet)
+    if args.profile_dir:
+        import contextlib
+
+        import jax.profiler
+
+        ctx = jax.profiler.trace(args.profile_dir)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        run_file(args.input, outdir=args.outdir, quiet=args.quiet, restart=args.restart)
     return 0
 
 

@@ -88,13 +88,16 @@ def latest_dump(problem_id: str, outdir: str = ".") -> str:
 
 
 # ---------------------------------------------------------------- checkpoint
-def write_checkpoint(path, state, mesh):
-    """Full-state restart dump: fields + particle ledger + RNG + counters."""
+def write_checkpoint(path, state, mesh, t=None, cycle=None):
+    """Full-state restart dump: fields + particle ledger + RNG + counters.
+
+    ``t``/``cycle`` override the in-state values with the driver's full-precision
+    host-side counters (the state stores compute-dtype copies)."""
     if not HAVE_H5PY:  # pragma: no cover
         raise RuntimeError("h5py is unavailable; cannot write checkpoints")
     with h5py.File(path, "w") as h:
-        h.attrs["Time"] = float(state.t)
-        h.attrs["NCycle"] = int(state.cycle)
+        h.attrs["Time"] = float(state.t) if t is None else float(t)
+        h.attrs["NCycle"] = int(state.cycle) if cycle is None else int(cycle)
         h.attrs["overflow"] = int(state.overflow)
         for fld in dataclasses.fields(state.fields):
             h.create_dataset(

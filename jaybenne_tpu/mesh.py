@@ -124,7 +124,7 @@ def _intersects(bmin, bmax, rmin, rmax, ndim) -> bool:
     return True
 
 
-def build_mesh(cfg: MeshConfig, dtype=jnp.float32) -> MeshGeometry:
+def build_mesh(cfg: MeshConfig, dtype=jnp.float32, use_native=True) -> MeshGeometry:
     """Construct the block forest from a mesh config.
 
     Mirrors Parthenon's static-refinement semantics as exercised by the reference decks
@@ -132,6 +132,11 @@ def build_mesh(cfg: MeshConfig, dtype=jnp.float32) -> MeshGeometry:
     ``<parthenon/static_refinement*>`` box are refined (splitting into 2^ndim children)
     until they reach the requested level, then 2:1 balance is enforced by refining
     coarse blocks adjacent to much finer ones.
+
+    The forest construction runs in the native C++ builder
+    (``jaybenne_tpu/native/libjbmesh.so``, source ``native/mesh_builder.cc``) when
+    available — the runtime analog of Parthenon's C++ Mesh machinery — with this
+    module's pure-Python implementation as the bitwise-identical fallback.
     """
     nz_b, ny_b, nx_b = cfg.block_shape
     for n_tot, n_blk, name in (
@@ -147,6 +152,33 @@ def build_mesh(cfg: MeshConfig, dtype=jnp.float32) -> MeshGeometry:
     gmin = (cfg.x1min, cfg.x2min, cfg.x3min)
     gmax = (cfg.x1max, cfg.x2max, cfg.x3max)
     root_size = tuple((gmax[d] - gmin[d]) / nrb[d] for d in range(3))
+
+    regions_cfg: tuple[RefinementRegion, ...] = (
+        cfg.refinement_regions if cfg.refinement == "static" else ()
+    )
+    if use_native:
+        from . import native as native_mod
+
+        built = native_mod.build_forest_native(ndim, nrb, gmin, gmax, regions_cfg)
+        if built is not None:
+            origin, size, levels, lookup, max_level = built
+            n_blocks = origin.shape[0]
+            bdx = size / np.asarray([(nx_b, ny_b, nz_b)], dtype=np.float64)
+            nt = lookup.shape
+            return MeshGeometry(
+                ndim=ndim,
+                nx=nx_b, ny=ny_b, nz=nz_b,
+                n_blocks=n_blocks,
+                max_level=max_level,
+                bounds=(cfg.x1min, cfg.x1max, cfg.x2min, cfg.x2max, cfg.x3min, cfg.x3max),
+                tile_shape=(nt[0], nt[1], nt[2]),
+                root_grid=(nrb[2], nrb[1], nrb[0]),
+                finest=tuple(float(v) for v in bdx.min(axis=0)),
+                block_origin=jnp.asarray(origin, dtype=dtype),
+                block_dx=jnp.asarray(bdx, dtype=dtype),
+                block_level=jnp.asarray(levels),
+                lookup=jnp.asarray(lookup),
+            )
 
     # block = (level, (lx, ly, lz)) with logical location in level-granularity units
     blocks = [
@@ -173,9 +205,7 @@ def build_mesh(cfg: MeshConfig, dtype=jnp.float32) -> MeshGeometry:
                     )
         return children
 
-    regions: tuple[RefinementRegion, ...] = (
-        cfg.refinement_regions if cfg.refinement == "static" else ()
-    )
+    regions = regions_cfg
 
     # refine to requested levels
     changed = True

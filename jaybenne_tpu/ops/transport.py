@@ -337,6 +337,7 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
         dd_si = jnp.zeros(shape, jnp.int32)
         dd_sj = jnp.zeros(shape, jnp.int32)
         dd_sk = jnp.zeros(shape, jnp.int32)
+        dd_leak_code = jnp.zeros(shape, jnp.int32)  # ±(axis+1) of a leak this event
         cx, cy, cz = xl + 0.5 * dx, yl + 0.5 * dy, zl + 0.5 * dz
         leak_specs = [
             (leak_sel[0], 0, True), (leak_sel[1], 0, False),
@@ -344,7 +345,7 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
             (leak_sel[4], 2, True), (leak_sel[5], 2, False),
         ]
         for m, axis, lower in leak_specs:
-            sgn = jnp.asarray(1.0 if lower else 1.0, dtype)
+            dd_leak_code = jnp.where(m, (-1 if lower else 1) * (axis + 1), dd_leak_code)
             out_sgn = -1.0 if lower else 1.0  # direction of travel = outward
             v1 = c * out_sgn * b1
             v2 = c * b2
@@ -398,12 +399,14 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
         dd_sj = jnp.where(rejected, rj_sj, dd_sj)
         dd_sk = jnp.where(rejected, rj_sk, dd_sk)
         dd_tau = jnp.where(rejected, p.tau, dd_tau)  # bounce-back costs no time
+        dd_leak_code = jnp.where(rejected, 0, dd_leak_code)
     else:
         dd_x = dd_y = dd_z = jnp.zeros(shape, dtype)
         dd_vx = dd_vy = dd_vz = jnp.zeros(shape, dtype)
         dd_si = dd_sj = dd_sk = jnp.zeros(shape, jnp.int32)
         dd_tau = jnp.zeros(shape, dtype)
         dd_absorbed = jnp.zeros_like(active)
+        dd_leak_code = jnp.zeros(shape, jnp.int32)
 
     # ===================== merge branches =====================================
     new_x = jnp.where(is_ddmc, dd_x, jnp.where(is_imc, imc_x, p.x))
@@ -430,15 +433,33 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     )
 
     # ===================== block transition / boundary conditions =============
-    p = resolve_block_transition(p, mesh, prm)
+    leak_code = jnp.where(is_ddmc, dd_leak_code, 0) if prm.use_ddmc else None
+    # the subface resample needs the destination block's face probs; under the
+    # spatial decomposition those may live on another shard, so it is skipped there
+    # (spatial + SMR + DDMC is rejected at config time)
+    sub_coefs = coefs if (prm.use_ddmc and block_offset is None and mesh.max_level > 0) else None
+    p = resolve_block_transition(
+        p, mesh, prm, coefs=sub_coefs, leak_code=leak_code, key=ks[3]
+    )
     return p, jnp.sum(active.astype(jnp.int32))
 
 
-def resolve_block_transition(p, mesh, prm: TransportParams):
+def resolve_block_transition(
+    p, mesh, prm: TransportParams, coefs=None, leak_code=None, key=None
+):
     """Re-home particles whose cell index stepped off their block: apply domain
     (swarm) boundary conditions, locate the new owning block via the lookup grid, and
     rebase local coordinates. Replaces the reference's swarm communication + photon
-    reflect BC (``boundaries.hpp:24-84``) + post-comms ``Xtoijk``."""
+    reflect BC (``boundaries.hpp:24-84``) + post-comms ``Xtoijk``.
+
+    With ``coefs``/``leak_code`` (DDMC on an SMR mesh), particles that LEAKED across
+    a block face into a FINER block additionally choose among the 2 (2D) / 4 (3D)
+    refined subfaces with probability proportional to the fine faces'
+    ``ddmc_face_prob`` and re-sample a hemisphere direction into the block — the
+    inline equivalent of the reference's post-communication ``SampleDDMCBlockFace``
+    pass (``sample_ddmc_bface.cpp:81-427``; same-level and fine->coarse arrivals need
+    no adjustment because the leak already drew the correct face-isotropic direction
+    and mid-face position)."""
     from ..config import BC  # local import to avoid a cycle
 
     dtype = p.x.dtype
@@ -508,6 +529,19 @@ def resolve_block_transition(p, mesh, prm: TransportParams):
     i_new, j_new, k_new = mesh.cell_of_local(b_new, lx, ly, lz)
 
     upd = out & alive
+
+    # ---- DDMC coarse->fine subface resampling --------------------------------
+    if coefs is not None and leak_code is not None and key is not None:
+        refine = (
+            upd
+            & (leak_code != 0)
+            & (mesh.block_level[b_new] > mesh.block_level[p.block])
+        )
+        lx, ly, lz, vx, vy, vz, i_new, j_new, k_new = _ddmc_subface_resample(
+            mesh, coefs, prm, key, refine, leak_code, b_new,
+            lx, ly, lz, vx, vy, vz, i_new, j_new, k_new,
+        )
+
     return dataclasses.replace(
         p,
         x=jnp.where(upd, lx, p.x),
@@ -521,6 +555,141 @@ def resolve_block_transition(p, mesh, prm: TransportParams):
         j=jnp.where(upd, j_new, jnp.clip(p.j, 0, mesh.ny - 1)),
         k=jnp.where(upd, k_new, jnp.clip(p.k, 0, mesh.nz - 1)),
         alive=alive,
+    )
+
+
+def _ddmc_subface_resample(
+    mesh, coefs, prm, key, refine, leak_code, b,
+    lx, ly, lz, vx, vy, vz, ii, jj, kk,
+):
+    """Choose among the refined subfaces for DDMC particles leaking coarse->fine.
+
+    The leak placed the particle at the transverse CENTER of the coarse source cell,
+    which lands exactly on the edge shared by 2 (2D) or corner shared by 4 (3D) fine
+    cells of the destination block. Pick the fine face with probability proportional
+    to its ``ddmc_face_prob`` (reference ``SampleFace2D``/``SampleFace3D``,
+    ``sample_ddmc_bface.cpp:24-78``), re-seat the transverse position uniformly on
+    the chosen face, and redraw a hemisphere direction pointing into the block."""
+    dtype = lx.dtype
+    c = jnp.asarray(prm.c, dtype)
+    multi_d = prm.ndim >= 2
+    three_d = prm.ndim == 3
+    if not multi_d:
+        return lx, ly, lz, vx, vy, vz, ii, jj, kk  # 1D: nothing to resample
+
+    shape = lx.shape
+    ku, kdir = jax.random.split(key)
+    u_sel = rng.uniform(jax.random.fold_in(ku, 1), shape, dtype)
+    u_t1 = rng.uniform(jax.random.fold_in(ku, 2), shape, dtype)
+    u_t2 = rng.uniform(jax.random.fold_in(ku, 3), shape, dtype)
+    a1, a2, a3 = rng.face_isotropic_direction(kdir, shape, dtype)
+
+    dxv = mesh.block_dx[b]
+    axis = jnp.abs(leak_code) - 1  # 0 / 1 / 2
+    sgn = jnp.sign(leak_code).astype(dtype)
+
+    locs = (lx, ly, lz)
+    dims = (mesh.nx, mesh.ny, mesh.nz)
+    idxs = (ii, jj, kk)
+
+    def face_prob(ax, fk, fj, fi):
+        # face array of direction `ax`, indices per _face_flat
+        arr = (coefs.px, coefs.py, coefs.pz)[ax]
+        return jnp.take(arr.reshape(-1), _face_flat(mesh, b, fk, fj, fi, ax))
+
+    new_loc = list(locs)
+    new_idx = list(idxs)
+    new_v = [vx, vy, vz]
+
+    for ax in range(3 if three_d else (2 if multi_d else 1)):
+        m_ax = refine & (axis == ax)
+        # face index along the leak axis: entering upward -> fine face 0, else n_ax
+        f_ax = jnp.where(sgn > 0, 0, dims[ax]).astype(jnp.int32)
+        # transverse axes (active only)
+        trans = [t for t in range(prm.ndim) if t != ax]
+        if not trans:
+            continue
+        t1 = trans[0]
+        d1 = dxv[:, t1]
+        # edge index: transverse position sits on a fine-cell boundary
+        e1 = jnp.clip(
+            jnp.round(locs[t1] / jnp.maximum(d1, 1e-30)).astype(jnp.int32),
+            1, dims[t1] - 1,
+        )
+        lo1, hi1 = e1 - 1, e1
+
+        def fidx(c1, c2=None):
+            """(k, j, i) triplet for the face of direction `ax` at cell (c1 on t1,
+            c2 on t2), with f_ax on the leak axis."""
+            kji = [None, None, None]
+            kji[ax] = f_ax
+            kji[t1] = c1
+            if len(trans) > 1 and c2 is not None:
+                kji[trans[1]] = c2
+            for d in range(3):
+                if kji[d] is None:
+                    kji[d] = jnp.clip(idxs[d], 0, dims[d] - 1)
+            return kji[2], kji[1], kji[0]  # (k, j, i) ordering: axis2=k, 1=j, 0=i
+
+        if len(trans) == 1:
+            # 2D: choose between the two fine faces bordering the edge
+            k_l, j_l, i_l = fidx(lo1)
+            k_u, j_u, i_u = fidx(hi1)
+            P_l = face_prob(ax, k_l, j_l, i_l)
+            P_u = face_prob(ax, k_u, j_u, i_u)
+            pick_u = u_sel * (P_l + P_u) >= P_l
+            c1 = jnp.where(pick_u, hi1, lo1)
+            new_idx[t1] = jnp.where(m_ax, c1, new_idx[t1])
+            new_loc[t1] = jnp.where(m_ax, (c1.astype(dtype) + u_t1) * d1, new_loc[t1])
+        else:
+            t2 = trans[1]
+            d2 = dxv[:, t2]
+            e2 = jnp.clip(
+                jnp.round(locs[t2] / jnp.maximum(d2, 1e-30)).astype(jnp.int32),
+                1, dims[t2] - 1,
+            )
+            lo2, hi2 = e2 - 1, e2
+            cands = [(lo1, lo2), (hi1, lo2), (lo1, hi2), (hi1, hi2)]
+            Ps = []
+            for c1, c2 in cands:
+                k_, j_, i_ = fidx(c1, c2)
+                Ps.append(face_prob(ax, k_, j_, i_))
+            tot = sum(Ps) + jnp.finfo(dtype).tiny
+            xi = u_sel * tot
+            cum = jnp.zeros(shape, dtype)
+            sel1 = jnp.zeros(shape, jnp.int32)
+            sel2 = jnp.zeros(shape, jnp.int32)
+            chosen = jnp.zeros(shape, bool)
+            for (c1, c2), P in zip(cands, Ps):
+                hit = ~chosen & (xi < cum + P)
+                sel1 = jnp.where(hit, c1, sel1)
+                sel2 = jnp.where(hit, c2, sel2)
+                chosen = chosen | hit
+                cum = cum + P
+            sel1 = jnp.where(chosen, sel1, hi1)
+            sel2 = jnp.where(chosen, sel2, hi2)
+            new_idx[t1] = jnp.where(m_ax, sel1, new_idx[t1])
+            new_idx[t2] = jnp.where(m_ax, sel2, new_idx[t2])
+            new_loc[t1] = jnp.where(m_ax, (sel1.astype(dtype) + u_t1) * d1, new_loc[t1])
+            new_loc[t2] = jnp.where(m_ax, (sel2.astype(dtype) + u_t2) * d2, new_loc[t2])
+
+        # hemisphere direction into the block along the leak axis (cyclic perm, as
+        # in sample_face_iso_dir call sites)
+        v_ax = c * sgn * a1
+        v_n1 = c * a2
+        v_n2 = c * a3
+        perm = {0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1)}[ax]
+        vals = [None, None, None]
+        vals[perm[0]] = v_ax
+        vals[perm[1]] = v_n1
+        vals[perm[2]] = v_n2
+        for d in range(3):
+            new_v[d] = jnp.where(m_ax, vals[d], new_v[d])
+
+    return (
+        new_loc[0], new_loc[1], new_loc[2],
+        new_v[0], new_v[1], new_v[2],
+        new_idx[0], new_idx[1], new_idx[2],
     )
 
 

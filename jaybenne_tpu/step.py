@@ -89,6 +89,9 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
         return jax.default_backend() == "tpu"
 
     def step(state, dt):
+        # jax.named_scope regions are the trace-annotation analog of the reference's
+        # Kokkos::Profiling::pushRegion("Jaybenne::Timestep"/"Jaybenne::TransportLoop")
+        # (jaybenne.cpp:86-90,114-117); view with jax.profiler / XProf.
         f = state.fields
         p = state.particles
         key = jax.random.fold_in(state.rng_key, state.cycle)
@@ -97,55 +100,61 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
         k_src, k_tr = jax.random.split(key)
 
         # 1. derived transport fields (jaybenne.cpp:104 -> :277-492)
-        f = dataclasses.replace(
-            f, fleck=fleck_ops.fleck_factor(f.rho, f.sie, eos, opacity, dt, dtype)
-        )
-        if jb.use_ddmc:
-            temp = eos.temperature_from_density_internal_energy(f.rho, f.sie)
-            sig_t = (
-                opacity.absorption_coefficient(f.rho, temp, 1.0)
-                + scattering.total_scattering_coefficient(f.rho, temp, 1.0)
+        with jax.named_scope("jaybenne.derived_fields"):
+            f = dataclasses.replace(
+                f, fleck=fleck_ops.fleck_factor(f.rho, f.sie, eos, opacity, dt, dtype)
             )
-            sig_t = jnp.broadcast_to(jnp.asarray(sig_t, dtype), f.rho.shape)
-            px, py, pz = fleck_ops.ddmc_face_probs(
-                mesh, sig_t, jb.tau_ddmc, periodic, dtype
-            )
-            f = dataclasses.replace(f, ddmc_px=px, ddmc_py=py, ddmc_pz=pz)
+            if jb.use_ddmc:
+                temp = eos.temperature_from_density_internal_energy(f.rho, f.sie)
+                sig_t = (
+                    opacity.absorption_coefficient(f.rho, temp, 1.0)
+                    + scattering.total_scattering_coefficient(f.rho, temp, 1.0)
+                )
+                sig_t = jnp.broadcast_to(jnp.asarray(sig_t, dtype), f.rho.shape)
+                px, py, pz = fleck_ops.ddmc_face_probs(
+                    mesh, sig_t, jb.tau_ddmc, periodic, dtype
+                )
+                f = dataclasses.replace(f, ddmc_px=px, ddmc_py=py, ddmc_pz=pz)
 
         # 2. emission sourcing (jaybenne.cpp:105 -> sourcing.cpp)
         dropped = jnp.zeros((), jnp.int32)
         if jb.do_emission:
-            f, p, dropped = sourcing.source_photons(
-                f, p, mesh, k_src,
-                source_type="emission",
-                eos=eos, opacity=opacity,
-                sb=consts.sb, c=consts.c,
-                num_particles=num_particles,
-                dt=dt, dtype=dtype,
-                axis_name=axis_name,
-            )
+            with jax.named_scope("jaybenne.sourcing"):
+                f, p, dropped = sourcing.source_photons(
+                    f, p, mesh, k_src,
+                    source_type="emission",
+                    eos=eos, opacity=opacity,
+                    sb=consts.sb, c=consts.c,
+                    num_particles=num_particles,
+                    dt=dt, dtype=dtype,
+                    axis_name=axis_name,
+                )
             dropped = dropped.astype(jnp.int32)
         else:
             f = dataclasses.replace(f, energy_delta=jnp.zeros_like(f.energy_delta))
 
         # 3. census transport loop (jaybenne.cpp:113-131)
-        coefs = transport_ops.precompute_coefs(
-            f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
-        )
-        if _pallas_ok(p):
-            from .ops.pallas_transport import transport_pallas
+        with jax.named_scope("jaybenne.transport_loop"):
+            coefs = transport_ops.precompute_coefs(
+                f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
+            )
+            if _pallas_ok(p):
+                from .ops.pallas_transport import transport_pallas
 
-            p, iters, events = transport_pallas(p, coefs, mesh, k_tr, prm, dt)
-        else:
-            p, iters, events = transport_ops.transport(p, coefs, mesh, k_tr, prm, dt)
+                p, iters, events = transport_pallas(p, coefs, mesh, k_tr, prm, dt)
+            else:
+                p, iters, events = transport_ops.transport(
+                    p, coefs, mesh, k_tr, prm, dt
+                )
 
         # absorption deposition + 4. radiation tally (jaybenne.cpp:134)
-        f = tally.accumulate_absorption(f, p, mesh, axis_name)
-        f = tally.evaluate_radiation_energy(f, p, mesh, axis_name)
+        with jax.named_scope("jaybenne.tally"):
+            f = tally.accumulate_absorption(f, p, mesh, axis_name)
+            f = tally.evaluate_radiation_energy(f, p, mesh, axis_name)
 
-        # 5. fluid feedback (jaybenne.cpp:138) + derived update (mcblock.cpp:208-232)
-        if jb.do_feedback:
-            f = tally.update_fluid(f, mesh)
+            # 5. fluid feedback (jaybenne.cpp:138) + derived (mcblock.cpp:208-232)
+            if jb.do_feedback:
+                f = tally.update_fluid(f, mesh)
 
         # reset per-step flags; census survivors restart at tau = 0 next cycle
         p = dataclasses.replace(

@@ -1,0 +1,108 @@
+"""Dump + checkpoint/restart round trips."""
+
+import os
+
+import numpy as np
+import pytest
+
+from jaybenne_tpu import config as cfg_mod
+from jaybenne_tpu.driver import Simulation
+from jaybenne_tpu.utils.deck import Deck
+
+DECK = """
+<parthenon/job>
+problem_id = ckpt
+
+<parthenon/mesh>
+nx1 = 16
+x1min = -0.5
+x1max = 0.5
+ix1_bc = outflow
+ox1_bc = outflow
+nx2 = 1
+x2min = -0.5
+x2max = 0.5
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+
+<parthenon/swarm>
+ix1_bc = jaybenne_reflecting
+ox1_bc = jaybenne_reflecting
+
+<parthenon/time>
+tlim = 4.e-11
+
+<jaybenne>
+num_particles = 2000
+dt = 1.e-11
+seed = 7
+
+<mcblock>
+opacity_model = constant
+opacity_constant_value = 1.0
+scattering_model = constant
+scattering_constant_value = 1.0e2
+cv = 1.0e8
+initial_density = 1.0
+initial_temperature = 1.0e5
+initial_radiation = thermal
+
+<parthenon/output0>
+file_type = hdf5
+dt = 4.e-11
+variables = field.material.density, field.jaybenne.energy_tally
+swarms = photons
+swarm_variables = swarm.x, swarm.weight
+"""
+
+
+def _cfg(**mods):
+    return cfg_mod.from_deck(Deck.parse(DECK).update(mods))
+
+
+def test_dump_roundtrip(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../analysis"))
+    import jhdf
+
+    sim = Simulation(_cfg(), outdir=str(tmp_path), quiet=True)
+    sim.run()
+    files = sorted(os.listdir(tmp_path))
+    assert any(f.endswith(".phdf") for f in files)
+    d = jhdf.jhdf(os.path.join(tmp_path, files[-1]))
+    assert d.NumBlocks == 1 and d.NX1 == 16
+    v = d.Get("field.jaybenne.energy_tally")
+    assert v.shape == (1, 1, 1, 16)
+    assert np.isclose(
+        v.sum(), np.asarray(sim.state.fields.energy_tally).sum(), rtol=1e-6
+    )
+    # swarm positions present and inside the domain
+    x = d.GetSwarm("photons", "swarm.x")
+    assert len(x) == int(sim.state.particles.num_alive())
+    assert (x >= -0.5).all() and (x <= 0.5).all()
+
+
+def test_checkpoint_restart_bitwise(tmp_path):
+    """Run 4 cycles straight vs 2 cycles + checkpoint + restart + 2 cycles: the RNG
+    stream is keyed by (seed, cycle), so the trajectories must match exactly."""
+    sim_a = Simulation(_cfg(**{"parthenon/time/tlim": "4.e-11"}), outdir=str(tmp_path), quiet=True)
+    sim_a.run()
+    t_a = np.asarray(sim_a.state.fields.energy_tally)
+
+    sim_b = Simulation(_cfg(**{"parthenon/time/tlim": "2.e-11"}), outdir=str(tmp_path), quiet=True)
+    sim_b.run()
+    ck = sim_b.write_checkpoint()
+
+    sim_c = Simulation(
+        _cfg(**{"parthenon/time/tlim": "4.e-11"}),
+        outdir=str(tmp_path), quiet=True, restart=ck,
+    )
+    assert sim_c.cycle == 2
+    sim_c.run()
+    t_c = np.asarray(sim_c.state.fields.energy_tally)
+    assert np.array_equal(t_a, t_c)
+    assert np.array_equal(
+        np.asarray(sim_a.state.particles.x), np.asarray(sim_c.state.particles.x)
+    )

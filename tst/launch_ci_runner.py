@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Local/HPC CI launcher — the equivalent of the reference's
+``tst/launch_ci_runner.py`` (which clones a PR, builds, runs the suite on LANL
+Darwin and posts a GitHub commit status). This version runs the full regression
+matrix locally (optionally on a TPU host), writes a JSON report, and — when a
+GitHub token + SHA are provided — posts a commit status.
+
+Usage:
+  python tst/launch_ci_runner.py [--devices 1,8] [--backend cpu|tpu]
+                                 [--report report.json]
+                                 [--post-status --sha <sha> --repo org/name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+# (script, input, devices) — the reference CI matrix (ci.yml:122-140)
+MATRIX = [
+    ("stepdiff.py", "stepdiff.in", 1),
+    ("stepdiff.py", "stepdiff_ddmc.in", 1),
+    ("stepdiff_smr.py", "stepdiff_smr.in", 1),
+    ("stepdiff_smr.py", "stepdiff_smr.in", 8),
+    ("stepdiff_smr.py", "stepdiff_smr_ddmc.in", 1),
+    ("stepdiff_smr.py", "stepdiff_smr_ddmc.in", 8),
+    ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 1),
+    ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 8),
+]
+
+
+def run_matrix(backend: str, device_filter):
+    results = []
+    env = dict(os.environ)
+    if backend == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+    for script, deck, ndev in MATRIX:
+        if device_filter and ndev not in device_filter:
+            continue
+        name = f"{deck}@{ndev}dev"
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, script, "--input", deck, "--n_devices", str(ndev)],
+            cwd=_HERE, env=env, capture_output=True, text=True,
+        )
+        ok = proc.returncode == 0
+        results.append(
+            {
+                "name": name,
+                "ok": ok,
+                "seconds": round(time.time() - t0, 1),
+                "tail": proc.stdout.strip().splitlines()[-6:],
+            }
+        )
+        print(f"[{'PASS' if ok else 'FAIL'}] {name} ({results[-1]['seconds']}s)", flush=True)
+    return results
+
+
+def post_status(repo, sha, ok, token):  # pragma: no cover - needs network
+    import urllib.request
+
+    body = json.dumps(
+        {
+            "state": "success" if ok else "failure",
+            "context": "jaybenne-tpu/regression",
+            "description": "regression matrix",
+        }
+    ).encode()
+    req = urllib.request.Request(
+        f"https://api.github.com/repos/{repo}/statuses/{sha}",
+        data=body,
+        headers={"Authorization": f"token {token}", "Content-Type": "application/json"},
+    )
+    urllib.request.urlopen(req)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", default="1,8")
+    ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--report", default=None)
+    ap.add_argument("--post-status", action="store_true")
+    ap.add_argument("--repo", default=None)
+    ap.add_argument("--sha", default=None)
+    args = ap.parse_args()
+
+    devs = {int(d) for d in args.devices.split(",") if d}
+    results = run_matrix(args.backend, devs)
+    ok = all(r["ok"] for r in results)
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump({"ok": ok, "results": results}, f, indent=2)
+    if args.post_status:
+        token = os.environ.get("GITHUB_TOKEN")
+        if not (token and args.repo and args.sha):
+            print("post-status requires GITHUB_TOKEN, --repo, --sha", file=sys.stderr)
+            return 2
+        post_status(args.repo, args.sha, ok, token)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,12 +11,15 @@ import os as _os
 import jax as _jax
 
 # Some TPU platform plugins force-prepend themselves to jax_platforms, silently
-# overriding the user's JAX_PLATFORMS environment variable. Re-assert the user's
-# explicit choice so `JAX_PLATFORMS=cpu <anything>` reliably runs on CPU.
+# overriding the user's JAX_PLATFORMS environment variable. Re-assert an explicit
+# `JAX_PLATFORMS=cpu` so CPU-only runs never touch (or block on) the TPU plugin.
+# Only the cpu case is overridden: anything else may legitimately come from the
+# plugin itself, and callers that already pinned the config (e.g. a test conftest)
+# must not be undone.
 _env_platforms = _os.environ.get("JAX_PLATFORMS")
-if _env_platforms and _jax.config.jax_platforms != _env_platforms:
+if _env_platforms == "cpu" and _jax.config.jax_platforms != "cpu":
     try:
-        _jax.config.update("jax_platforms", _env_platforms)
+        _jax.config.update("jax_platforms", "cpu")
     except Exception:  # pragma: no cover - never fatal
         pass
 

@@ -44,30 +44,67 @@ from ..config import BC
 SUBLANES = 256
 LANES = 128
 TILE = SUBLANES * LANES  # particles per grid tile
-MAX_TABLE = LANES        # lane-gather tables hold at most 128 entries
+MAX_TABLE = LANES        # a single lane-gather table holds at most 128 entries
+VMEM_BUDGET = 10 * 1024 * 1024  # soft cap for resident tables + particle tile
+
+
+def _n_chunks(mesh) -> int:
+    return -(-mesh.total_cells // LANES)
 
 
 def supports(mesh, prm) -> bool:
-    """Whether this kernel covers the configuration."""
+    """Whether this kernel covers the configuration. Cell tables beyond 128 entries
+    are split into 128-entry lane-gather chunks selected by range; the chunk count
+    is bounded by the VMEM budget."""
     n_tiles = mesh.tile_shape[0] * mesh.tile_shape[1] * mesh.tile_shape[2]
+    K = _n_chunks(mesh)
+    n_cell_tables = 3 if prm.has_absorption else 1
+    table_bytes = (n_cell_tables * K + 7) * SUBLANES * LANES * 4
+    particle_bytes = 13 * SUBLANES * LANES * 4
     return (
         not prm.use_ddmc
-        and mesh.total_cells <= MAX_TABLE
         and mesh.n_blocks <= MAX_TABLE
         and n_tiles <= MAX_TABLE
+        and table_bytes + particle_bytes <= VMEM_BUDGET
     )
 
 
 def _lane_table(vec, dtype):
-    """[N] -> [SUBLANES, LANES] table: padded to 128 lanes, replicated across rows."""
+    """[N<=128] -> [SUBLANES, LANES]: padded to 128 lanes, replicated across rows."""
     n = vec.shape[0]
     row = jnp.concatenate([vec.astype(dtype), jnp.zeros((LANES - n,), dtype)])
     return jnp.broadcast_to(row[None, :], (SUBLANES, LANES))
 
 
+def _chunk_table(vec, dtype, n_chunks):
+    """[N] -> [n_chunks*SUBLANES, LANES]: 128-entry chunks stacked along sublanes,
+    each chunk lane-padded and row-replicated."""
+    n = vec.shape[0]
+    pad = n_chunks * LANES - n
+    flat = jnp.concatenate([vec.astype(dtype), jnp.zeros((pad,), dtype)])
+    chunks = flat.reshape(n_chunks, LANES)
+    return jnp.broadcast_to(
+        chunks[:, None, :], (n_chunks, SUBLANES, LANES)
+    ).reshape(n_chunks * SUBLANES, LANES)
+
+
 def _gather(tab, idx):
-    """Per-lane gather: out[i,j] = tab[i, idx[i,j]]."""
+    """Per-lane gather: out[i,j] = tab[i, idx[i,j]] (single 128-entry table)."""
     return jnp.take_along_axis(tab, jnp.clip(idx, 0, LANES - 1), axis=1)
+
+
+def _gather_chunked(tab_ref, idx, n_chunks):
+    """Gather from a chunked table ([n_chunks*SUBLANES, LANES] ref) with arbitrary
+    flat indices: each 128-entry chunk is lane-gathered and range-selected."""
+    if n_chunks == 1:
+        return _gather(tab_ref[0:SUBLANES, :], idx)
+    out = jnp.zeros(idx.shape, tab_ref.dtype)
+    for k in range(n_chunks):
+        rel = idx - k * LANES
+        hit = (rel >= 0) & (rel < LANES)
+        part = _gather(tab_ref[k * SUBLANES : (k + 1) * SUBLANES, :], rel)
+        out = jnp.where(hit, part, out)
+    return out
 
 
 def _transport_kernel(
@@ -86,7 +123,8 @@ def _transport_kernel(
     prm_static,
 ):
     (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
-     single_block, block_dx0, block_org0) = prm_static
+     single_block, block_dx0, block_org0, has_absorption, n_chunks,
+     interpret) = prm_static
     multi_d = ndim >= 2
     three_d = ndim == 3
     dt = scal_ref[0]
@@ -97,20 +135,45 @@ def _transport_kernel(
     tsy = (x2max - x2min) / nty
     tsz = (x3max - x3min) / ntz
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-
     shape = (SUBLANES, LANES)
     BIG = jnp.float32(3.0e38)
     tiny = jnp.float32(1.0e-37)
 
-    def uniform():
-        bits = pltpu.prng_random_bits(shape)
-        return ((bits >> 9) & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
-            1.0 / (1 << 23)
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def uniform(it, tag):
+            del it, tag  # the hardware PRNG is stateful
+            bits = pltpu.prng_random_bits(shape)
+            return ((bits >> 9) & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
+                1.0 / (1 << 23)
+            )
+    else:
+        # interpret mode (CPU testing): pltpu.prng_* has no CPU lowering — use a
+        # counter-based integer hash (murmur3 finalizer) keyed by
+        # (seed, tile, lane, iteration, call-site tag)
+        lane_id = (
+            jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            + jnp.uint32(pl.program_id(0) * TILE)
         )
 
-    def expdraw():
-        return -jnp.log(jnp.maximum(uniform(), tiny))
+        def uniform(it, tag):
+            x = (
+                seed_ref[0].astype(jnp.uint32)
+                + lane_id
+                + it.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
+            )
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x7FEB352D)
+            x = x ^ (x >> 15)
+            x = x * jnp.uint32(0x846CA68B)
+            x = x ^ (x >> 16)
+            return (x >> 9).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
+
+    def expdraw(it, tag):
+        return -jnp.log(jnp.maximum(uniform(it, tag), tiny))
 
     def body(carry):
         (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, it, ev) = carry
@@ -128,9 +191,14 @@ def _transport_kernel(
             dzb = _gather(bdz_ref[:], blk)
             dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
             cell = (blk * (nz * ny * nx)) + (ck * ny + cj) * nx + ci
-        sa = _gather(sa_ref[:], cell)
-        ss = _gather(ss_ref[:], cell)
-        ff = _gather(ff_ref[:], cell)
+        ss = _gather_chunked(ss_ref, cell, n_chunks)
+        if has_absorption:
+            sa = _gather_chunked(sa_ref, cell, n_chunks)
+            ff = _gather_chunked(ff_ref, cell, n_chunks)
+        else:
+            # opacity_model = none: sigma_a == 0, Fleck factor == 1 exactly
+            sa = jnp.zeros(shape)
+            ff = jnp.ones(shape)
 
         fi = ci.astype(jnp.float32)
         fj = cj.astype(jnp.float32)
@@ -139,8 +207,12 @@ def _transport_kernel(
         yl, yu = fj * dyb, (fj + 1.0) * dyb
         zl, zu = fk * dzb, (fk + 1.0) * dzb
 
-        d_abs = expdraw() / (ff * sa + tiny)
-        d_sc = expdraw() / (ss + (1.0 - ff) * sa + tiny)
+        if has_absorption:
+            d_abs = expdraw(it, 0) / (ff * sa + tiny)
+            d_sc = expdraw(it, 1) / (ss + (1.0 - ff) * sa + tiny)
+        else:
+            d_abs = jnp.full(shape, BIG)
+            d_sc = expdraw(it, 1) / (ss + tiny)
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -157,7 +229,10 @@ def _transport_kernel(
         fzd = face_dist(vz, zl, zu, z) if three_d else jnp.full(shape, BIG)
 
         d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
-        i_abs = active & (d_abs < d_push) & (d_abs < d_sc)
+        if has_absorption:
+            i_abs = active & (d_abs < d_push) & (d_abs < d_sc)
+        else:
+            i_abs = jnp.zeros(shape, bool)
         i_sc = active & ~i_abs & (d_sc < d_push)
         no_coll = active & ~i_abs & ~i_sc
         cr_x = no_coll & (fxd <= fyd) & (fxd <= fzd) & (fxd <= d_geom)
@@ -178,8 +253,8 @@ def _transport_kernel(
         nck = ck + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
 
         # isotropic scatter redraw (scattering.hpp:21-29)
-        mu = 1.0 - 2.0 * uniform()
-        phi = jnp.float32(2.0 * 3.14159265358979) * uniform()
+        mu = 1.0 - 2.0 * uniform(it, 2)
+        phi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 3)
         st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
         nvx = jnp.where(i_sc, c * st * jnp.cos(phi), vx)
         nvy = jnp.where(i_sc, c * st * jnp.sin(phi), vy)
@@ -321,9 +396,10 @@ def _transport_kernel(
     it_ref[0, 0] = jnp.maximum(it_ref[0, 0], it)
 
 
-def transport_pallas(particles, coefs, mesh, key, prm, dt):
+def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
     """Drop-in replacement for ``transport_ops.transport`` on supported configs.
 
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU-testable).
     Returns (particles, iterations, events)."""
     p = particles
     cap = p.capacity
@@ -336,9 +412,15 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt):
 
     f32 = jnp.float32
     i32 = jnp.int32
-    sa_t = _lane_table(coefs.sigma_a, f32)
-    ss_t = _lane_table(coefs.sigma_s, f32)
-    ff_t = _lane_table(coefs.fleck, f32)
+    K = _n_chunks(mesh)
+    ss_t = _chunk_table(coefs.sigma_s, f32, K)
+    if prm.has_absorption:
+        sa_t = _chunk_table(coefs.sigma_a, f32, K)
+        ff_t = _chunk_table(coefs.fleck, f32, K)
+    else:
+        # never read in the kernel; keep VMEM footprint minimal
+        sa_t = jnp.zeros((SUBLANES, LANES), f32)
+        ff_t = jnp.ones((SUBLANES, LANES), f32)
     bdx_t = _lane_table(mesh.block_dx[:, 0], f32)
     bdy_t = _lane_table(mesh.block_dx[:, 1], f32)
     bdz_t = _lane_table(mesh.block_dx[:, 2], f32)
@@ -364,6 +446,7 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt):
         prm.ndim, mesh.nx, mesh.ny, mesh.nz, prm.max_iters,
         tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
         mesh.tile_shape, mesh.finest, single_block, block_dx0, block_org0,
+        prm.has_absorption, K, interpret,
     )
 
     scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
@@ -377,9 +460,8 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt):
     part_spec = pl.BlockSpec(
         (SUBLANES, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
-    tab_spec = pl.BlockSpec(
-        (SUBLANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
-    )
+    def full_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
     stat_spec = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
 
     inputs = [
@@ -406,10 +488,11 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         + [part_spec] * 13
-        + [tab_spec] * 10,
+        + [full_spec(t) for t in tables],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         input_output_aliases={i + 2: i for i in range(13)},
+        interpret=interpret,
     )(scal, seed, *inputs, *tables)
 
     (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, ev, it) = results

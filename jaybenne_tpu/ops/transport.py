@@ -85,6 +85,9 @@ class TransportParams:
     eps_imc: float = static()    # relative face offset for albedo bounce-back
     eps_ddmc: float = static()   # relative face offset for DDMC leak placement
     at_face_tol: float = static()  # relative tolerance for at-face detection
+    # absorption opacity identically zero (opacity_model = none): the Fleck factor
+    # is exactly 1, absorption never fires, and kernels can skip that work
+    has_absorption: bool = static(default=True)
 
 
 def default_eps(dtype):

@@ -49,6 +49,7 @@ def make_transport_params(cfg: RunConfig, dtype) -> transport_ops.TransportParam
         swarm_bc=cfg.mesh.swarm_bc,
         c=consts.c,
         tau_ddmc=cfg.jaybenne.tau_ddmc,
+        has_absorption=cfg.mcblock.opacity_model != "none",
         **eps,
     )
 

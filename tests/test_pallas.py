@@ -1,0 +1,146 @@
+"""Pallas census-kernel tests via the interpreter (CPU-runnable).
+
+The compiled kernel is exercised on real TPU hardware by bench.py and the TPU
+regression runs; here the SAME kernel body runs in the Pallas interpreter and is
+cross-checked against the XLA event loop on identical initial states (different RNG
+streams — statistical agreement)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from jaybenne_tpu import config as cm
+from jaybenne_tpu.mesh import build_mesh
+from jaybenne_tpu.particles import empty_ledger
+from jaybenne_tpu.step import make_transport_params
+from jaybenne_tpu.ops import transport as T
+from jaybenne_tpu.ops.pallas_transport import TILE, supports, transport_pallas
+from jaybenne_tpu.utils.deck import Deck
+
+DECK = """
+<parthenon/job>
+problem_id = stepdiff
+
+<parthenon/mesh>
+nx1 = 100
+x1min = -0.5
+x1max = 0.5
+ix1_bc = outflow
+ox1_bc = outflow
+nx2 = 1
+x2min = -0.5
+x2max = 0.5
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+
+<parthenon/swarm>
+ix1_bc = jaybenne_reflecting
+ox1_bc = jaybenne_reflecting
+
+<parthenon/meshblock>
+nx1 = 50
+
+<parthenon/time>
+tlim = 3.335641e-11
+
+<jaybenne>
+num_particles = 4000
+dt = 3.335641e-11
+
+<mcblock>
+opacity_model = none
+scattering_model = constant
+scattering_constant_value = 2.0e2
+cv = 1.0e8
+initial_density = 1.0
+initial_temperature = 1.0e5
+initial_radiation = thermal
+"""
+
+
+def _setup(sigma_s=2.0e2):
+    cfg = cm.from_deck(Deck.parse(DECK))
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    assert supports(mesh, prm)
+    n = 4000
+    key = jr.PRNGKey(0)
+    p = empty_ledger(TILE)
+    dxc = 1.0 / 100
+    ks = jr.split(key, 4)
+    nx_, ny_, nz_ = (
+        1.0 - 2.0 * jr.uniform(ks[1], (n,)),
+        jr.uniform(ks[2], (n,)) - 0.5,
+        jr.uniform(ks[3], (n,)) - 0.5,
+    )
+    nrm = jnp.sqrt(nx_**2 + ny_**2 + nz_**2)
+    c = 2.99792458e10
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set((25.0 + jr.uniform(ks[0], (n,))) * dxc),
+        vx=p.vx.at[:n].set(c * nx_ / nrm),
+        vy=p.vy.at[:n].set(c * ny_ / nrm),
+        vz=p.vz.at[:n].set(c * nz_ / nrm),
+        i=p.i.at[:n].set(25),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    NC = mesh.total_cells
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)),
+        sigma_s=jnp.full((NC,), sigma_s),
+        fleck=jnp.ones((NC,)),
+        px=jnp.zeros((2, 1, 1, 51)),
+        py=jnp.zeros((2, 1, 2, 50)),
+        pz=jnp.zeros((2, 2, 1, 50)),
+    )
+    return cfg, mesh, prm, p, coefs, key
+
+
+def test_pallas_interpret_matches_xla():
+    cfg, mesh, prm, p, coefs, key = _setup()
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, it_p, ev_p = transport_pallas(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, it_x, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+
+    for out, name in ((pp, "pallas"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == 4000, name  # pure scattering: nothing dies
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name  # census reached
+        # positions within the block, indices consistent
+        assert (np.asarray(out.i)[alive] >= 0).all() and (
+            np.asarray(out.i)[alive] < mesh.nx
+        ).all(), name
+
+    # same diffusion statistics (different RNG streams)
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 0.01
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.1
+    # comparable event totals (event count is RNG-stream dependent but tight)
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+
+
+def test_pallas_interpret_absorption():
+    cfg, mesh, prm, p, coefs, key = _setup()
+    prm = dataclasses.replace(prm, has_absorption=True)
+    NC = mesh.total_cells
+    coefs = dataclasses.replace(
+        coefs, sigma_a=jnp.full((NC,), 0.5), fleck=jnp.full((NC,), 0.7)
+    )
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = transport_pallas(p, coefs, mesh, key, prm, dt, interpret=True)
+    alive = np.asarray(pp.alive)
+    absorbed = np.asarray(pp.absorbed)
+    assert absorbed.sum() > 0
+    assert alive.sum() + absorbed.sum() == 4000
+    # expected absorption over one step: 1 - exp(-f*sigma_a*c*dt), with
+    # f*sigma_a = 0.35/cm over a path of c*dt = 1 cm -> ~0.295
+    frac = absorbed.sum() / 4000
+    assert 0.2 < frac < 0.4, frac

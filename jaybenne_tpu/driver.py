@@ -39,6 +39,7 @@ class Simulation:
     ):
         self.cfg = cfg
         self.outdir = outdir
+        os.makedirs(outdir, exist_ok=True)
         self.quiet = quiet
         jb = cfg.jaybenne
         if jb.precision == "f64" and not jax.config.read("jax_enable_x64"):

@@ -52,18 +52,38 @@ def _n_chunks(mesh) -> int:
     return -(-mesh.total_cells // LANES)
 
 
+def _face_sizes(mesh):
+    B, nx, ny, nz = mesh.n_blocks, mesh.nx, mesh.ny, mesh.nz
+    return (
+        B * nz * ny * (nx + 1),
+        B * nz * (ny + 1) * nx,
+        B * (nz + 1) * ny * nx,
+    )
+
+
+def _n_fchunks(mesh, prm):
+    if not prm.use_ddmc:
+        return (1, 1, 1)
+    fx, fy, fz = _face_sizes(mesh)
+    return (-(-fx // LANES), -(-fy // LANES), -(-fz // LANES))
+
+
 def supports(mesh, prm) -> bool:
     """Whether this kernel covers the configuration. Cell tables beyond 128 entries
     are split into 128-entry lane-gather chunks selected by range; the chunk count
-    is bounded by the VMEM budget."""
+    is bounded by the VMEM budget. DDMC is supported on uniform (single-level)
+    meshes; the SMR coarse->fine subface resample stays on the XLA path."""
     n_tiles = mesh.tile_shape[0] * mesh.tile_shape[1] * mesh.tile_shape[2]
     K = _n_chunks(mesh)
     n_cell_tables = 3 if prm.has_absorption else 1
     table_bytes = (n_cell_tables * K + 7) * SUBLANES * LANES * 4
+    if prm.use_ddmc:
+        if mesh.max_level > 0:
+            return False
+        table_bytes += sum(_n_fchunks(mesh, prm)) * SUBLANES * LANES * 4
     particle_bytes = 13 * SUBLANES * LANES * 4
     return (
-        not prm.use_ddmc
-        and mesh.n_blocks <= MAX_TABLE
+        mesh.n_blocks <= MAX_TABLE
         and n_tiles <= MAX_TABLE
         and table_bytes + particle_bytes <= VMEM_BUDGET
     )
@@ -116,6 +136,7 @@ def _transport_kernel(
     bdx_ref, bdy_ref, bdz_ref,
     box_ref, boy_ref, boz_ref,
     lut_ref,
+    fpx_ref, fpy_ref, fpz_ref,
     ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
     oblk_ref, oci_ref, ocj_ref, ock_ref, oalive_ref, oabsorbed_ref,
     ev_ref, it_ref,
@@ -124,7 +145,8 @@ def _transport_kernel(
 ):
     (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
      single_block, block_dx0, block_org0, has_absorption, n_chunks,
-     interpret) = prm_static
+     interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc, at_face_tol,
+     n_fchunks) = prm_static
     multi_d = ndim >= 2
     three_d = ndim == 3
     dt = scal_ref[0]
@@ -207,6 +229,13 @@ def _transport_kernel(
         yl, yu = fj * dyb, (fj + 1.0) * dyb
         zl, zu = fk * dzb, (fk + 1.0) * dzb
 
+        if use_ddmc:
+            is_ddmc = active & (dmin * (sa + ss) > jnp.float32(tau_ddmc))
+            act_imc = active & ~is_ddmc
+        else:
+            is_ddmc = jnp.zeros(shape, bool)
+            act_imc = active
+
         if has_absorption:
             d_abs = expdraw(it, 0) / (ff * sa + tiny)
             d_sc = expdraw(it, 1) / (ss + (1.0 - ff) * sa + tiny)
@@ -230,11 +259,11 @@ def _transport_kernel(
 
         d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
         if has_absorption:
-            i_abs = active & (d_abs < d_push) & (d_abs < d_sc)
+            i_abs = act_imc & (d_abs < d_push) & (d_abs < d_sc)
         else:
             i_abs = jnp.zeros(shape, bool)
-        i_sc = active & ~i_abs & (d_sc < d_push)
-        no_coll = active & ~i_abs & ~i_sc
+        i_sc = act_imc & ~i_abs & (d_sc < d_push)
+        no_coll = act_imc & ~i_abs & ~i_sc
         cr_x = no_coll & (fxd <= fyd) & (fxd <= fzd) & (fxd <= d_geom)
         cr_y = no_coll & ~cr_x & (fyd <= fzd) & (fyd <= d_geom)
         cr_z = no_coll & ~cr_x & ~cr_y & (fzd <= d_geom)
@@ -262,6 +291,206 @@ def _transport_kernel(
 
         nalive = jnp.where(i_abs, 0, alive)
         nabsorbed = jnp.where(i_abs, 1, absorbed)
+
+        # ================= DDMC branch (ptcl_ddmc_albedo / ptcl_ddmc_step) ====
+        if use_ddmc:
+            tol = jnp.float32(at_face_tol)
+            sig_t = sa + ss
+            # at-face detection, priority chain (xl, xu, yl, yu, zl, zu)
+            at = [
+                is_ddmc & (jnp.abs(x - xl) < tol * dxb),
+                is_ddmc & (jnp.abs(x - xu) < tol * dxb),
+                is_ddmc & multi_d & (jnp.abs(y - yl) < tol * dyb),
+                is_ddmc & multi_d & (jnp.abs(y - yu) < tol * dyb),
+                is_ddmc & three_d & (jnp.abs(z - zl) < tol * dzb),
+                is_ddmc & three_d & (jnp.abs(z - zu) < tol * dzb),
+            ]
+            sel = []
+            taken = jnp.zeros(shape, bool)
+            for m in at:
+                m = m & ~taken
+                sel.append(m)
+                taken = taken | m
+            at_face = taken
+
+            lam2 = jnp.float32(2.0 * 0.7104)
+            P = jnp.zeros(shape)
+            for m, fdx_, fv, sgn in (
+                (sel[0], dxb, vx, 1.0), (sel[1], dxb, vx, -1.0),
+                (sel[2], dyb, vy, 1.0), (sel[3], dyb, vy, -1.0),
+                (sel[4], dzb, vz, 1.0), (sel[5], dzb, vz, -1.0),
+            ):
+                Pf = (2.0 / 3.0) / (sig_t * fdx_ + lam2)
+                P = jnp.where(m, 2.0 * Pf * (1.0 + jnp.float32(sgn) * 1.5 * fv / c), P)
+            rejected = at_face & (uniform(it, 4) > P)
+
+            # hemisphere direction for bounce-back / leak
+            amu = jnp.sqrt(uniform(it, 5))
+            anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
+            aphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 6)
+            a1, a2, a3 = amu, anu * jnp.cos(aphi), anu * jnp.sin(aphi)
+
+            rj_x, rj_y, rj_z = x, y, z
+            rj_vx, rj_vy, rj_vz = vx, vy, vz
+            rj_si = jnp.zeros(shape, jnp.int32)
+            rj_sj = jnp.zeros(shape, jnp.int32)
+            rj_sk = jnp.zeros(shape, jnp.int32)
+            eps_i = jnp.float32(eps_imc)
+            for m, axis, lower in (
+                (sel[0], 0, True), (sel[1], 0, False),
+                (sel[2], 1, True), (sel[3], 1, False),
+                (sel[4], 2, True), (sel[5], 2, False),
+            ):
+                sgn = jnp.float32(-1.0 if lower else 1.0)  # away from the cell
+                v1, v2, v3 = c * sgn * a1, c * a2, c * a3
+                if axis == 0:
+                    rj_vx = jnp.where(m, v1, rj_vx)
+                    rj_vy = jnp.where(m, v2, rj_vy)
+                    rj_vz = jnp.where(m, v3, rj_vz)
+                    rj_x = jnp.where(m, jnp.where(lower, xl - eps_i * dxb, xu + eps_i * dxb), rj_x)
+                    rj_si = jnp.where(m, -1 if lower else 1, rj_si)
+                elif axis == 1:
+                    rj_vy = jnp.where(m, v1, rj_vy)
+                    rj_vz = jnp.where(m, v2, rj_vz)
+                    rj_vx = jnp.where(m, v3, rj_vx)
+                    rj_y = jnp.where(m, jnp.where(lower, yl - eps_i * dyb, yu + eps_i * dyb), rj_y)
+                    rj_sj = jnp.where(m, -1 if lower else 1, rj_sj)
+                else:
+                    rj_vz = jnp.where(m, v1, rj_vz)
+                    rj_vx = jnp.where(m, v2, rj_vx)
+                    rj_vy = jnp.where(m, v3, rj_vy)
+                    rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzb, zu + eps_i * dzb), rj_z)
+                    rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
+
+            # in-cell DDMC step: face-prob gathers
+            fbase = blk * (nz * ny * nx)  # not the face stride; computed per dir below
+            del fbase
+            fx_l = (blk * nz + ck) * ny * (nx + 1) + cj * (nx + 1) + ci
+            fp_xl = _gather_chunked(fpx_ref, fx_l, n_fchunks[0])
+            fp_xu = _gather_chunked(fpx_ref, fx_l + 1, n_fchunks[0])
+            if multi_d:
+                fy_l = ((blk * nz + ck) * (ny + 1) + cj) * nx + ci
+                fp_yl = _gather_chunked(fpy_ref, fy_l, n_fchunks[1])
+                fp_yu = _gather_chunked(fpy_ref, fy_l + nx, n_fchunks[1])
+            else:
+                fp_yl = fp_yu = jnp.zeros(shape)
+            if three_d:
+                fz_l = ((blk * (nz + 1) + ck) * ny + cj) * nx + ci
+                fp_zl = _gather_chunked(fpz_ref, fz_l, n_fchunks[2])
+                fp_zu = _gather_chunked(fpz_ref, fz_l + ny * nx, n_fchunks[2])
+            else:
+                fp_zl = fp_zu = jnp.zeros(shape)
+
+            lk = (fp_xl / dxb, fp_xu / dxb, fp_yl / dyb, fp_yu / dyb,
+                  fp_zl / dzb, fp_zu / dzb)
+            leak_tot = lk[0] + lk[1] + lk[2] + lk[3] + lk[4] + lk[5]
+            cdf = ff * sa + leak_tot + tiny
+            dt_ev = (-jnp.log(jnp.maximum(uniform(it, 7), tiny))) / (c * cdf)
+            dt_rem = dt * (1.0 - tau)
+            is_event = dt_ev < dt_rem
+            do_step = is_ddmc & ~rejected
+
+            dd_tau = jnp.where(is_event, tau + dt_ev / dt, 1.0)
+            xi = cdf * uniform(it, 8)
+            dd_absorbed = do_step & is_event & (xi < ff * sa)
+            xim = xi - ff * sa
+            cum = jnp.zeros(shape)
+            leak_sel = []
+            leak_any = jnp.zeros(shape, bool)
+            for l in lk:
+                m = do_step & is_event & ~dd_absorbed & ~leak_any & (xim < cum + l)
+                leak_sel.append(m)
+                leak_any = leak_any | m
+                cum = cum + l
+            fall = do_step & is_event & ~dd_absorbed & ~leak_any
+            if three_d:
+                leak_sel[5] = leak_sel[5] | fall
+            elif multi_d:
+                leak_sel[3] = leak_sel[3] | fall
+            else:
+                leak_sel[1] = leak_sel[1] | fall
+
+            bmu = jnp.sqrt(uniform(it, 9))
+            bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
+            bphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 10)
+            b1, b2, b3 = bmu, bnu * jnp.cos(bphi), bnu * jnp.sin(bphi)
+
+            dd_x, dd_y, dd_z = x, y, z
+            dd_vx, dd_vy, dd_vz = vx, vy, vz
+            dd_si = jnp.zeros(shape, jnp.int32)
+            dd_sj = jnp.zeros(shape, jnp.int32)
+            dd_sk = jnp.zeros(shape, jnp.int32)
+            cx_, cy_, cz_ = xl + 0.5 * dxb, yl + 0.5 * dyb, zl + 0.5 * dzb
+            eps_d = jnp.float32(eps_ddmc)
+            for m, axis, lower in (
+                (leak_sel[0], 0, True), (leak_sel[1], 0, False),
+                (leak_sel[2], 1, True), (leak_sel[3], 1, False),
+                (leak_sel[4], 2, True), (leak_sel[5], 2, False),
+            ):
+                out_sgn = jnp.float32(-1.0 if lower else 1.0)
+                v1, v2, v3 = c * out_sgn * b1, c * b2, c * b3
+                if axis == 0:
+                    dd_x = jnp.where(m, jnp.where(lower, xl - eps_d * dxb, xu + eps_d * dxb), dd_x)
+                    dd_y = jnp.where(m, cy_, dd_y)
+                    dd_z = jnp.where(m, cz_, dd_z)
+                    dd_vx = jnp.where(m, v1, dd_vx)
+                    dd_vy = jnp.where(m, v2, dd_vy)
+                    dd_vz = jnp.where(m, v3, dd_vz)
+                    dd_si = jnp.where(m, -1 if lower else 1, dd_si)
+                elif axis == 1:
+                    dd_y = jnp.where(m, jnp.where(lower, yl - eps_d * dyb, yu + eps_d * dyb), dd_y)
+                    dd_z = jnp.where(m, cz_, dd_z)
+                    dd_x = jnp.where(m, cx_, dd_x)
+                    dd_vy = jnp.where(m, v1, dd_vy)
+                    dd_vz = jnp.where(m, v2, dd_vz)
+                    dd_vx = jnp.where(m, v3, dd_vx)
+                    dd_sj = jnp.where(m, -1 if lower else 1, dd_sj)
+                else:
+                    dd_z = jnp.where(m, jnp.where(lower, zl - eps_d * dzb, zu + eps_d * dzb), dd_z)
+                    dd_x = jnp.where(m, cx_, dd_x)
+                    dd_y = jnp.where(m, cy_, dd_y)
+                    dd_vz = jnp.where(m, v1, dd_vz)
+                    dd_vx = jnp.where(m, v2, dd_vx)
+                    dd_vy = jnp.where(m, v3, dd_vy)
+                    dd_sk = jnp.where(m, -1 if lower else 1, dd_sk)
+
+            # census: resample position uniformly in the cell + isotropic direction
+            dd_census = do_step & ~is_event
+            dd_x = jnp.where(dd_census, xl + uniform(it, 11) * dxb, dd_x)
+            dd_y = jnp.where(dd_census, yl + uniform(it, 12) * dyb, dd_y)
+            dd_z = jnp.where(dd_census, zl + uniform(it, 13) * dzb, dd_z)
+            cmu = 1.0 - 2.0 * uniform(it, 14)
+            cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
+            cphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 15)
+            dd_vx = jnp.where(dd_census, c * cst * jnp.cos(cphi), dd_vx)
+            dd_vy = jnp.where(dd_census, c * cst * jnp.sin(cphi), dd_vy)
+            dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
+
+            # merge rejected-bounce (no time advance) with step results
+            dd_x = jnp.where(rejected, rj_x, dd_x)
+            dd_y = jnp.where(rejected, rj_y, dd_y)
+            dd_z = jnp.where(rejected, rj_z, dd_z)
+            dd_vx = jnp.where(rejected, rj_vx, dd_vx)
+            dd_vy = jnp.where(rejected, rj_vy, dd_vy)
+            dd_vz = jnp.where(rejected, rj_vz, dd_vz)
+            dd_si = jnp.where(rejected, rj_si, dd_si)
+            dd_sj = jnp.where(rejected, rj_sj, dd_sj)
+            dd_sk = jnp.where(rejected, rj_sk, dd_sk)
+            dd_tau = jnp.where(rejected, tau, dd_tau)
+
+            # merge DDMC results over the IMC ones
+            nx_ = jnp.where(is_ddmc, dd_x, nx_)
+            ny_ = jnp.where(is_ddmc, dd_y, ny_)
+            nz_ = jnp.where(is_ddmc, dd_z, nz_)
+            nvx = jnp.where(is_ddmc, dd_vx, nvx)
+            nvy = jnp.where(is_ddmc, dd_vy, nvy)
+            nvz = jnp.where(is_ddmc, dd_vz, nvz)
+            ntau = jnp.where(is_ddmc, dd_tau, ntau)
+            nci = jnp.where(is_ddmc, ci + dd_si, nci)
+            ncj = jnp.where(is_ddmc, cj + dd_sj, ncj)
+            nck = jnp.where(is_ddmc, ck + dd_sk, nck)
+            nalive = jnp.where(dd_absorbed, 0, nalive)
+            nabsorbed = jnp.where(dd_absorbed, 1, nabsorbed)
 
         # ---- block transition / domain BCs ------------------------------
         out_lo_x, out_hi_x = nci < 0, nci >= nx
@@ -421,6 +650,13 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         # never read in the kernel; keep VMEM footprint minimal
         sa_t = jnp.zeros((SUBLANES, LANES), f32)
         ff_t = jnp.ones((SUBLANES, LANES), f32)
+    Kf = _n_fchunks(mesh, prm)
+    if prm.use_ddmc:
+        fpx_t = _chunk_table(coefs.px.reshape(-1), f32, Kf[0])
+        fpy_t = _chunk_table(coefs.py.reshape(-1), f32, Kf[1])
+        fpz_t = _chunk_table(coefs.pz.reshape(-1), f32, Kf[2])
+    else:
+        fpx_t = fpy_t = fpz_t = jnp.zeros((SUBLANES, LANES), f32)
     bdx_t = _lane_table(mesh.block_dx[:, 0], f32)
     bdy_t = _lane_table(mesh.block_dx[:, 1], f32)
     bdz_t = _lane_table(mesh.block_dx[:, 2], f32)
@@ -447,6 +683,8 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
         mesh.tile_shape, mesh.finest, single_block, block_dx0, block_org0,
         prm.has_absorption, K, interpret,
+        prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc, prm.at_face_tol,
+        Kf,
     )
 
     scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
@@ -471,7 +709,10 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         shape2(p.block), shape2(p.i), shape2(p.j), shape2(p.k),
         shape2(p.alive, i32), shape2(p.absorbed, i32),
     ]
-    tables = [sa_t, ss_t, ff_t, bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t]
+    tables = [
+        sa_t, ss_t, ff_t, bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t,
+        fpx_t, fpy_t, fpz_t,
+    ]
 
     out_shapes = (
         [jax.ShapeDtypeStruct((grid * SUBLANES, LANES), f32)] * 7

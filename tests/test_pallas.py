@@ -127,6 +127,38 @@ def test_pallas_interpret_matches_xla():
     assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
 
 
+def test_pallas_interpret_ddmc_matches_xla():
+    """DDMC branch of the kernel vs the XLA DDMC branch on a thick slab: same
+    diffusion statistics, full census, identical survivor counts."""
+    from jaybenne_tpu.ops import fleck as F
+
+    cfg = cm.from_deck(
+        Deck.parse(DECK).update(
+            {"jaybenne/use_ddmc": "true", "mcblock/scattering_constant_value": "1.0e3"}
+        )
+    )
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    assert supports(mesh, prm)
+    _, _, _, p, coefs, key = _setup(sigma_s=1.0e3)
+    sig = jnp.full((mesh.n_blocks, 1, 1, mesh.nx), 1.0e3)
+    px, py, pz = F.ddmc_face_probs(
+        mesh, sig, cfg.jaybenne.tau_ddmc, (False, False, False), jnp.float32
+    )
+    coefs = dataclasses.replace(coefs, px=px, py=py, pz=pz)
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, ev_p = transport_pallas(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == 4000
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 0.01
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.15
+
+
 def test_pallas_interpret_absorption():
     cfg, mesh, prm, p, coefs, key = _setup()
     prm = dataclasses.replace(prm, has_absorption=True)

@@ -154,6 +154,10 @@ class JaybenneConfig:
         if self.source_strategy == SourceStrategy.energy:
             # parity with the runtime rejection at sourcing.cpp:38-39
             raise DeckError("Energy source strategy not implemented!")
+        if self.precision not in ("f32", "f64"):
+            raise DeckError("precision must be f32 or f64")
+        if self.decomposition not in ("particle", "spatial"):
+            raise DeckError("decomposition must be particle or spatial")
 
     @property
     def dtype(self):
@@ -377,6 +381,20 @@ def from_deck(deck: Deck) -> RunConfig:
                     ),
                 )
             )
+
+    if (
+        jb.decomposition == "spatial"
+        and jb.n_devices != 1
+        and jb.use_ddmc
+        and mesh.refinement == "static"
+    ):
+        # the DDMC coarse->fine subface resample needs the destination block's face
+        # probabilities, which may live on another shard under the spatial
+        # decomposition — not wired yet (use the particle decomposition instead)
+        raise DeckError(
+            "spatial decomposition + SMR + DDMC is not supported yet; "
+            "use decomposition = particle"
+        )
 
     return RunConfig(
         problem_id=problem_id,

@@ -79,15 +79,18 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
         num_particles = jb.num_particles
 
     def _pallas_ok(p):
+        """(use_kernel, interpret): 'on' off-TPU runs the kernel in the Pallas
+        interpreter, which lets the full step exercise the kernel in CPU CI."""
         from .ops import pallas_transport as pt
 
         if jb.use_pallas == "off" or dtype != jnp.float32:
-            return False
+            return False, False
         if p.capacity % pt.TILE != 0 or not pt.supports(mesh, prm):
-            return False
+            return False, False
+        on_tpu = jax.default_backend() == "tpu"
         if jb.use_pallas == "on":
-            return True
-        return jax.default_backend() == "tpu"
+            return True, not on_tpu
+        return on_tpu, False
 
     def step(state, dt):
         # jax.named_scope regions are the trace-annotation analog of the reference's
@@ -139,10 +142,13 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
             coefs = transport_ops.precompute_coefs(
                 f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
             )
-            if _pallas_ok(p):
+            pallas_on, pallas_interp = _pallas_ok(p)
+            if pallas_on:
                 from .ops.pallas_transport import transport_pallas
 
-                p, iters, events = transport_pallas(p, coefs, mesh, k_tr, prm, dt)
+                p, iters, events = transport_pallas(
+                    p, coefs, mesh, k_tr, prm, dt, interpret=pallas_interp
+                )
             else:
                 p, iters, events = transport_ops.transport(
                     p, coefs, mesh, k_tr, prm, dt

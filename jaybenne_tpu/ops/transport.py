@@ -435,6 +435,8 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
         alive=new_alive, absorbed=new_absorbed,
     )
 
+    n_active = jnp.sum(active.astype(jnp.int32)).astype(jnp.int32)
+
     # ===================== block transition / boundary conditions =============
     leak_code = jnp.where(is_ddmc, dd_leak_code, 0) if prm.use_ddmc else None
     # the subface resample needs the destination block's face probs; under the
@@ -444,7 +446,7 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     p = resolve_block_transition(
         p, mesh, prm, coefs=sub_coefs, leak_code=leak_code, key=ks[3]
     )
-    return p, jnp.sum(active.astype(jnp.int32))
+    return p, n_active
 
 
 def resolve_block_transition(

@@ -149,17 +149,32 @@ class Simulation:
     # ------------------------------------------------------------------ outputs
     def _maybe_dump(self, force=False):
         outs = [o for o in self.cfg.outputs if o.file_type in ("hdf5", "phdf")]
-        if not outs:
-            return
-        out = outs[0]
-        if force or (out.dt > 0 and self.t >= self._next_dump_t - 1e-12 * max(out.dt, 1.0)):
-            path = io_mod.dump_filename(self.cfg.problem_id, self.dump_count, self.outdir)
-            io_mod.write_dump(
-                path, self.state, self.mesh, self.cfg, out.variables, out.swarm_variables
-            )
-            self.dump_count += 1
-            while out.dt > 0 and self._next_dump_t <= self.t + 1e-12 * max(out.dt, 1.0):
-                self._next_dump_t += out.dt
+        if outs:
+            out = outs[0]
+            if force or (
+                out.dt > 0 and self.t >= self._next_dump_t - 1e-12 * max(out.dt, 1.0)
+            ):
+                path = io_mod.dump_filename(
+                    self.cfg.problem_id, self.dump_count, self.outdir
+                )
+                io_mod.write_dump(
+                    path, self.state, self.mesh, self.cfg,
+                    out.variables, out.swarm_variables,
+                )
+                self.dump_count += 1
+                while out.dt > 0 and self._next_dump_t <= self.t + 1e-12 * max(out.dt, 1.0):
+                    self._next_dump_t += out.dt
+        # restart dumps: <parthenon/outputN> file_type = rst (Parthenon's restart
+        # output type; resumed with the -r flag)
+        rsts = [o for o in self.cfg.outputs if o.file_type in ("rst", "restart")]
+        if rsts:
+            out = rsts[0]
+            if not hasattr(self, "_next_rst_t"):
+                self._next_rst_t = out.dt
+            if out.dt > 0 and self.t >= self._next_rst_t - 1e-12 * out.dt:
+                self.write_checkpoint()
+                while self._next_rst_t <= self.t + 1e-12 * out.dt:
+                    self._next_rst_t += out.dt
 
     def write_checkpoint(self, path=None) -> str:
         path = path or os.path.join(
@@ -200,6 +215,15 @@ class Simulation:
                 print(
                     f"WARNING: particle ledger overflow, dropped {int(stats.dropped)} "
                     f"sourced particles (raise jaybenne/capacity_factor)",
+                    file=sys.stderr,
+                )
+            if int(stats.iterations) >= self.cfg.jaybenne.max_transport_iterations:
+                # the reference's hang backstop (jaybenne.cpp:195-197): the census
+                # loop was cut off; some particles did not reach end-of-step
+                print(
+                    "WARNING: transport hit max_transport_iterations "
+                    f"({self.cfg.jaybenne.max_transport_iterations}); census "
+                    "incomplete this cycle",
                     file=sys.stderr,
                 )
             self._maybe_dump()

@@ -147,6 +147,8 @@ class JaybenneConfig:
     # Pallas census-loop mega-kernel: "auto" (on TPU when the config is supported),
     # "on" (force), "off"
     use_pallas: str = "auto"
+    # per-cycle host-side invariant validation (PARTHENON_DEBUG_REQUIRE analog)
+    debug_checks: bool = False
 
     def __post_init__(self):
         if not (0.0 <= self.min_swarm_occupancy < 1.0):
@@ -328,6 +330,7 @@ def from_deck(deck: Deck) -> RunConfig:
         n_devices=deck.get_or_add_int("jaybenne", "n_devices", 1),
         decomposition=deck.get_or_add_str("jaybenne", "decomposition", "particle"),
         use_pallas=deck.get_or_add_str("jaybenne", "use_pallas", "auto"),
+        debug_checks=deck.get_or_add_bool("jaybenne", "debug_checks", False),
     )
 
     gamma = deck.get_or_add_real("mcblock", "gamma", 1.66666666667)

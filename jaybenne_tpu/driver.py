@@ -217,6 +217,10 @@ class Simulation:
                     f"sourced particles (raise jaybenne/capacity_factor)",
                     file=sys.stderr,
                 )
+            if self.cfg.jaybenne.debug_checks:
+                from .utils.debug import validate_state
+
+                validate_state(self.state, self.mesh, self.cfg)
             if int(stats.iterations) >= self.cfg.jaybenne.max_transport_iterations:
                 # the reference's hang backstop (jaybenne.cpp:195-197): the census
                 # loop was cut off; some particles did not reach end-of-step

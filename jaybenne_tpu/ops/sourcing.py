@@ -87,6 +87,10 @@ def source_photons(
     n_cell = base + bern.astype(jnp.int32)  # [B,nz,ny,nx] — local births this shard
     if cell_mask is not None:
         n_cell = jnp.where(cell_mask, n_cell, 0)
+    # cells with no source energy emit nothing (deviation: the reference creates
+    # zero-weight particles there — e.g. emission with a zero-opacity model,
+    # sourcing.cpp:98-103 — which transport as pure dead weight)
+    n_cell = jnp.where(erad > 0, n_cell, 0)
     n_glob = jax.lax.psum(n_cell, axis_name) if axis_name else n_cell
     ew = jnp.where(n_glob > 0, erad / jnp.maximum(n_glob, 1).astype(dtype), 0.0)
     ew = ew.astype(dtype)

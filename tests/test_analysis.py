@@ -98,12 +98,16 @@ def test_f64_precision_mode():
     flips on) and conserves energy at double-precision accuracy."""
     import jax
 
-    cfg = cfg_mod.from_deck(Deck.parse(DECK).update({"jaybenne/precision": "f64"}))
-    sim = Simulation(cfg, quiet=True)
-    assert sim.state.particles.x.dtype == np.float64
-    p0 = sim.state.particles
-    w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
-    sim.run()
-    p1 = sim.state.particles
-    w1 = float(np.asarray(p1.weight)[np.asarray(p1.alive)].sum())
-    assert abs(w1 - w0) / w0 < 1e-12
+    try:
+        cfg = cfg_mod.from_deck(Deck.parse(DECK).update({"jaybenne/precision": "f64"}))
+        sim = Simulation(cfg, quiet=True)
+        assert sim.state.particles.x.dtype == np.float64
+        p0 = sim.state.particles
+        w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+        sim.run()
+        p1 = sim.state.particles
+        w1 = float(np.asarray(p1.weight)[np.asarray(p1.alive)].sum())
+        assert abs(w1 - w0) / w0 < 1e-12
+    finally:
+        # x64 is process-global; restore so later f32 tests keep weak-typed int32
+        jax.config.update("jax_enable_x64", False)

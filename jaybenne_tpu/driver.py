@@ -12,7 +12,6 @@ CLI: ``python -m jaybenne_tpu.driver -i inputs/stepdiff.in [-d outdir] [-r ckpt]
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import time as _time

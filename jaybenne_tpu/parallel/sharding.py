@@ -38,7 +38,7 @@ from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import RunConfig
-from ..particles import ParticleLedger
+
 from ..state import SimState
 from ..step import StepStats, build_step_core
 

@@ -19,7 +19,6 @@ not exist (neighbor data is gathered positionally where needed).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -52,6 +52,7 @@ class Simulation:
 
             self.dmesh = sharding.device_mesh(self.n_devices)
             capacity = sharding.pad_capacity(capacity, self.n_devices)
+            capacity = self._round_capacity(capacity)
         self.state = state_mod.initial_state(self.mesh, capacity, jb.seed, self.dtype)
         self.state = state_mod.SimState(
             fields=generate_problem(self.state.fields, self.mesh, cfg, self.dtype),
@@ -101,12 +102,14 @@ class Simulation:
                 print(f"restarted from {restart} at t={self.t:.6e} cycle={self.cycle}")
 
     def _round_capacity(self, cap: int) -> int:
-        """Round up to the pallas tile so the census mega-kernel stays eligible."""
+        """Round up so the census mega-kernel stays eligible: each shard's slice of
+        the ledger must be a whole number of pallas tiles."""
         jb = self.cfg.jaybenne
-        if jb.use_pallas != "off" and jb.precision == "f32" and self.n_devices == 1:
+        if jb.use_pallas != "off" and jb.precision == "f32":
             from .ops.pallas_transport import TILE
 
-            cap = ((cap + TILE - 1) // TILE) * TILE
+            unit = TILE * max(self.n_devices, 1)
+            cap = ((cap + unit - 1) // unit) * unit
         return cap
 
     def _capacity(self) -> int:

@@ -182,6 +182,7 @@ class McblockConfig:
     temperature_scale: float = 1.0
     opacity_model: str = "none"
     opacity_constant_value: float = 0.0
+    opacity_table_file: str = ""
     scattering_model: str = "none"
     scattering_constant_value: float = 0.0
     apm: float = 1.0
@@ -204,8 +205,12 @@ class McblockConfig:
             base = opacity_models.Gray(self.opacity_constant_value)
         elif self.opacity_model == "ep_bremss":
             base = opacity_models.EPBremss()
+        elif self.opacity_model == "table":
+            base = opacity_models.TabulatedOpacity.from_file(self.opacity_table_file)
         else:
-            raise DeckError("Only none, constant, or ep_bremss opacity models supported!")
+            raise DeckError(
+                "Only none, constant, ep_bremss, or table opacity models supported!"
+            )
         return opacity_models.NonCGSUnits(
             base,
             time_scale=self.time_scale,
@@ -353,6 +358,7 @@ def from_deck(deck: Deck) -> RunConfig:
             if deck.has("mcblock", "opacity_constant_value")
             else 0.0
         ),
+        opacity_table_file=deck.get_or_add_str("mcblock", "opacity_table_file", ""),
         scattering_model=deck.get_or_add_str("mcblock", "scattering_model", "none"),
         scattering_constant_value=(
             deck.get_real("mcblock", "scattering_constant_value")

@@ -143,6 +143,74 @@ class NonCGSUnits:
         )
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class TabulatedOpacity:
+    """Tabulated gray Planck-mean opacity kappa(rho, T) with bilinear interpolation in
+    log-log space — the analog of singularity-opac's table-based models (the gray
+    models above cover everything the reference's decks exercise; tables extend the
+    family the way production hosts use singularity, SURVEY §7 "later extensible to
+    table interpolants").
+
+    ``log_rho``/``log_T`` are the (ascending, uniform or non-uniform) log10 grid
+    axes; ``log_kappa`` is [n_rho, n_T] in log10(cm^2/g). Evaluation clamps to the
+    table edges.
+    """
+
+    log_rho: tuple
+    log_T: tuple
+    log_kappa: tuple  # nested tuples so the dataclass stays hashable/static
+
+    @classmethod
+    def from_arrays(cls, rho, temp, kappa):
+        import numpy as np
+
+        return cls(
+            log_rho=tuple(np.log10(np.asarray(rho, dtype=float)).tolist()),
+            log_T=tuple(np.log10(np.asarray(temp, dtype=float)).tolist()),
+            log_kappa=tuple(
+                tuple(row) for row in np.log10(np.asarray(kappa, dtype=float))
+            ),
+        )
+
+    @classmethod
+    def from_file(cls, path):
+        """Load from an .npz with arrays ``rho`` [nr], ``T`` [nt], ``kappa`` [nr, nt]."""
+        import numpy as np
+
+        with np.load(path) as d:
+            return cls.from_arrays(d["rho"], d["T"], d["kappa"])
+
+    def _interp(self, rho, temp):
+        lr_ax = jnp.asarray(self.log_rho)
+        lt_ax = jnp.asarray(self.log_T)
+        lk = jnp.asarray(self.log_kappa)
+        lr = jnp.clip(jnp.log10(jnp.asarray(rho)), lr_ax[0], lr_ax[-1])
+        lt = jnp.clip(jnp.log10(jnp.asarray(temp)), lt_ax[0], lt_ax[-1])
+        i = jnp.clip(jnp.searchsorted(lr_ax, lr) - 1, 0, lr_ax.shape[0] - 2)
+        j = jnp.clip(jnp.searchsorted(lt_ax, lt) - 1, 0, lt_ax.shape[0] - 2)
+        fr = (lr - lr_ax[i]) / (lr_ax[i + 1] - lr_ax[i])
+        ft = (lt - lt_ax[j]) / (lt_ax[j + 1] - lt_ax[j])
+        v = (
+            lk[i, j] * (1 - fr) * (1 - ft)
+            + lk[i + 1, j] * fr * (1 - ft)
+            + lk[i, j + 1] * (1 - fr) * ft
+            + lk[i + 1, j + 1] * fr * ft
+        )
+        return 10.0**v
+
+    def absorption_coefficient(self, rho, temp, nu=1.0):
+        del nu
+        return self._interp(rho, temp) * jnp.asarray(rho)
+
+    def emissivity(self, rho, temp):
+        alpha = self.absorption_coefficient(rho, temp)
+        return alpha * constants.CC * constants.AR * jnp.asarray(temp) ** 4
+
+    def get_runtime_physical_constants(self) -> RuntimePhysicalConstants:
+        return RuntimePhysicalConstants(c=constants.CC, sb=constants.SB)
+
+
 # ---------------------------------------------------------------- scattering models
 @jax.tree_util.register_static
 @dataclasses.dataclass(frozen=True)

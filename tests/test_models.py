@@ -67,3 +67,42 @@ def test_ep_bremss_scalings():
     a3 = float(e.absorption_coefficient(1.0, 2.0e6))
     assert np.isclose(a2 / a1, 4.0)          # ~ rho^2
     assert np.isclose(a3 / a1, 2.0**-3.5)    # ~ T^-3.5
+
+
+def test_tabulated_opacity_interpolation(tmp_path):
+    """Table model reproduces an analytic kappa(rho, T) it was sampled from, both at
+    grid nodes (exact) and between them (log-log bilinear), and runs end-to-end as
+    opacity_model = table."""
+    import os
+
+    # kappa = 3 * rho^0.5 * T^-1.5 sampled on a log grid
+    rho_ax = np.logspace(-2, 2, 17)
+    t_ax = np.logspace(3, 7, 21)
+    kap = 3.0 * rho_ax[:, None] ** 0.5 * t_ax[None, :] ** -1.5
+    tab = op_m.TabulatedOpacity.from_arrays(rho_ax, t_ax, kap)
+    # at nodes: exact
+    a = float(tab.absorption_coefficient(rho_ax[5], t_ax[7]))
+    assert np.isclose(a, kap[5, 7] * rho_ax[5], rtol=1e-5)
+    # between nodes: power laws are linear in log-log -> interpolation is exact too
+    rho_q, t_q = 0.37, 4.2e5
+    a2 = float(tab.absorption_coefficient(rho_q, t_q))
+    assert np.isclose(a2, 3.0 * rho_q**0.5 * t_q**-1.5 * rho_q, rtol=1e-3)
+    # clamping at edges
+    a3 = float(tab.absorption_coefficient(1e-9, 1.0))
+    assert np.isfinite(a3) and a3 > 0
+
+    # end-to-end via the deck
+    import numpy as _np
+
+    path = os.path.join(str(tmp_path), "opac.npz")
+    _np.savez(path, rho=rho_ax, T=t_ax, kappa=kap)
+    from jaybenne_tpu.config import McblockConfig, InitialRadiation
+
+    mc = McblockConfig(
+        problem_id="t", initial_temperature=1e5, initial_density=1.0,
+        initial_radiation=InitialRadiation.thermal,
+        opacity_model="table", opacity_table_file=path,
+    )
+    opac = mc.build_opacity()
+    v = float(opac.absorption_coefficient(1.0, 1.0e5))
+    assert np.isclose(v, 3.0 * 1.0e5**-1.5, rtol=1e-3)

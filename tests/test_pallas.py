@@ -6,6 +6,7 @@ cross-checked against the XLA event loop on identical initial states (different 
 streams — statistical agreement)."""
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -21,6 +22,8 @@ from jaybenne_tpu.step import make_transport_params
 from jaybenne_tpu.ops import transport as T
 from jaybenne_tpu.ops.pallas_transport import TILE, supports, transport_pallas
 from jaybenne_tpu.utils.deck import Deck
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DECK = """
 <parthenon/job>
@@ -157,6 +160,39 @@ def test_pallas_interpret_ddmc_matches_xla():
     gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
     assert abs(gx_p.mean() - gx_x.mean()) < 0.01
     assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.15
+
+
+def test_pallas_interpret_smr_conserves_energy():
+    """Chunked-table + mixed-level path: a 20-block SMR mesh through the kernel
+    conserves energy exactly and agrees with the XLA path's totals."""
+    from jaybenne_tpu.driver import Simulation
+
+    mods = {
+        "parthenon/mesh/nx1": 32, "parthenon/mesh/nx2": 16,
+        "parthenon/meshblock/nx1": 8, "parthenon/meshblock/nx2": 8,
+        "jaybenne/num_particles": 8000,
+        "jaybenne/dt": "1.e-11", "parthenon/time/tlim": "1.e-11",
+        "mcblock/scattering_constant_value": "2.0e2",
+    }
+    totals = {}
+    for mode in ("on", "off"):
+        deck = Deck.from_file(
+            os.path.join(_ROOT, "inputs/stepdiff_smr.in")
+        ).update({**mods, "jaybenne/use_pallas": mode})
+        sim = Simulation(cm.from_deck(deck), quiet=True)
+        if mode == "on":
+            from jaybenne_tpu.ops import pallas_transport as pt
+
+            assert pt.supports(sim.mesh, make_transport_params(sim.cfg, jnp.float32))
+            assert pt._n_chunks(sim.mesh) == 10  # exercises chunked gathers
+        sim.run()
+        dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
+        p = sim.state.particles
+        w = float(np.asarray(p.weight)[np.asarray(p.alive)].sum())
+        e = float((np.asarray(sim.state.fields.energy_tally) * dv).sum())
+        assert np.isclose(e, w, rtol=1e-5)  # tally == live weights exactly
+        totals[mode] = w
+    assert np.isclose(totals["on"], totals["off"], rtol=1e-5)
 
 
 def test_pallas_interpret_absorption():

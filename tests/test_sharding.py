@@ -81,6 +81,39 @@ def test_sharded_matches_single_device_statistics():
     assert np.isclose(t1.sum(), t8.sum(), rtol=2e-2)
 
 
+def test_sharded_emission_feedback_and_growth():
+    """Sharded run with emission + feedback + ledger auto-growth under pressure:
+    total (matter + radiation) energy is exactly conserved and nothing overflows."""
+    import os
+
+    deck = Deck.from_file(
+        os.path.join(os.path.dirname(__file__), "../inputs/inf.in")
+    ).update(
+        {
+            "jaybenne/n_devices": 2,
+            "jaybenne/num_particles": 512,
+            "parthenon/time/tlim": "5.e-12",
+            "jaybenne/do_feedback": "true",
+            "jaybenne/capacity_factor": "1.2",
+        }
+    )
+    cfg = cfg_mod.from_deck(deck)
+    sim = Simulation(cfg, quiet=True)
+    dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
+    f0, p0 = sim.state.fields, sim.state.particles
+    e0 = float((np.asarray(f0.u) * dv).sum()) + float(
+        np.asarray(p0.weight)[np.asarray(p0.alive)].sum()
+    )
+    sim.run()
+    f1, p1 = sim.state.fields, sim.state.particles
+    e1 = float((np.asarray(f1.u) * dv).sum()) + float(
+        np.asarray(p1.weight)[np.asarray(p1.alive)].sum()
+    )
+    assert int(sim.state.overflow) == 0
+    assert int(p1.num_alive()) > 512  # population grew toward equilibrium
+    assert abs(e1 - e0) / e0 < 5e-4
+
+
 def test_sharded_energy_conservation():
     s8 = _run(8)
     p = s8.state.particles

@@ -66,6 +66,28 @@ def _run(n_devices):
     return sim
 
 
+def test_sharded_smoke_two_devices():
+    """Fast default-suite check: a 2-device particle-sharded run conserves energy
+    exactly and produces a replicated tally (heavier statistical comparisons are
+    slow-marked below)."""
+    deck = Deck.parse(DECK).update(
+        {"jaybenne/n_devices": 2, "jaybenne/num_particles": 8000,
+         "parthenon/time/tlim": "3.335641e-11"}
+    )
+    sim = Simulation(cfg_mod.from_deck(deck), quiet=True)
+    p0 = sim.state.particles
+    w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+    sim.run()
+    p = sim.state.particles
+    w1 = float(np.asarray(p.weight)[np.asarray(p.alive)].sum())
+    assert np.isclose(w0, w1, rtol=1e-5)
+    t = np.asarray(sim.state.fields.energy_tally)
+    dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
+    assert np.isclose((t * dv).sum(), w1, rtol=1e-4)
+    assert int(sim.state.overflow) == 0
+
+
+@pytest.mark.slow
 def test_sharded_matches_single_device_statistics():
     """1-device and 8-device runs of the same problem agree to MC noise, and the
     sharded tally is replicated across devices (the analog of the reference's
@@ -81,6 +103,7 @@ def test_sharded_matches_single_device_statistics():
     assert np.isclose(t1.sum(), t8.sum(), rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_sharded_emission_feedback_and_growth():
     """Sharded run with emission + feedback + ledger auto-growth under pressure:
     total (matter + radiation) energy is exactly conserved and nothing overflows."""
@@ -114,6 +137,7 @@ def test_sharded_emission_feedback_and_growth():
     assert abs(e1 - e0) / e0 < 5e-4
 
 
+@pytest.mark.slow
 def test_sharded_energy_conservation():
     s8 = _run(8)
     p = s8.state.particles

@@ -146,6 +146,7 @@ def test_pure_scattering_conserves_weight():
     assert int(stats.iterations) < sim.cfg.jaybenne.max_transport_iterations
 
 
+@pytest.mark.slow
 def test_two_blocks_statistics_match_one_block():
     """Block decomposition must not change the physics: 1-block vs 2-block runs of
     the same pure-scattering slab agree to MC noise (reference exercises this via

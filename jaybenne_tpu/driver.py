@@ -87,6 +87,7 @@ class Simulation:
         self.total_iters = 0
         self.dump_count = 0
         self._next_dump_t = 0.0
+        self.history = []  # per-cycle diagnostics (written to history.json)
         if restart:
             # checkpoint/resume: full state (fields + particle ledger + RNG +
             # counters) — SURVEY §5 notes this as a cheap win over the reference,
@@ -206,6 +207,17 @@ class Simulation:
             ev = int(stats.events)
             self.total_events += ev
             self.total_iters += int(stats.iterations)
+            self.history.append(
+                {
+                    "cycle": self.cycle,
+                    "time": self.t,
+                    "dt": step_dt,
+                    "iterations": int(stats.iterations),
+                    "events": ev,
+                    "alive": int(stats.n_alive),
+                    "dropped": int(stats.dropped),
+                }
+            )
             if not self.quiet:
                 print(
                     f"cycle={self.cycle} time={self.t:.6e} dt={step_dt:.6e} "
@@ -235,6 +247,23 @@ class Simulation:
             self._maybe_dump()
         self.walltime = _time.time() - wall0
         self._maybe_dump(force=True)
+        # per-cycle diagnostics ledger (observability: the per-cycle stdout plus a
+        # machine-readable record, cf. the harness summaries in SURVEY §5)
+        try:
+            import json
+
+            with open(os.path.join(self.outdir, "history.json"), "w") as fh:
+                json.dump(
+                    {
+                        "problem_id": self.cfg.problem_id,
+                        "walltime_s": self.walltime,
+                        "total_events": self.total_events,
+                        "cycles": self.history,
+                    },
+                    fh, indent=1,
+                )
+        except OSError:  # pragma: no cover
+            pass
         if not self.quiet:
             rate = self.total_events / max(self.walltime, 1e-9)
             print(

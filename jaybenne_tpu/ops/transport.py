@@ -71,6 +71,9 @@ class TransportCoefs:
     px: jnp.ndarray       # [B, nz, ny, nx+1] DDMC face probs (zeros if unused)
     py: jnp.ndarray       # [B, nz, ny+1, nx]
     pz: jnp.ndarray       # [B, nz+1, ny, nx]
+    # optional [NC, 3] (sigma_a, sigma_s, fleck): lets the XLA event loop fetch all
+    # three with ONE row gather per event
+    packed: jnp.ndarray = None
 
 
 @pytree_dataclass
@@ -107,10 +110,14 @@ def precompute_coefs(fields, mesh, eos, opacity, scattering, use_ddmc, dtype):
     sigma_a = opacity.absorption_coefficient(fields.rho, temp, 1.0)
     sigma_s = jnp.broadcast_to(jnp.asarray(sigma_s, dtype), fields.rho.shape)
     sigma_a = jnp.broadcast_to(jnp.asarray(sigma_a, dtype), fields.rho.shape)
+    sa_flat = sigma_a.reshape(-1)
+    ss_flat = sigma_s.reshape(-1)
+    ff_flat = fields.fleck.reshape(-1).astype(dtype)
     return TransportCoefs(
-        sigma_a=sigma_a.reshape(-1),
-        sigma_s=sigma_s.reshape(-1),
-        fleck=fields.fleck.reshape(-1).astype(dtype),
+        sigma_a=sa_flat,
+        sigma_s=ss_flat,
+        fleck=ff_flat,
+        packed=jnp.stack([sa_flat, ss_flat, ff_flat], axis=-1),
         px=fields.ddmc_px if use_ddmc else jnp.zeros_like(fields.ddmc_px),
         py=fields.ddmc_py if use_ddmc else jnp.zeros_like(fields.ddmc_py),
         pz=fields.ddmc_pz if use_ddmc else jnp.zeros_like(fields.ddmc_pz),
@@ -157,9 +164,13 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     dmin = jnp.minimum(dx, jnp.minimum(dy, dz))
     b_idx = jnp.clip(b_local, 0, coefs.px.shape[0] - 1)  # field-gather block index
     cell = mesh.flat_cell(b_idx, p.k, p.j, p.i)
-    sa = jnp.take(coefs.sigma_a, cell)
-    ss = jnp.take(coefs.sigma_s, cell)
-    ff = jnp.take(coefs.fleck, cell)
+    if coefs.packed is not None:
+        rows = jnp.take(coefs.packed, cell, axis=0)  # one 3-wide row gather
+        sa, ss, ff = rows[:, 0], rows[:, 1], rows[:, 2]
+    else:
+        sa = jnp.take(coefs.sigma_a, cell)
+        ss = jnp.take(coefs.sigma_s, cell)
+        ff = jnp.take(coefs.fleck, cell)
     sig_t = sa + ss
 
     is_ddmc = active & (dmin * sig_t > prm.tau_ddmc) if prm.use_ddmc else jnp.zeros_like(active)

@@ -183,10 +183,14 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
         coefs_full = transport_ops.precompute_coefs(
             f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
         )
+        sa_l = slice_local(coefs_full.sigma_a.reshape(B, ncells), shard, 0.0).reshape(-1)
+        ss_l = slice_local(coefs_full.sigma_s.reshape(B, ncells), shard, 0.0).reshape(-1)
+        ff_l = slice_local(coefs_full.fleck.reshape(B, ncells), shard, 1.0).reshape(-1)
         coefs_local = transport_ops.TransportCoefs(
-            sigma_a=slice_local(coefs_full.sigma_a.reshape(B, ncells), shard, 0.0).reshape(-1),
-            sigma_s=slice_local(coefs_full.sigma_s.reshape(B, ncells), shard, 0.0).reshape(-1),
-            fleck=slice_local(coefs_full.fleck.reshape(B, ncells), shard, 1.0).reshape(-1),
+            sigma_a=sa_l,
+            sigma_s=ss_l,
+            fleck=ff_l,
+            packed=jnp.stack([sa_l, ss_l, ff_l], axis=-1),
             px=slice_local(coefs_full.px, shard, 0.0),
             py=slice_local(coefs_full.py, shard, 0.0),
             pz=slice_local(coefs_full.pz, shard, 0.0),

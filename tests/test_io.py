@@ -69,8 +69,8 @@ def test_dump_roundtrip(tmp_path):
 
     sim = Simulation(_cfg(), outdir=str(tmp_path), quiet=True)
     sim.run()
-    files = sorted(os.listdir(tmp_path))
-    assert any(f.endswith(".phdf") for f in files)
+    files = sorted(f for f in os.listdir(tmp_path) if f.endswith(".phdf"))
+    assert files
     d = jhdf.jhdf(os.path.join(tmp_path, files[-1]))
     assert d.NumBlocks == 1 and d.NX1 == 16
     v = d.Get("field.jaybenne.energy_tally")

@@ -81,3 +81,28 @@ def test_reference_decks_parse():
     for path in decks:
         d = Deck.from_file(path)
         assert d.get_str("parthenon/job", "problem_id")
+
+
+def test_all_decks_build_full_config():
+    """Every shipped deck parses into a complete RunConfig with constructible
+    physics models and a buildable mesh."""
+    import glob
+    import os
+
+    from jaybenne_tpu import config as cfg_mod
+    from jaybenne_tpu.mesh import build_mesh
+
+    decks = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "../inputs/*.in"))
+    )
+    assert len(decks) == 7
+    for path in decks:
+        cfg = cfg_mod.from_file(path)
+        cfg.mcblock.build_eos()
+        cfg.mcblock.build_opacity()
+        cfg.mcblock.build_scattering()
+        mesh = build_mesh(cfg.mesh, use_native=False)
+        assert mesh.n_blocks >= 1
+        assert cfg.jaybenne.num_particles > 0
+        if "smr" in os.path.basename(path):
+            assert mesh.max_level == 1

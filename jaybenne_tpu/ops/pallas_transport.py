@@ -506,36 +506,44 @@ def _transport_kernel(
             gy = _gather(boy_ref[:], blk) + ny_
             gz = _gather(boz_ref[:], blk) + nz_
 
-        def apply_bc(g, v, lo, hi, o_lo, o_hi, bc_lo, bc_hi, al):
-            L = hi - lo
-            hit_lo = o_lo & (g <= lo)
-            hit_hi = o_hi & (g >= hi)
+        def apply_bc(g, v, lo, hi, o_lo, o_hi, bc_lo, bc_hi, al, half):
+            # Half-finest-cell tolerant hit test + domain clip, mirroring
+            # ops/transport.py::apply_bc (inexact deck extents round the pinned
+            # face position below the bound; exact comparison would livelock).
+            L = jnp.float32(hi - lo)
+            lo = jnp.float32(lo)
+            hi = jnp.float32(hi)
+            hit_lo = o_lo & (g <= lo + jnp.float32(half))
+            hit_hi = o_hi & (g >= hi - jnp.float32(half))
             if bc_lo == BC.reflecting:
-                g = jnp.where(hit_lo, 2.0 * lo - g, g)
+                g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
                 v = jnp.where(hit_lo, -v, v)
             elif bc_lo == BC.periodic:
-                g = jnp.where(hit_lo, g + L, g)
+                g = jnp.where(hit_lo, jnp.clip(g + L, lo, hi), g)
             else:
                 al = jnp.where(hit_lo, 0, al)
             if bc_hi == BC.reflecting:
-                g = jnp.where(hit_hi, 2.0 * hi - g, g)
+                g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
                 v = jnp.where(hit_hi, -v, v)
             elif bc_hi == BC.periodic:
-                g = jnp.where(hit_hi, g - L, g)
+                g = jnp.where(hit_hi, jnp.clip(g - L, lo, hi), g)
             else:
                 al = jnp.where(hit_hi, 0, al)
             return g, v, al
 
         gx, nvx, nalive = apply_bc(
-            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive
+            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive,
+            0.5 * finest[0],
         )
         if multi_d:
             gy, nvy, nalive = apply_bc(
-                gy, nvy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3], nalive
+                gy, nvy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3], nalive,
+                0.5 * finest[1],
             )
         if three_d:
             gz, nvz, nalive = apply_bc(
-                gz, nvz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5], nalive
+                gz, nvz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5], nalive,
+                0.5 * finest[2],
             )
 
         out = (out_lo_x | out_hi_x | out_lo_y | out_hi_y | out_lo_z | out_hi_z) & (

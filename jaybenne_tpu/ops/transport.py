@@ -340,9 +340,12 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
             cum = cum + l
         # numerical remainder: force the last face for leak events that fell through
         fallthrough = do_step & is_event & ~dd_absorbed & ~leak_any
-        leak_sel[5] = leak_sel[5] | (fallthrough & three_d)
-        leak_sel[3] = leak_sel[3] | (fallthrough & multi_d & ~three_d)
-        leak_sel[1] = leak_sel[1] | (fallthrough & ~multi_d)
+        if three_d:
+            leak_sel[5] = leak_sel[5] | fallthrough
+        elif multi_d:
+            leak_sel[3] = leak_sel[3] | fallthrough
+        else:
+            leak_sel[1] = leak_sel[1] | fallthrough
         leak_any = leak_any | fallthrough
 
         b1, b2, b3 = rng.face_isotropic_direction(ks[7], shape, dtype)
@@ -497,34 +500,43 @@ def resolve_block_transition(
     alive = p.alive
     vx, vy, vz = p.vx, p.vy, p.vz
 
-    def apply_bc(g, v, lo, hi, out_lo, out_hi, bc_lo, bc_hi):
+    def apply_bc(g, v, lo, hi, out_lo, out_hi, bc_lo, bc_hi, half):
+        # The hit test is tolerant by half a finest cell: with inexact domain
+        # extents (e.g. [0, 0.1] at nx=10) the pinned face position of the
+        # outermost cell can round BELOW the deck's upper bound, and an exact
+        # ``g >= hi`` would never fire — re-homing the particle into the same
+        # boundary cell forever. Internal block faces always sit at least one
+        # finest cell inside the bound, so the window cannot catch a genuine
+        # interior crossing.
         nonlocal alive
         L = hi - lo
-        hit_lo = out_lo & (g <= lo)
-        hit_hi = out_hi & (g >= hi)
-        # reflecting: mirror position about the bound, flip velocity
+        hit_lo = out_lo & (g <= lo + half)
+        hit_hi = out_hi & (g >= hi - half)
+        # reflecting: mirror position about the bound, flip velocity (clipped to
+        # the domain: a sub-half-cell rounding of g must not mirror to outside)
         if bc_lo == BC.reflecting:
-            g = jnp.where(hit_lo, 2.0 * lo - g, g)
+            g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
             v = jnp.where(hit_lo, -v, v)
         elif bc_lo == BC.periodic:
-            g = jnp.where(hit_lo, g + L, g)
+            g = jnp.where(hit_lo, jnp.clip(g + L, lo, hi), g)
         else:  # outflow
             alive = jnp.where(hit_lo, False, alive)
         if bc_hi == BC.reflecting:
-            g = jnp.where(hit_hi, 2.0 * hi - g, g)
+            g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
             v = jnp.where(hit_hi, -v, v)
         elif bc_hi == BC.periodic:
-            g = jnp.where(hit_hi, g - L, g)
+            g = jnp.where(hit_hi, jnp.clip(g - L, lo, hi), g)
         else:
             alive = jnp.where(hit_hi, False, alive)
         return g, v
 
     bcs = prm.swarm_bc
-    gx, vx = apply_bc(gx, vx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1])
+    fx, fy, fz = mesh.finest
+    gx, vx = apply_bc(gx, vx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], 0.5 * fx)
     if prm.ndim >= 2:
-        gy, vy = apply_bc(gy, vy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3])
+        gy, vy = apply_bc(gy, vy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3], 0.5 * fy)
     if prm.ndim == 3:
-        gz, vz = apply_bc(gz, vz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5])
+        gz, vz = apply_bc(gz, vz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5], 0.5 * fz)
 
     # Crossing positions sit EXACTLY on block faces, where a position-only lookup is
     # ambiguous (it would always pick the upper block, livelocking a downward-moving

@@ -193,3 +193,53 @@ def test_outflow_removes_particles():
     sim.run()
     n1 = int(sim.state.particles.num_alive())
     assert n1 < 0.25 * n0, (n0, n1)
+
+
+def test_inexact_domain_extents_do_not_livelock():
+    """With extents like [0, 0.1] whose cell faces are not binary-exact, nx*dx can
+    round below x1max in f32; the domain-face hit test must still recognize the
+    boundary (it is tolerant by half a finest cell) instead of re-homing the
+    particle into the top cell forever. Free-streaming outflow: everyone must exit
+    in O(nx) events, not max_transport_iterations."""
+    sim = _sim(
+        {
+            "parthenon/mesh/x1min": "0.0",
+            "parthenon/mesh/x1max": "0.1",
+            "parthenon/mesh/nx1": "10",
+            "parthenon/swarm/ix1_bc": "outflow",
+            "parthenon/swarm/ox1_bc": "outflow",
+            "mcblock/opacity_model": "none",
+            "mcblock/scattering_model": "none",
+            "jaybenne/do_emission": "false",
+            "parthenon/time/tlim": "1.e-10",
+            "jaybenne/dt": "1.e-10",
+        }
+    )
+    n0 = int(sim.state.particles.num_alive())
+    assert n0 > 0
+    state, stats = sim.step_fn(sim.state, jnp.float32(1.0e-10))
+    # dt = one light-crossing time of the 0.1 cm box: only near-grazing directions
+    # survive. Grazing flights are zone-size capped at dmin per event, so the
+    # longest legitimate history is ~c*dt/dmin = 300 events; the livelocked bug
+    # spun to max_transport_iterations (10000).
+    assert int(stats.iterations) < 400, int(stats.iterations)
+    assert int(state.particles.num_alive()) < 0.5 * n0
+
+
+def test_reflecting_inexact_extents_conserves_particles():
+    """Same inexact extents with reflecting walls and pure scattering: no particle
+    may be lost or livelocked by the boundary arithmetic."""
+    sim = _sim(
+        {
+            "parthenon/mesh/x1min": "0.0",
+            "parthenon/mesh/x1max": "0.1",
+            "parthenon/mesh/nx1": "10",
+            "mcblock/opacity_model": "none",
+            "mcblock/scattering_constant_value": "1.0e2",
+            "jaybenne/do_emission": "false",
+        }
+    )
+    n0 = int(sim.state.particles.num_alive())
+    state, stats = sim.step_fn(sim.state, jnp.float32(1.0e-11))
+    assert int(state.particles.num_alive()) == n0
+    assert int(stats.iterations) < sim.cfg.jaybenne.max_transport_iterations

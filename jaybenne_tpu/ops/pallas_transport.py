@@ -5,11 +5,14 @@ particle array and temporary, threefry RNG cost, and dispatch overhead — ~40 n
 measured on v5e. This kernel runs the ENTIRE census loop on-chip:
 
   * the particle tile (pos/vel/tau/cell ids/flags) lives in VMEM for the whole loop;
-  * per-cell coefficients, block geometry, and the block-lookup grid are VMEM tables
-    read with ``tpu.dynamic_gather`` in LANE mode (``take_along_axis(..., axis=1)``;
-    Mosaic on v5e supports per-lane gathers within a 128-lane row, so tables are
-    replicated across rows and limited to 128 entries — sublane-mode gather crashes
-    the backend compiler on this target);
+  * per-cell coefficients, DDMC face probs, block geometry/levels, and the
+    block-lookup grid are VMEM tables read with ``tpu.dynamic_gather`` in LANE mode
+    (``take_along_axis(..., axis=1)``; Mosaic on v5e supports per-lane gathers
+    within a 128-lane row — sublane-mode gather crashes the backend compiler on
+    this target). Tables beyond 128 entries are split into 128-entry chunks, each
+    stored as a single replicated vreg row-group (GREP sublanes) and range-selected
+    at gather time — the op count matches a fully replicated table, at 1/32 the
+    VMEM;
   * random numbers come from the hardware PRNG (``pltpu.prng_random_bits``), seeded
     per (tile, step) — the analog of the reference's per-thread ``XorShift64`` pool;
   * each grid tile (SUBLANES*128 particles) iterates to ITS OWN census completion,
@@ -18,15 +21,17 @@ measured on v5e. This kernel runs the ENTIRE census loop on-chip:
     gathers: cell size/origin become scalars and transitions reduce to domain BCs.
 
 Physics is the same algorithm as the XLA path (the branch structure of
-``ptcl_transport_step``, reference ``transport_utils.hpp:111-160``, plus the inline
-block-transition/BC logic); only the RNG stream differs, which Monte Carlo
-tolerances absorb.
+``ptcl_transport_step``, reference ``transport_utils.hpp:111-160``; the DDMC branch
+of ``transport_ddmc.cpp:28-237`` incl. the in-kernel coarse->fine subface resample
+of ``sample_ddmc_bface.cpp``; plus the inline block-transition/BC logic); only the
+RNG stream differs, which Monte Carlo tolerances absorb.
 
-Scope (phase 1): pure-IMC steps (``use_ddmc=False``) on meshes with
-``total_cells <= 128``; larger meshes and the DDMC branch fall back to the XLA path
-(chunked lane-gather is the planned extension).
+Scope: every shipped configuration — IMC and DDMC, uniform and SMR meshes — up to
+the chunk-scan caps in ``supports()``; meshes beyond them fall back to the XLA
+path (the bucketed region-resident kernel is the planned extension for O(1e5+)
+cells).
 
-Measured on v5e (stepdiff, 128 cells, 100k particles): see BENCH notes / bench.py.
+Measured on v5e (stepdiff, 128 cells, 100k particles): see BENCH.md / bench.py.
 """
 
 from __future__ import annotations
@@ -43,9 +48,17 @@ from ..config import BC
 
 SUBLANES = 256
 LANES = 128
+GREP = 8                 # sublane rows per stored table chunk (one f32 vreg)
 TILE = SUBLANES * LANES  # particles per grid tile
-MAX_TABLE = LANES        # a single lane-gather table holds at most 128 entries
 VMEM_BUDGET = 10 * 1024 * 1024  # soft cap for resident tables + particle tile
+# A lane-mode dynamic gather touches one 128-entry chunk per op, so reads from an
+# N-entry table scan ceil(N/128) chunks with a range-select each. Beyond this many
+# chunks the per-event coefficient fetch dominates the physics body and the
+# bucketed transport path (particles sorted by mesh region, region tables DMAd
+# per grid step) is the right tool instead.
+MAX_CELL_CHUNKS = 40
+MAX_FACE_CHUNKS = 72
+MAX_BLOCK_CHUNKS = 4
 
 
 def _n_chunks(mesh) -> int:
@@ -68,85 +81,102 @@ def _n_fchunks(mesh, prm):
     return (-(-fx // LANES), -(-fy // LANES), -(-fz // LANES))
 
 
-def supports(mesh, prm) -> bool:
-    """Whether this kernel covers the configuration. Cell tables beyond 128 entries
-    are split into 128-entry lane-gather chunks selected by range; the chunk count
-    is bounded by the VMEM budget. DDMC is supported on uniform (single-level)
-    meshes; the SMR coarse->fine subface resample stays on the XLA path."""
+def _n_bchunks(mesh) -> int:
+    return -(-mesh.n_blocks // LANES)
+
+
+def _n_tchunks(mesh) -> int:
     n_tiles = mesh.tile_shape[0] * mesh.tile_shape[1] * mesh.tile_shape[2]
+    return -(-n_tiles // LANES)
+
+
+def supports(mesh, prm) -> bool:
+    """Whether the VMEM-resident kernel covers the configuration. All tables (cell
+    coefficients, DDMC face probs, block geometry/level, lookup grid) are chunked
+    128-entry lane-gather tables, so the limits are the chunk-scan cost caps above
+    plus the VMEM budget — uniform AND refined (SMR) meshes, IMC and DDMC alike."""
     K = _n_chunks(mesh)
+    Kf = _n_fchunks(mesh, prm)
+    nb = _n_bchunks(mesh)
+    nt = _n_tchunks(mesh)
     n_cell_tables = 3 if prm.has_absorption else 1
-    table_bytes = (n_cell_tables * K + 7) * SUBLANES * LANES * 4
-    if prm.use_ddmc:
-        if mesh.max_level > 0:
-            return False
-        table_bytes += sum(_n_fchunks(mesh, prm)) * SUBLANES * LANES * 4
-    particle_bytes = 13 * SUBLANES * LANES * 4
+    n_block_tables = 7 + (1 if mesh.max_level > 0 else 0)  # +level for SMR
+    table_bytes = (
+        (n_cell_tables * K + n_block_tables * nb + nt + sum(Kf))
+        * GREP * LANES * 4
+    )
+    particle_bytes = 14 * SUBLANES * LANES * 4
     return (
-        mesh.n_blocks <= MAX_TABLE
-        and n_tiles <= MAX_TABLE
+        K <= MAX_CELL_CHUNKS
+        and max(Kf) <= MAX_FACE_CHUNKS
+        and nb <= MAX_BLOCK_CHUNKS
+        and nt <= MAX_BLOCK_CHUNKS
         and table_bytes + particle_bytes <= VMEM_BUDGET
     )
 
 
-def _lane_table(vec, dtype):
-    """[N<=128] -> [SUBLANES, LANES]: padded to 128 lanes, replicated across rows."""
-    n = vec.shape[0]
-    row = jnp.concatenate([vec.astype(dtype), jnp.zeros((LANES - n,), dtype)])
-    return jnp.broadcast_to(row[None, :], (SUBLANES, LANES))
-
-
 def _chunk_table(vec, dtype, n_chunks):
-    """[N] -> [n_chunks*SUBLANES, LANES]: 128-entry chunks stacked along sublanes,
-    each chunk lane-padded and row-replicated."""
+    """[N] -> [n_chunks*GREP, LANES]: 128-entry chunks stacked along sublanes, each
+    chunk lane-padded and replicated across GREP (= one vreg of) rows. Gathers
+    process the particle tile in GREP-row groups against the same vreg, so wider
+    replication would buy nothing and cost 32x the VMEM."""
     n = vec.shape[0]
     pad = n_chunks * LANES - n
     flat = jnp.concatenate([vec.astype(dtype), jnp.zeros((pad,), dtype)])
     chunks = flat.reshape(n_chunks, LANES)
     return jnp.broadcast_to(
-        chunks[:, None, :], (n_chunks, SUBLANES, LANES)
-    ).reshape(n_chunks * SUBLANES, LANES)
+        chunks[:, None, :], (n_chunks, GREP, LANES)
+    ).reshape(n_chunks * GREP, LANES)
 
 
-def _gather(tab, idx):
-    """Per-lane gather: out[i,j] = tab[i, idx[i,j]] (single 128-entry table)."""
-    return jnp.take_along_axis(tab, jnp.clip(idx, 0, LANES - 1), axis=1)
+def _gather(tab_ref, idx, n_chunks=1):
+    """Gather from a chunked table ref ([n_chunks*GREP, LANES]) with arbitrary flat
+    indices: per GREP-row group of the index tile, each 128-entry chunk is
+    lane-gathered and range-selected (same vector-op count as a fully replicated
+    table — a [SUBLANES, LANES] gather is 32 vreg gathers either way)."""
+    groups = []
+    for s in range(idx.shape[0] // GREP):
+        sl = idx[s * GREP : (s + 1) * GREP, :]
+        if n_chunks == 1:
+            g = jnp.take_along_axis(tab_ref[0:GREP, :], jnp.clip(sl, 0, LANES - 1), axis=1)
+        else:
+            g = jnp.zeros(sl.shape, tab_ref.dtype)
+            for k in range(n_chunks):
+                rel = sl - k * LANES
+                hit = (rel >= 0) & (rel < LANES)
+                part = jnp.take_along_axis(
+                    tab_ref[k * GREP : (k + 1) * GREP, :],
+                    jnp.clip(rel, 0, LANES - 1),
+                    axis=1,
+                )
+                g = jnp.where(hit, part, g)
+        groups.append(g)
+    return jnp.concatenate(groups, axis=0)
 
 
-def _gather_chunked(tab_ref, idx, n_chunks):
-    """Gather from a chunked table ([n_chunks*SUBLANES, LANES] ref) with arbitrary
-    flat indices: each 128-entry chunk is lane-gathered and range-selected."""
-    if n_chunks == 1:
-        return _gather(tab_ref[0:SUBLANES, :], idx)
-    out = jnp.zeros(idx.shape, tab_ref.dtype)
-    for k in range(n_chunks):
-        rel = idx - k * LANES
-        hit = (rel >= 0) & (rel < LANES)
-        part = _gather(tab_ref[k * SUBLANES : (k + 1) * SUBLANES, :], rel)
-        out = jnp.where(hit, part, out)
-    return out
+_gather_chunked = _gather  # call-site alias: explicit chunk count
 
 
 def _transport_kernel(
     scal_ref,   # SMEM f32[8]: dt, c
     seed_ref,   # SMEM i32[1]
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
-    blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref,
+    blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
     sa_ref, ss_ref, ff_ref,
     bdx_ref, bdy_ref, bdz_ref,
     box_ref, boy_ref, boz_ref,
-    lut_ref,
+    lut_ref, blv_ref,
     fpx_ref, fpy_ref, fpz_ref,
     ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
-    oblk_ref, oci_ref, ocj_ref, ock_ref, oalive_ref, oabsorbed_ref,
+    oblk_ref, oci_ref, ocj_ref, ock_ref, oalive_ref, oabsorbed_ref, oface_ref,
     ev_ref, it_ref,
     *,
     prm_static,
 ):
     (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
      single_block, block_dx0, block_org0, has_absorption, n_chunks,
-     interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc, at_face_tol,
-     n_fchunks) = prm_static
+     interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc,
+     n_fchunks, nb_chunks, nt_chunks, has_smr) = prm_static
     multi_d = ndim >= 2
     three_d = ndim == 3
     dt = scal_ref[0]
@@ -198,7 +228,8 @@ def _transport_kernel(
         return -jnp.log(jnp.maximum(uniform(it, tag), tiny))
 
     def body(carry):
-        (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, it, ev) = carry
+        (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
+         it, ev) = carry
         active = (alive != 0) & (tau < 1.0)
 
         if single_block:
@@ -208,9 +239,9 @@ def _transport_kernel(
             dmin = jnp.float32(min(block_dx0))
             cell = (ck * ny + cj) * nx + ci
         else:
-            dxb = _gather(bdx_ref[:], blk)
-            dyb = _gather(bdy_ref[:], blk)
-            dzb = _gather(bdz_ref[:], blk)
+            dxb = _gather(bdx_ref, blk, nb_chunks)
+            dyb = _gather(bdy_ref, blk, nb_chunks)
+            dzb = _gather(bdz_ref, blk, nb_chunks)
             dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
             cell = (blk * (nz * ny * nx)) + (ck * ny + cj) * nx + ci
         ss = _gather_chunked(ss_ref, cell, n_chunks)
@@ -291,27 +322,26 @@ def _transport_kernel(
 
         nalive = jnp.where(i_abs, 0, alive)
         nabsorbed = jnp.where(i_abs, 1, absorbed)
+        # face-arrival code (see ParticleLedger.face): a crossing pins the
+        # particle onto a face of its new cell; any other outcome clears it
+        nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
+        nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
+        nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
 
         # ================= DDMC branch (ptcl_ddmc_albedo / ptcl_ddmc_step) ====
         if use_ddmc:
-            tol = jnp.float32(at_face_tol)
             sig_t = sa + ss
-            # at-face detection, priority chain (xl, xu, yl, yu, zl, zu)
-            at = [
-                is_ddmc & (jnp.abs(x - xl) < tol * dxb),
-                is_ddmc & (jnp.abs(x - xu) < tol * dxb),
-                is_ddmc & multi_d & (jnp.abs(y - yl) < tol * dyb),
-                is_ddmc & multi_d & (jnp.abs(y - yu) < tol * dyb),
-                is_ddmc & three_d & (jnp.abs(z - zl) < tol * dzb),
-                is_ddmc & three_d & (jnp.abs(z - zu) < tol * dzb),
+            # at-face detection keys on the IMC-crossing arrival flag; codes are
+            # mutually exclusive (see ops/transport.py and ParticleLedger.face)
+            sel = [
+                is_ddmc & (face == 1),
+                is_ddmc & (face == -1),
+                is_ddmc & (face == 2),
+                is_ddmc & (face == -2),
+                is_ddmc & (face == 3),
+                is_ddmc & (face == -3),
             ]
-            sel = []
-            taken = jnp.zeros(shape, bool)
-            for m in at:
-                m = m & ~taken
-                sel.append(m)
-                taken = taken | m
-            at_face = taken
+            at_face = is_ddmc & (face != 0)
 
             lam2 = jnp.float32(2.0 * 0.7104)
             P = jnp.zeros(shape)
@@ -420,6 +450,7 @@ def _transport_kernel(
             dd_si = jnp.zeros(shape, jnp.int32)
             dd_sj = jnp.zeros(shape, jnp.int32)
             dd_sk = jnp.zeros(shape, jnp.int32)
+            dd_leak = jnp.zeros(shape, jnp.int32)  # +-(axis+1) of a leak this event
             cx_, cy_, cz_ = xl + 0.5 * dxb, yl + 0.5 * dyb, zl + 0.5 * dzb
             eps_d = jnp.float32(eps_ddmc)
             for m, axis, lower in (
@@ -427,6 +458,7 @@ def _transport_kernel(
                 (leak_sel[2], 1, True), (leak_sel[3], 1, False),
                 (leak_sel[4], 2, True), (leak_sel[5], 2, False),
             ):
+                dd_leak = jnp.where(m, (-1 if lower else 1) * (axis + 1), dd_leak)
                 out_sgn = jnp.float32(-1.0 if lower else 1.0)
                 v1, v2, v3 = c * out_sgn * b1, c * b2, c * b3
                 if axis == 0:
@@ -477,6 +509,7 @@ def _transport_kernel(
             dd_sj = jnp.where(rejected, rj_sj, dd_sj)
             dd_sk = jnp.where(rejected, rj_sk, dd_sk)
             dd_tau = jnp.where(rejected, tau, dd_tau)
+            dd_leak = jnp.where(rejected, 0, dd_leak)
 
             # merge DDMC results over the IMC ones
             nx_ = jnp.where(is_ddmc, dd_x, nx_)
@@ -491,6 +524,11 @@ def _transport_kernel(
             nck = jnp.where(is_ddmc, ck + dd_sk, nck)
             nalive = jnp.where(dd_absorbed, 0, nalive)
             nabsorbed = jnp.where(dd_absorbed, 1, nabsorbed)
+            # every DDMC outcome leaves the particle off-face
+            nface = jnp.where(is_ddmc, 0, nface)
+            nleak = jnp.where(is_ddmc, dd_leak, 0)
+        else:
+            nleak = jnp.zeros(shape, jnp.int32)
 
         # ---- block transition / domain BCs ------------------------------
         out_lo_x, out_hi_x = nci < 0, nci >= nx
@@ -502,11 +540,11 @@ def _transport_kernel(
             gy = jnp.float32(block_org0[1]) + ny_
             gz = jnp.float32(block_org0[2]) + nz_
         else:
-            gx = _gather(box_ref[:], blk) + nx_
-            gy = _gather(boy_ref[:], blk) + ny_
-            gz = _gather(boz_ref[:], blk) + nz_
+            gx = _gather(box_ref, blk, nb_chunks) + nx_
+            gy = _gather(boy_ref, blk, nb_chunks) + ny_
+            gz = _gather(boz_ref, blk, nb_chunks) + nz_
 
-        def apply_bc(g, v, lo, hi, o_lo, o_hi, bc_lo, bc_hi, al, half):
+        def apply_bc(g, v, lo, hi, o_lo, o_hi, bc_lo, bc_hi, al, fc, half):
             # Half-finest-cell tolerant hit test + domain clip, mirroring
             # ops/transport.py::apply_bc (inexact deck extents round the pinned
             # face position below the bound; exact comparison would livelock).
@@ -518,6 +556,7 @@ def _transport_kernel(
             if bc_lo == BC.reflecting:
                 g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
                 v = jnp.where(hit_lo, -v, v)
+                fc = jnp.where(hit_lo, -fc, fc)
             elif bc_lo == BC.periodic:
                 g = jnp.where(hit_lo, jnp.clip(g + L, lo, hi), g)
             else:
@@ -525,25 +564,26 @@ def _transport_kernel(
             if bc_hi == BC.reflecting:
                 g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
                 v = jnp.where(hit_hi, -v, v)
+                fc = jnp.where(hit_hi, -fc, fc)
             elif bc_hi == BC.periodic:
                 g = jnp.where(hit_hi, jnp.clip(g - L, lo, hi), g)
             else:
                 al = jnp.where(hit_hi, 0, al)
-            return g, v, al
+            return g, v, al, fc
 
-        gx, nvx, nalive = apply_bc(
-            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive,
+        gx, nvx, nalive, nface = apply_bc(
+            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive, nface,
             0.5 * finest[0],
         )
         if multi_d:
-            gy, nvy, nalive = apply_bc(
+            gy, nvy, nalive, nface = apply_bc(
                 gy, nvy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3], nalive,
-                0.5 * finest[1],
+                nface, 0.5 * finest[1],
             )
         if three_d:
-            gz, nvz, nalive = apply_bc(
+            gz, nvz, nalive, nface = apply_bc(
                 gz, nvz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5], nalive,
-                0.5 * finest[2],
+                nface, 0.5 * finest[2],
             )
 
         out = (out_lo_x | out_hi_x | out_lo_y | out_hi_y | out_lo_z | out_hi_z) & (
@@ -567,17 +607,147 @@ def _transport_kernel(
             tx = jnp.clip(jnp.floor((px - x1min) / tsx).astype(jnp.int32), 0, ntx - 1)
             ty = jnp.clip(jnp.floor((py - x2min) / tsy).astype(jnp.int32), 0, nty - 1)
             tz = jnp.clip(jnp.floor((pz - x3min) / tsz).astype(jnp.int32), 0, ntz - 1)
-            b_new = _gather(lut_ref[:], (tz * nty + ty) * ntx + tx)
-            ndxb = _gather(bdx_ref[:], b_new)
-            ndyb = _gather(bdy_ref[:], b_new)
-            ndzb = _gather(bdz_ref[:], b_new)
-            lx = gx - _gather(box_ref[:], b_new)
-            ly = gy - _gather(boy_ref[:], b_new)
-            lz = gz - _gather(boz_ref[:], b_new)
+            b_new = _gather(lut_ref, (tz * nty + ty) * ntx + tx, nt_chunks)
+            ndxb = _gather(bdx_ref, b_new, nb_chunks)
+            ndyb = _gather(bdy_ref, b_new, nb_chunks)
+            ndzb = _gather(bdz_ref, b_new, nb_chunks)
+            lx = gx - _gather(box_ref, b_new, nb_chunks)
+            ly = gy - _gather(boy_ref, b_new, nb_chunks)
+            lz = gz - _gather(boz_ref, b_new, nb_chunks)
             ri = jnp.clip(jnp.floor(lx / ndxb).astype(jnp.int32), 0, nx - 1)
             rj = jnp.clip(jnp.floor(ly / ndyb).astype(jnp.int32), 0, ny - 1)
             rk = jnp.clip(jnp.floor(lz / ndzb).astype(jnp.int32), 0, nz - 1)
             nblk = jnp.where(out, b_new, blk)
+
+            if use_ddmc and has_smr and multi_d:
+                # ---- DDMC coarse->fine subface resample ----------------------
+                # In-kernel port of ops/transport.py::_ddmc_subface_resample
+                # (reference SampleFace2D/3D, sample_ddmc_bface.cpp:24-78): a DDMC
+                # leak into a FINER block landed at the transverse center of the
+                # coarse source cell — exactly on the edge (2D) / corner (3D)
+                # shared by 2 / 4 fine faces. Choose a fine face with probability
+                # proportional to its ddmc_face_prob, re-seat the transverse
+                # position uniformly on it, and redraw a hemisphere direction
+                # into the block.
+                lvl_old = _gather(blv_ref, blk, nb_chunks)
+                lvl_new = _gather(blv_ref, b_new, nb_chunks)
+                refine = out & (nleak != 0) & (lvl_new > lvl_old)
+                lax_axis = jnp.abs(nleak) - 1
+                lsgn = jnp.sign(nleak).astype(jnp.float32)
+                u_sel = uniform(it, 16)
+                u_t1 = uniform(it, 17)
+                u_t2 = uniform(it, 18)
+                smu = jnp.sqrt(uniform(it, 19))
+                snu = jnp.sqrt(jnp.maximum(1.0 - smu * smu, 0.0))
+                sphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 20)
+                a1, a2, a3 = smu, snu * jnp.cos(sphi), snu * jnp.sin(sphi)
+
+                dims = (nx, ny, nz)
+                locs = [lx, ly, lz]
+                idxs = [ri, rj, rk]
+                dxs = [ndxb, ndyb, ndzb]
+                fprefs = (fpx_ref, fpy_ref, fpz_ref)
+
+                def face_prob(ax, kk_, jj_, ii_):
+                    if ax == 0:
+                        flat = ((b_new * nz + kk_) * ny + jj_) * (nx + 1) + ii_
+                    elif ax == 1:
+                        flat = ((b_new * nz + kk_) * (ny + 1) + jj_) * nx + ii_
+                    else:
+                        flat = ((b_new * (nz + 1) + kk_) * ny + jj_) * nx + ii_
+                    return _gather(fprefs[ax], flat, n_fchunks[ax])
+
+                new_loc = list(locs)
+                new_idx = list(idxs)
+                new_v = [nvx, nvy, nvz]
+                for ax in range(ndim):
+                    m_ax = refine & (lax_axis == ax)
+                    f_ax = jnp.where(lsgn > 0, 0, dims[ax]).astype(jnp.int32)
+                    trans = [t for t in range(ndim) if t != ax]
+                    if not trans:
+                        continue
+                    t1 = trans[0]
+                    d1 = dxs[t1]
+                    e1 = jnp.clip(
+                        jnp.round(locs[t1] / jnp.maximum(d1, tiny)).astype(jnp.int32),
+                        1, dims[t1] - 1,
+                    )
+                    lo1, hi1 = e1 - 1, e1
+
+                    def fidx(c1, c2=None):
+                        kji = [None, None, None]
+                        kji[ax] = f_ax
+                        kji[t1] = c1
+                        if len(trans) > 1 and c2 is not None:
+                            kji[trans[1]] = c2
+                        for d in range(3):
+                            if kji[d] is None:
+                                kji[d] = jnp.clip(idxs[d], 0, dims[d] - 1)
+                        return kji[2], kji[1], kji[0]
+
+                    if len(trans) == 1:
+                        k_l, j_l, i_l = fidx(lo1)
+                        k_u, j_u, i_u = fidx(hi1)
+                        P_l = face_prob(ax, k_l, j_l, i_l)
+                        P_u = face_prob(ax, k_u, j_u, i_u)
+                        pick_u = u_sel * (P_l + P_u) >= P_l
+                        c1 = jnp.where(pick_u, hi1, lo1)
+                        new_idx[t1] = jnp.where(m_ax, c1, new_idx[t1])
+                        new_loc[t1] = jnp.where(
+                            m_ax, (c1.astype(jnp.float32) + u_t1) * d1, new_loc[t1]
+                        )
+                    else:
+                        t2 = trans[1]
+                        d2 = dxs[t2]
+                        e2 = jnp.clip(
+                            jnp.round(locs[t2] / jnp.maximum(d2, tiny)).astype(jnp.int32),
+                            1, dims[t2] - 1,
+                        )
+                        lo2, hi2 = e2 - 1, e2
+                        cands = [(lo1, lo2), (hi1, lo2), (lo1, hi2), (hi1, hi2)]
+                        Ps = []
+                        for c1, c2 in cands:
+                            k_, j_, i_ = fidx(c1, c2)
+                            Ps.append(face_prob(ax, k_, j_, i_))
+                        tot = Ps[0] + Ps[1] + Ps[2] + Ps[3] + tiny
+                        xi_ = u_sel * tot
+                        cum = jnp.zeros(shape)
+                        sel1 = jnp.zeros(shape, jnp.int32)
+                        sel2 = jnp.zeros(shape, jnp.int32)
+                        chosen = jnp.zeros(shape, bool)
+                        for (c1, c2), P in zip(cands, Ps):
+                            hitc = ~chosen & (xi_ < cum + P)
+                            sel1 = jnp.where(hitc, c1, sel1)
+                            sel2 = jnp.where(hitc, c2, sel2)
+                            chosen = chosen | hitc
+                            cum = cum + P
+                        sel1 = jnp.where(chosen, sel1, hi1)
+                        sel2 = jnp.where(chosen, sel2, hi2)
+                        new_idx[t1] = jnp.where(m_ax, sel1, new_idx[t1])
+                        new_idx[t2] = jnp.where(m_ax, sel2, new_idx[t2])
+                        new_loc[t1] = jnp.where(
+                            m_ax, (sel1.astype(jnp.float32) + u_t1) * d1, new_loc[t1]
+                        )
+                        new_loc[t2] = jnp.where(
+                            m_ax, (sel2.astype(jnp.float32) + u_t2) * d2, new_loc[t2]
+                        )
+
+                    # hemisphere direction into the block (cyclic permutation as
+                    # in sample_face_iso_dir call sites)
+                    v_ax = c * lsgn * a1
+                    v_n1 = c * a2
+                    v_n2 = c * a3
+                    perm = {0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1)}[ax]
+                    vals = [None, None, None]
+                    vals[perm[0]] = v_ax
+                    vals[perm[1]] = v_n1
+                    vals[perm[2]] = v_n2
+                    for d in range(3):
+                        new_v[d] = jnp.where(m_ax, vals[d], new_v[d])
+
+                lx, ly, lz = new_loc
+                ri, rj, rk = new_idx
+                nvx, nvy, nvz = new_v
 
         nx_ = jnp.where(out, lx, nx_)
         ny_ = jnp.where(out, ly, ny_)
@@ -599,29 +769,30 @@ def _transport_kernel(
             jnp.where(active, nck, ck),
             jnp.where(active, nalive, alive),
             jnp.where(active, nabsorbed, absorbed),
+            jnp.where(active, nface, face),
             it + 1,
             ev + jnp.sum(active.astype(jnp.int32)),
         )
 
     def cond(carry):
-        tau, alive, it = carry[6], carry[11], carry[13]
+        tau, alive, it = carry[6], carry[11], carry[14]
         return (it < max_iters) & jnp.any((alive != 0) & (tau < 1.0))
 
     init = (
         x_ref[:], y_ref[:], z_ref[:],
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
         blk_ref[:], ci_ref[:], cj_ref[:], ck_ref[:],
-        alive_ref[:], absorbed_ref[:],
+        alive_ref[:], absorbed_ref[:], face_ref[:],
         jnp.int32(0), jnp.int32(0),
     )
-    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, it, ev) = (
+    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, it, ev) = (
         jax.lax.while_loop(cond, body, init)
     )
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau
     oblk_ref[:], oci_ref[:], ocj_ref[:], ock_ref[:] = blk, ci, cj, ck
-    oalive_ref[:], oabsorbed_ref[:] = alive, absorbed
+    oalive_ref[:], oabsorbed_ref[:], oface_ref[:] = alive, absorbed, face
 
     # grid steps run sequentially on a TensorCore: accumulate stats in-place
     @pl.when(pl.program_id(0) == 0)
@@ -650,28 +821,31 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
     f32 = jnp.float32
     i32 = jnp.int32
     K = _n_chunks(mesh)
+    Kb = _n_bchunks(mesh)
+    Kt = _n_tchunks(mesh)
     ss_t = _chunk_table(coefs.sigma_s, f32, K)
     if prm.has_absorption:
         sa_t = _chunk_table(coefs.sigma_a, f32, K)
         ff_t = _chunk_table(coefs.fleck, f32, K)
     else:
         # never read in the kernel; keep VMEM footprint minimal
-        sa_t = jnp.zeros((SUBLANES, LANES), f32)
-        ff_t = jnp.ones((SUBLANES, LANES), f32)
+        sa_t = jnp.zeros((GREP, LANES), f32)
+        ff_t = jnp.ones((GREP, LANES), f32)
     Kf = _n_fchunks(mesh, prm)
     if prm.use_ddmc:
         fpx_t = _chunk_table(coefs.px.reshape(-1), f32, Kf[0])
         fpy_t = _chunk_table(coefs.py.reshape(-1), f32, Kf[1])
         fpz_t = _chunk_table(coefs.pz.reshape(-1), f32, Kf[2])
     else:
-        fpx_t = fpy_t = fpz_t = jnp.zeros((SUBLANES, LANES), f32)
-    bdx_t = _lane_table(mesh.block_dx[:, 0], f32)
-    bdy_t = _lane_table(mesh.block_dx[:, 1], f32)
-    bdz_t = _lane_table(mesh.block_dx[:, 2], f32)
-    box_t = _lane_table(mesh.block_origin[:, 0], f32)
-    boy_t = _lane_table(mesh.block_origin[:, 1], f32)
-    boz_t = _lane_table(mesh.block_origin[:, 2], f32)
-    lut_t = _lane_table(mesh.lookup.reshape(-1), i32)
+        fpx_t = fpy_t = fpz_t = jnp.zeros((GREP, LANES), f32)
+    bdx_t = _chunk_table(mesh.block_dx[:, 0], f32, Kb)
+    bdy_t = _chunk_table(mesh.block_dx[:, 1], f32, Kb)
+    bdz_t = _chunk_table(mesh.block_dx[:, 2], f32, Kb)
+    box_t = _chunk_table(mesh.block_origin[:, 0], f32, Kb)
+    boy_t = _chunk_table(mesh.block_origin[:, 1], f32, Kb)
+    boz_t = _chunk_table(mesh.block_origin[:, 2], f32, Kb)
+    lut_t = _chunk_table(mesh.lookup.reshape(-1), i32, Kt)
+    blv_t = _chunk_table(mesh.block_level, i32, Kb)
 
     single_block = mesh.n_blocks == 1
     # static single-block geometry comes from the mesh build (host numpy values)
@@ -691,8 +865,8 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
         mesh.tile_shape, mesh.finest, single_block, block_dx0, block_org0,
         prm.has_absorption, K, interpret,
-        prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc, prm.at_face_tol,
-        Kf,
+        prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
+        Kf, Kb, Kt, mesh.max_level > 0,
     )
 
     scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
@@ -715,19 +889,19 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         shape2(p.vx, f32), shape2(p.vy, f32), shape2(p.vz, f32),
         shape2(p.tau, f32),
         shape2(p.block), shape2(p.i), shape2(p.j), shape2(p.k),
-        shape2(p.alive, i32), shape2(p.absorbed, i32),
+        shape2(p.alive, i32), shape2(p.absorbed, i32), shape2(p.face),
     ]
     tables = [
-        sa_t, ss_t, ff_t, bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t,
+        sa_t, ss_t, ff_t, bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, blv_t,
         fpx_t, fpy_t, fpz_t,
     ]
 
     out_shapes = (
         [jax.ShapeDtypeStruct((grid * SUBLANES, LANES), f32)] * 7
-        + [jax.ShapeDtypeStruct((grid * SUBLANES, LANES), i32)] * 6
+        + [jax.ShapeDtypeStruct((grid * SUBLANES, LANES), i32)] * 7
         + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
     )
-    out_specs = [part_spec] * 13 + [stat_spec] * 2
+    out_specs = [part_spec] * 14 + [stat_spec] * 2
 
     results = pl.pallas_call(
         kernel,
@@ -736,15 +910,15 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        + [part_spec] * 13
+        + [part_spec] * 14
         + [full_spec(t) for t in tables],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
-        input_output_aliases={i + 2: i for i in range(13)},
+        input_output_aliases={i + 2: i for i in range(14)},
         interpret=interpret,
     )(scal, seed, *inputs, *tables)
 
-    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, ev, it) = results
+    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, ev, it) = results
     flat = lambda a: a.reshape(cap)
     p = dataclasses.replace(
         p,
@@ -753,5 +927,6 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         tau=flat(tau).astype(p.tau.dtype),
         block=flat(blk), i=flat(ci), j=flat(cj), k=flat(ck),
         alive=flat(alive).astype(bool), absorbed=flat(absorbed).astype(bool),
+        face=flat(face),
     )
     return p, it[0, 0], ev[0, 0]

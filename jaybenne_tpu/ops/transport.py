@@ -87,7 +87,6 @@ class TransportParams:
     tau_ddmc: float = static()
     eps_imc: float = static()    # relative face offset for albedo bounce-back
     eps_ddmc: float = static()   # relative face offset for DDMC leak placement
-    at_face_tol: float = static()  # relative tolerance for at-face detection
     # absorption opacity identically zero (opacity_model = none): the Fleck factor
     # is exactly 1, absorption never fires, and kernels can skip that work
     has_absorption: bool = static(default=True)
@@ -100,8 +99,8 @@ def default_eps(dtype):
     up. They only set where bounced/leaked particles are re-seeded inside a cell —
     O(eps * dx) spatial blur, far below Monte Carlo noise."""
     if dtype == jnp.float64:
-        return dict(eps_imc=2.2e-10, eps_ddmc=2.2e-8, at_face_tol=5.5e-10)
-    return dict(eps_imc=1.0e-3, eps_ddmc=1.0e-2, at_face_tol=2.5e-3)
+        return dict(eps_imc=2.2e-10, eps_ddmc=2.2e-8)
+    return dict(eps_imc=1.0e-3, eps_ddmc=1.0e-2)
 
 
 def precompute_coefs(fields, mesh, eos, opacity, scattering, use_ddmc, dtype):
@@ -232,25 +231,28 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     imc_vy = jnp.where(i_sc, c * sny, p.vy)
     imc_vz = jnp.where(i_sc, c * snz, p.vz)
 
+    # face-arrival code: a crossing pins the particle onto a face of its new cell
+    # (+ = lower face, entered travelling up); any other outcome clears it
+    imc_face = jnp.where(cr_x, jnp.where(p.vx > 0, 1, -1), 0).astype(jnp.int32)
+    imc_face = jnp.where(cr_y, jnp.where(p.vy > 0, 2, -2), imc_face)
+    imc_face = jnp.where(cr_z, jnp.where(p.vz > 0, 3, -3), imc_face)
+
     # ===================== DDMC branch =========================================
     if prm.use_ddmc:
-        tol = prm.at_face_tol
-        at = [
-            is_ddmc & (jnp.abs(p.x - xl) < tol * dx),
-            is_ddmc & (jnp.abs(p.x - xu) < tol * dx),
-            is_ddmc & multi_d & (jnp.abs(p.y - yl) < tol * dy),
-            is_ddmc & multi_d & (jnp.abs(p.y - yu) < tol * dy),
-            is_ddmc & three_d & (jnp.abs(p.z - zl) < tol * dz),
-            is_ddmc & three_d & (jnp.abs(p.z - zu) < tol * dz),
+        # at-face detection keys on the IMC-crossing arrival flag (see
+        # ParticleLedger.face): the reference's fuzzy position window
+        # (``2.5 * eps_imc_offset`` relative, transport_utils.hpp:286) only ever
+        # catches genuinely pinned IMC arrivals; the flag is the exact equivalent.
+        # The codes are mutually exclusive, so no priority chain is needed.
+        sel = [
+            is_ddmc & (p.face == 1),   # at lower x face
+            is_ddmc & (p.face == -1),  # at upper x face
+            is_ddmc & (p.face == 2),
+            is_ddmc & (p.face == -2),
+            is_ddmc & (p.face == 3),
+            is_ddmc & (p.face == -3),
         ]
-        # priority chain (xl, xu, yl, yu, zl, zu) like ptcl_ddmc_albedo
-        sel = []
-        taken = jnp.zeros_like(active)
-        for m in at:
-            m = m & ~taken
-            sel.append(m)
-            taken = taken | m
-        at_face = taken
+        at_face = is_ddmc & (p.face != 0)
 
         # albedo acceptance: P = 2 P_face (1 +/- 1.5 v_a/c)
         face_dx = [dx, dx, dy, dy, dz, dz]
@@ -436,6 +438,9 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     new_i = p.i + jnp.where(is_ddmc, dd_si, step_x)
     new_j = p.j + jnp.where(is_ddmc, dd_sj, step_y)
     new_k = p.k + jnp.where(is_ddmc, dd_sk, step_z)
+    # every DDMC outcome (albedo bounce, leak, census, absorb) leaves the particle
+    # off-face (eps offsets / uniform resample), so the flag clears
+    new_face = jnp.where(is_ddmc, 0, jnp.where(is_imc, imc_face, p.face))
 
     absorbed_now = i_abs | dd_absorbed
     new_alive = p.alive & ~absorbed_now
@@ -446,7 +451,7 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
         x=new_x, y=new_y, z=new_z,
         vx=new_vx, vy=new_vy, vz=new_vz,
         tau=new_tau, i=new_i, j=new_j, k=new_k,
-        alive=new_alive, absorbed=new_absorbed,
+        alive=new_alive, absorbed=new_absorbed, face=new_face,
     )
 
     n_active = jnp.sum(active.astype(jnp.int32)).astype(jnp.int32)
@@ -499,6 +504,7 @@ def resolve_block_transition(
 
     alive = p.alive
     vx, vy, vz = p.vx, p.vy, p.vz
+    face = p.face
 
     def apply_bc(g, v, lo, hi, out_lo, out_hi, bc_lo, bc_hi, half):
         # The hit test is tolerant by half a finest cell: with inexact domain
@@ -508,15 +514,18 @@ def resolve_block_transition(
         # boundary cell forever. Internal block faces always sit at least one
         # finest cell inside the bound, so the window cannot catch a genuine
         # interior crossing.
-        nonlocal alive
+        nonlocal alive, face
         L = hi - lo
         hit_lo = out_lo & (g <= lo + half)
         hit_hi = out_hi & (g >= hi - half)
         # reflecting: mirror position about the bound, flip velocity (clipped to
-        # the domain: a sub-half-cell rounding of g must not mirror to outside)
+        # the domain: a sub-half-cell rounding of g must not mirror to outside);
+        # a face-arrival flag flips side (the particle now sits at the OTHER face
+        # of the boundary cell, travelling inward)
         if bc_lo == BC.reflecting:
             g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
             v = jnp.where(hit_lo, -v, v)
+            face = jnp.where(hit_lo, -face, face)
         elif bc_lo == BC.periodic:
             g = jnp.where(hit_lo, jnp.clip(g + L, lo, hi), g)
         else:  # outflow
@@ -524,6 +533,7 @@ def resolve_block_transition(
         if bc_hi == BC.reflecting:
             g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
             v = jnp.where(hit_hi, -v, v)
+            face = jnp.where(hit_hi, -face, face)
         elif bc_hi == BC.periodic:
             g = jnp.where(hit_hi, jnp.clip(g - L, lo, hi), g)
         else:
@@ -583,6 +593,7 @@ def resolve_block_transition(
         j=jnp.where(upd, j_new, jnp.clip(p.j, 0, mesh.ny - 1)),
         k=jnp.where(upd, k_new, jnp.clip(p.k, 0, mesh.nz - 1)),
         alive=alive,
+        face=face,
     )
 
 

@@ -46,7 +46,7 @@ from .sharding import state_specs
 # particle fields shipped during migration
 _MIGRATE_FIELDS = (
     "x", "y", "z", "vx", "vy", "vz", "tau", "weight", "energy",
-    "block", "i", "j", "k",
+    "block", "i", "j", "k", "face",
 )
 
 MAX_MIGRATION_ROUNDS = 128

@@ -53,6 +53,16 @@ class ParticleLedger:
     # transport.cpp:157-163) becomes ONE segment-sum after the census loop, keeping
     # the hot loop free of scatter ops.
     absorbed: jnp.ndarray
+    # face-arrival code: +-(axis+1) when the particle's last event was an IMC cell
+    # crossing that pinned it onto a face of its (new) cell — + for the lower face
+    # (it was travelling up), - for the upper. 0 otherwise. The IMC->DDMC albedo
+    # test (reference ``ptcl_ddmc_albedo``, ``transport_utils.hpp:279-397``) keys on
+    # this flag instead of a position-tolerance window: the reference's
+    # ``fuzzy_equal`` window (~5.5e-10 relative) only ever catches genuinely pinned
+    # IMC arrivals, and a float32-sized window would spuriously catch DDMC census
+    # resamples and fresh sources (~1.5%/cycle), adding artificial interface
+    # resistance inside optically thick regions.
+    face: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -95,6 +105,8 @@ def insert_particles(ledger: ParticleLedger, cand: dict, valid) -> tuple:
     updates["alive"] = put(ledger.alive, jnp.ones(shape, dtype=bool))
     if "absorbed" not in cand:
         updates["absorbed"] = put(ledger.absorbed, jnp.zeros(shape, dtype=bool))
+    if "face" not in cand:
+        updates["face"] = put(ledger.face, jnp.zeros(shape, dtype=jnp.int32))
     return _dc.replace(ledger, **updates), n_dropped
 
 
@@ -108,4 +120,5 @@ def empty_ledger(capacity: int, dtype=jnp.float32) -> ParticleLedger:
         block=iz, i=iz, j=iz, k=iz,
         alive=jnp.zeros((capacity,), dtype=bool),
         absorbed=jnp.zeros((capacity,), dtype=bool),
+        face=iz,
     )

@@ -212,3 +212,43 @@ def test_pallas_interpret_absorption():
     # f*sigma_a = 0.35/cm over a path of c*dt = 1 cm -> ~0.295
     frac = absorbed.sum() / 4000
     assert 0.2 < frac < 0.4, frac
+
+
+def test_pallas_interpret_smr_ddmc_conserves_energy():
+    """SMR + DDMC through the kernel: exercises the in-kernel coarse->fine subface
+    resample and level-aware transitions (reference sample_ddmc_bface.cpp). Energy
+    must be conserved exactly and totals must match the XLA path."""
+    from jaybenne_tpu.driver import Simulation
+    from jaybenne_tpu.ops import pallas_transport as pt
+
+    mods = {
+        "parthenon/mesh/nx1": 32, "parthenon/mesh/nx2": 16,
+        "parthenon/meshblock/nx1": 8, "parthenon/meshblock/nx2": 8,
+        "jaybenne/num_particles": 8000,
+        "jaybenne/dt": "1.e-11", "parthenon/time/tlim": "1.e-11",
+    }
+    totals = {}
+    for mode in ("on", "off"):
+        deck = Deck.from_file(
+            os.path.join(_ROOT, "inputs/stepdiff_smr_ddmc.in")
+        ).update({**mods, "jaybenne/use_pallas": mode})
+        sim = Simulation(cm.from_deck(deck), quiet=True)
+        assert sim.mesh.max_level > 0
+        if mode == "on":
+            prm = make_transport_params(sim.cfg, jnp.float32)
+            assert prm.use_ddmc
+            assert pt.supports(sim.mesh, prm)  # SMR+DDMC now kernel-covered
+        sim.run()
+        dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
+        p = sim.state.particles
+        alive = np.asarray(p.alive)
+        w = float(np.asarray(p.weight)[alive].sum())
+        e = float((np.asarray(sim.state.fields.energy_tally) * dv).sum())
+        assert np.isclose(e, w, rtol=1e-5)
+        # survivors sit inside their blocks
+        assert (np.asarray(p.i)[alive] >= 0).all()
+        assert (np.asarray(p.i)[alive] < sim.mesh.nx).all()
+        assert (np.asarray(p.j)[alive] >= 0).all()
+        assert (np.asarray(p.j)[alive] < sim.mesh.ny).all()
+        totals[mode] = w
+    assert np.isclose(totals["on"], totals["off"], rtol=1e-5)

@@ -23,19 +23,82 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Single-CPU-node anchor: measured with this repo's code, JAX_PLATFORMS=cpu on the
-# build host (stepdiff, same shapes). See BASELINE.md.
+# Single-CPU-node anchor fallback (used only if the in-run CPU probe fails):
+# measured with this repo's code, JAX_PLATFORMS=cpu. The probe re-measures the
+# anchor every bench run and records it in the JSON (VERDICT r1: the anchor must
+# be measured, not hardcoded).
 BASELINE_EVENTS_PER_SEC = 2.0e7
 
 N_PARTICLES = 100_000
 NX = 128
 N_STEPS = 10
 DT = 3.335641e-11
+
+# big-mesh row: a 64^3-cell uniform mesh (2.6e5 cells — far past VMEM residency)
+# through the bucketed region kernel
+BIG_NX = 64
+BIG_BLOCK = 8
+BIG_PARTICLES = 200_000
+BIG_STEPS = 3
+
+
+def _run_steps(sim, dt, n_steps):
+    """(events_per_sec, total_events, final_state): warmup step + timed steps."""
+    state, stats = sim.step_fn(sim.state, dt)
+    state.fields.energy_tally.block_until_ready()
+    events = int(stats.events)
+    t0 = time.perf_counter()
+    timed = 0
+    for _ in range(n_steps - 1):
+        state, stats = sim.step_fn(state, dt)
+        timed += int(stats.events)  # blocks on the step's completion
+    state.fields.energy_tally.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    return timed / elapsed, events + timed, state, elapsed
+
+
+def _cpu_anchor_probe():
+    """Subprocess entry: measure the XLA-CPU stepdiff throughput (3 steps)."""
+    import jax.numpy as jnp
+
+    from jaybenne_tpu import config as cfg_mod
+    from jaybenne_tpu.driver import Simulation
+    from jaybenne_tpu.utils.deck import Deck
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    deck = Deck.from_file(os.path.join(here, "inputs/stepdiff.in")).update(
+        {
+            "parthenon/mesh/nx1": NX,
+            "parthenon/meshblock/nx1": NX,
+            "jaybenne/num_particles": N_PARTICLES,
+            "jaybenne/use_pallas": "off",
+        }
+    )
+    sim = Simulation(cfg_mod.from_deck(deck), quiet=True)
+    rate, _, _, _ = _run_steps(sim, jnp.float32(DT), 3)
+    print(json.dumps({"cpu_events_per_sec": rate}))
+
+
+def _measure_cpu_anchor():
+    """Re-measure the single-CPU-node anchor in a subprocess (own backend)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-anchor-probe"],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return float(json.loads(line)["cpu_events_per_sec"]), True
+    except Exception:
+        pass
+    return BASELINE_EVENTS_PER_SEC, False
 
 
 def main():
@@ -62,28 +125,13 @@ def main():
     # warmup: compile + 1 step (fall back to the XLA event loop if the Pallas
     # kernel fails to compile/run on this target, so a number is always reported)
     try:
-        state, stats = sim.step_fn(sim.state, dt)
-        state.fields.energy_tally.block_until_ready()
+        rate, events, state, elapsed = _run_steps(sim, dt, N_STEPS)
     except Exception as exc:  # pragma: no cover - defensive
         print(f"# pallas path failed ({type(exc).__name__}); XLA fallback", file=sys.stderr)
         deck.set("jaybenne/use_pallas", "off")
         cfg = cfg_mod.from_deck(deck)
         sim = Simulation(cfg, quiet=True)
-        state, stats = sim.step_fn(sim.state, dt)
-        state.fields.energy_tally.block_until_ready()
-    warmup_events = int(stats.events)
-    events = warmup_events
-
-    t0 = time.perf_counter()
-    timed_events = 0
-    for _ in range(N_STEPS - 1):
-        state, stats = sim.step_fn(state, dt)
-        timed_events += int(stats.events)  # blocks on the step's completion
-    state.fields.energy_tally.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    events += timed_events
-
-    rate = timed_events / elapsed
+        rate, events, state, elapsed = _run_steps(sim, dt, N_STEPS)
 
     # correctness gate: same analytic solution as tst/stepdiff.py
     from scipy.special import erf
@@ -103,11 +151,42 @@ def main():
     werr = (np.abs(sol - tally) / np.abs((sol + tally) / 2) * sol).sum() / sol.sum()
     ok = bool(werr <= 0.05)
 
+    # big-mesh row: 64^3 cells via the bucketed region kernel (never fatal)
+    big = None
+    try:
+        big_deck = Deck.from_file(os.path.join(here, "inputs/stepdiff.in")).update(
+            {
+                "parthenon/mesh/nx1": BIG_NX,
+                "parthenon/mesh/nx2": BIG_NX,
+                "parthenon/mesh/nx3": BIG_NX,
+                "parthenon/mesh/ix2_bc": "periodic",
+                "parthenon/mesh/ox2_bc": "periodic",
+                "parthenon/mesh/ix3_bc": "periodic",
+                "parthenon/mesh/ox3_bc": "periodic",
+                "parthenon/meshblock/nx1": BIG_BLOCK,
+                "parthenon/meshblock/nx2": BIG_BLOCK,
+                "parthenon/meshblock/nx3": BIG_BLOCK,
+                "jaybenne/num_particles": BIG_PARTICLES,
+            }
+        )
+        big_sim = Simulation(cfg_mod.from_deck(big_deck), quiet=True)
+        big_rate, big_events, _, big_elapsed = _run_steps(big_sim, dt, BIG_STEPS)
+        big = {
+            "cells": BIG_NX**3,
+            "events_per_sec": float(f"{big_rate:.4g}"),
+            "events_total": big_events,
+            "elapsed_s": round(big_elapsed, 3),
+        }
+    except Exception as exc:  # pragma: no cover - defensive
+        big = {"error": f"{type(exc).__name__}: {exc}"}
+
+    anchor, anchor_measured = _measure_cpu_anchor()
+
     result = {
         "metric": "particle-events/sec/chip (stepdiff, 128 cells, 100k particles)",
         "value": float(f"{rate:.4g}"),
         "unit": "events/s/chip",
-        "vs_baseline": float(f"{rate / BASELINE_EVENTS_PER_SEC:.4g}"),
+        "vs_baseline": float(f"{rate / anchor:.4g}"),
         "extra": {
             "events_total": events,
             "steps": N_STEPS,
@@ -116,10 +195,17 @@ def main():
             "accuracy_pass": ok,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            "cpu_anchor_events_per_sec": float(f"{anchor:.4g}"),
+            "cpu_anchor_measured": anchor_measured,
+            "cpu_cores": os.cpu_count(),
+            "big_mesh": big,
         },
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--cpu-anchor-probe" in sys.argv:
+        _cpu_anchor_probe()
+    else:
+        main()

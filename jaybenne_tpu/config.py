@@ -391,19 +391,11 @@ def from_deck(deck: Deck) -> RunConfig:
                 )
             )
 
-    if (
-        jb.decomposition == "spatial"
-        and jb.n_devices != 1
-        and jb.use_ddmc
-        and mesh.refinement == "static"
-    ):
-        # the DDMC coarse->fine subface resample needs the destination block's face
-        # probabilities, which may live on another shard under the spatial
-        # decomposition — not wired yet (use the particle decomposition instead)
-        raise DeckError(
-            "spatial decomposition + SMR + DDMC is not supported yet; "
-            "use decomposition = particle"
-        )
+    # spatial + SMR + DDMC is fully supported: local coarse->fine DDMC leaks
+    # subface-resample inline; remote ones carry a pending-leak code resolved by
+    # the owning shard after migration (parallel/spatial.py), mirroring the
+    # reference's post-communication SampleDDMCBlockFace pass run on 8 ranks in
+    # its CI (reference .github/workflows/ci.yml:131-135)
 
     return RunConfig(
         problem_id=problem_id,

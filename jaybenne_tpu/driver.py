@@ -65,15 +65,30 @@ class Simulation:
         if self.n_devices > 1:
             from .parallel import sharding
 
-            self.state = sharding.shard_state(self.state, self.dmesh)
             if jb.decomposition == "spatial":
                 from .parallel import spatial
 
+                # fields are sharded along the (padded) block axis: per-device
+                # field memory scales ~1/N — the huge-mesh regime
+                self.state = state_mod.SimState(
+                    fields=spatial.pad_field_blocks(
+                        self.state.fields, self.mesh, self.n_devices
+                    ),
+                    particles=self.state.particles,
+                    t=self.state.t,
+                    cycle=self.state.cycle,
+                    rng_key=self.state.rng_key,
+                    overflow=self.state.overflow,
+                )
+                self.state = sharding.shard_state(
+                    self.state, self.dmesh, shard_fields=True
+                )
                 self.state = spatial.make_spatial_init(self.mesh, cfg, self.dmesh)(
                     self.state
                 )
                 self.step_fn = spatial.make_spatial_step(self.mesh, cfg, self.dmesh)
             else:
+                self.state = sharding.shard_state(self.state, self.dmesh)
                 self.state = sharding.make_sharded_init(self.mesh, cfg, self.dmesh)(
                     self.state
                 )

@@ -64,7 +64,11 @@ def write_dump(path, state, mesh, cfg, variables, swarm_variables=()):
             attr = VARIABLE_MAP.get(var)
             if attr is None:
                 continue
-            h.create_dataset(f"vars/{var}", data=np.asarray(getattr(f, attr)))
+            # sharded-fields spatial runs pad the block axis for even device
+            # splits; dumps carry only the real blocks
+            h.create_dataset(
+                f"vars/{var}", data=np.asarray(getattr(f, attr))[: mesh.n_blocks]
+            )
         if swarm_variables:
             p = state.particles
             alive = np.asarray(p.alive)

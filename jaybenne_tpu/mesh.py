@@ -65,6 +65,13 @@ class MeshGeometry:
         """Global flat cell index for segment reductions."""
         return ((b * self.nz + k) * self.ny + j) * self.nx + i
 
+    @property
+    def block_meta(self):
+        """Packed per-block geometry ``[B, 6] = (dx, dy, dz, ox, oy, oz)``: lets the
+        event loop fetch cell size AND origin with ONE row gather per particle.
+        Built lazily inside jit; XLA hoists it out of the census loop."""
+        return jnp.concatenate([self.block_dx, self.block_origin], axis=1)
+
     def cell_centers(self):
         """Physical cell-center coordinate arrays (xc, yc, zc), each f[B, nz, ny, nx]."""
         ii = jnp.arange(self.nx)

@@ -53,8 +53,11 @@ class Gray:
     """Gray (frequency-independent) absorption opacity ``kappa`` [cm^2/g]."""
 
     kappa: float
+    # frequency-independent: transport may precompute one coefficient per cell
+    # instead of evaluating per event (bitwise-identical either way)
+    is_gray = True
 
-    def absorption_coefficient(self, rho, temp, nu=1.0):
+    def absorption_coefficient(self, rho, temp, nu=None):
         del temp, nu
         return self.kappa * jnp.asarray(rho)
 
@@ -69,21 +72,41 @@ class Gray:
 @jax.tree_util.register_static
 @dataclasses.dataclass(frozen=True)
 class EPBremss:
-    """Electron-positron (free-free) bremsstrahlung Planck-mean absorption.
+    """Electron-proton (free-free) bremsstrahlung absorption.
 
     Capability parity for the reference's ``singularity::photons::EPBremss``
     (constructed at ``src/mcblock/mcblock.cpp:109-113``; no input deck in the snapshot
-    exercises it). Implemented as a Kramers-type free-free Planck mean,
-    ``kappa_P = kff * rho * T^{-7/2}`` [cm^2/g], with the standard hydrogenic
-    free-free coefficient as default.
+    exercises it, and the submodule source is absent, so the spectral form follows
+    the standard hydrogenic free-free law, Rybicki & Lightman eq. 5.18b with
+    Gaunt factor 1):
+
+        alpha_nu = cff * (rho/m_p)^2 * T^{-1/2} * nu^{-3} * (1 - e^{-h nu / k T})
+
+    The frequency argument is the particle's sampled photon ENERGY in erg (the
+    reference passes the swarm ``energy`` tag straight through,
+    ``transport.cpp:126-127``); ``nu = E / h``. With ``nu=None`` (derived-field and
+    sourcing paths) the Kramers Planck mean ``kappa_P = kff * rho * T^{-7/2}``
+    [cm^2/g] is returned instead.
     """
 
-    kff: float = 3.68e22  # Kramers free-free constant [cgs], kappa = kff rho T^-3.5
+    kff: float = 3.68e22   # Kramers Planck-mean constant [cgs]
+    cff: float = 3.692e8   # spectral free-free constant [cgs] (R&L 5.18b)
+    is_gray = False
 
-    def absorption_coefficient(self, rho, temp, nu=1.0):
-        del nu
+    _MP = 1.67262192369e-24  # proton mass [g]
+
+    def absorption_coefficient(self, rho, temp, nu=None):
         rho = jnp.asarray(rho)
-        return self.kff * rho * rho * jnp.asarray(temp) ** (-3.5)
+        temp = jnp.asarray(temp)
+        if nu is None:
+            return self.kff * rho * rho * temp ** (-3.5)
+        # E [erg] -> nu [Hz]; the low clamp keeps the combined constant / nu^3
+        # factor inside float32 range (cff/m_p^2 ~ 1.3e56 would overflow if
+        # assembled naively, hence the cube-root regrouping)
+        freq = jnp.maximum(jnp.asarray(nu) / constants.HH, 1.0e10)
+        g = (self.cff / self._MP**2) ** (1.0 / 3.0) / freq
+        x = jnp.minimum(constants.HH * freq / (constants.KB * temp), 80.0)
+        return rho * rho * g * g * g / jnp.sqrt(temp) * (1.0 - jnp.exp(-x))
 
     def emissivity(self, rho, temp):
         alpha = self.absorption_coefficient(rho, temp)
@@ -109,6 +132,10 @@ class NonCGSUnits:
     temperature_scale: float = 1.0
 
     @property
+    def is_gray(self):
+        return self.base.is_gray
+
+    @property
     def _rho_scale(self):
         return self.mass_scale / self.length_scale**3
 
@@ -116,7 +143,7 @@ class NonCGSUnits:
     def _energy_scale(self):
         return self.mass_scale * self.length_scale**2 / self.time_scale**2
 
-    def absorption_coefficient(self, rho, temp, nu=1.0):
+    def absorption_coefficient(self, rho, temp, nu=None):
         alpha_cgs = self.base.absorption_coefficient(
             jnp.asarray(rho) * self._rho_scale,
             jnp.asarray(temp) * self.temperature_scale,
@@ -160,6 +187,7 @@ class TabulatedOpacity:
     log_rho: tuple
     log_T: tuple
     log_kappa: tuple  # nested tuples so the dataclass stays hashable/static
+    is_gray = True
 
     @classmethod
     def from_arrays(cls, rho, temp, kappa):
@@ -199,7 +227,7 @@ class TabulatedOpacity:
         )
         return 10.0**v
 
-    def absorption_coefficient(self, rho, temp, nu=1.0):
+    def absorption_coefficient(self, rho, temp, nu=None):
         del nu
         return self._interp(rho, temp) * jnp.asarray(rho)
 
@@ -221,8 +249,9 @@ class GrayS:
 
     s: float
     apm: float = 1.0
+    is_gray = True
 
-    def total_scattering_coefficient(self, rho, temp, nu=1.0):
+    def total_scattering_coefficient(self, rho, temp, nu=None):
         del temp, nu
         return (jnp.asarray(rho) / self.apm) * self.s
 
@@ -234,8 +263,9 @@ class ThomsonS:
     ``src/mcblock/opacity.hpp:26-30``)."""
 
     apm: float = 1.0
+    is_gray = True
 
-    def total_scattering_coefficient(self, rho, temp, nu=1.0):
+    def total_scattering_coefficient(self, rho, temp, nu=None):
         del temp, nu
         return (jnp.asarray(rho) / self.apm) * constants.SIGMA_THOMSON
 
@@ -253,10 +283,14 @@ class NonCGSUnitsS:
     temperature_scale: float = 1.0
 
     @property
+    def is_gray(self):
+        return self.base.is_gray
+
+    @property
     def _rho_scale(self):
         return self.mass_scale / self.length_scale**3
 
-    def total_scattering_coefficient(self, rho, temp, nu=1.0):
+    def total_scattering_coefficient(self, rho, temp, nu=None):
         sig_cgs = self.base.total_scattering_coefficient(
             jnp.asarray(rho) * self._rho_scale,
             jnp.asarray(temp) * self.temperature_scale,

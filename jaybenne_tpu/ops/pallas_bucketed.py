@@ -1,0 +1,741 @@
+"""Bucketed Pallas transport for meshes beyond VMEM residency.
+
+The full-residency kernel (``ops/pallas_transport.py``) keeps every coefficient
+table in VMEM, which caps the mesh at O(5k) cells. This module removes that cap
+with the classic particle-in-cell locality play, mapped onto the Pallas pipeline:
+
+  1. each census round, particles are bucketed by mesh REGION (a contiguous range
+     of ``bpr`` blocks whose coefficient slab fits one VMEM block) into a
+     tile-aligned reorder buffer — a stable sort + scatter in plain XLA;
+  2. the kernel runs a grid of 1024-particle tiles; a scalar-prefetched per-tile
+     region id drives the BlockSpec index maps, so Pallas DMAs exactly the tile's
+     region slab (cell coefficients + DDMC face probs) from HBM, double-buffered
+     against compute — consecutive tiles of the same region reuse the resident
+     slab without re-fetching;
+  3. inside the kernel each tile iterates its particles to census; a particle
+     that walks OUT of the tile's region pauses (goes non-resident) and is
+     re-bucketed by the next round. Block geometry and the block-lookup grid stay
+     fully VMEM-resident (chunked lane tables — they are O(blocks), not O(cells)).
+
+This is the reference's own structure — transport until off-block, communicate,
+repeat (``jaybenne.cpp:113-131``) — with "communicate" replaced by an on-chip
+re-sort. For diffusive problems particles rarely leave a region within a step, so
+one or two rounds complete the census; streaming particles take one round per
+region crossed (each cheap).
+
+Physics is the same event body as the full-residency kernel: IMC
+(``ptcl_transport_step``, reference ``transport_utils.hpp:111-160``) plus the DDMC
+branch with the face-flag albedo test. Scope: uniform (single-level) meshes for
+DDMC — the coarse->fine subface resample needs remote face probs, so SMR+DDMC
+stays with the full-residency kernel or the XLA loop; SMR with pure IMC is fine
+(transitions are geometric).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import BC
+from .pallas_transport import (
+    GREP,
+    LANES,
+    MAX_BLOCK_CHUNKS,
+    _chunk_table,
+    _gather,
+    _n_bchunks,
+    _n_tchunks,
+)
+
+BSUB = 8                   # sublanes per bucketed tile
+BTILE = BSUB * LANES       # particles per tile (small: regions can be sparse)
+REGION_CELLS = 1024        # target cells per region slab
+MAX_REGION_CHUNKS = 32     # slab gather cost cap (range-selects per table read)
+MAX_BUCKET_ROUNDS = 256    # outer re-bucketing rounds (hang backstop)
+
+
+def _region_layout(mesh):
+    """(bpr, R, K_reg): blocks per region, region count, slab chunk count."""
+    ncpb = mesh.ncells_per_block
+    bpr = max(1, REGION_CELLS // ncpb)
+    R = -(-mesh.n_blocks // bpr)
+    K_reg = -(-(bpr * ncpb) // LANES)
+    return bpr, R, K_reg
+
+
+def _face_chunks(mesh, bpr):
+    nx, ny, nz = mesh.nx, mesh.ny, mesh.nz
+    fpb = (nz * ny * (nx + 1), nz * (ny + 1) * nx, (nz + 1) * ny * nx)
+    return tuple(-(-(bpr * n) // LANES) for n in fpb), fpb
+
+
+def supports(mesh, prm) -> bool:
+    """Bucketed coverage: any mesh whose BLOCK-level tables fit the chunked-lane
+    budget; cell tables are unbounded (region-sliced from HBM). DDMC only on
+    single-level meshes (see module doc)."""
+    if prm.use_ddmc and mesh.max_level > 0:
+        return False
+    bpr, R, K_reg = _region_layout(mesh)
+    Kf, _ = _face_chunks(mesh, bpr)
+    return (
+        K_reg <= MAX_REGION_CHUNKS
+        and max(Kf) <= MAX_REGION_CHUNKS * 2
+        and _n_bchunks(mesh) <= MAX_BLOCK_CHUNKS
+        and _n_tchunks(mesh) <= MAX_BLOCK_CHUNKS
+    )
+
+
+def _region_tables(vec, R, bpr, per_block, K_reg, dtype):
+    """[B * per_block] -> [(R+1) * K_reg * GREP, LANES]: per-region slabs of
+    ``bpr * per_block`` values in chunked-lane layout, one extra ZERO slab for the
+    dead tail tiles."""
+    B_eff = R * bpr
+    n = vec.shape[0]
+    pad = B_eff * per_block - n
+    flat = jnp.concatenate([vec.astype(dtype), jnp.zeros((pad,), dtype)])
+    slabs = flat.reshape(R, bpr * per_block)
+    tabs = jax.vmap(lambda s: _chunk_table(s, dtype, K_reg))(slabs)
+    zero = jnp.zeros((1, K_reg * GREP, LANES), dtype)
+    return jnp.concatenate([tabs, zero], axis=0).reshape(-1, LANES)
+
+
+def _bucketed_kernel(
+    regions_ref,  # scalar prefetch: i32[grid] region id per tile
+    scal_ref,     # SMEM f32[8]: dt, c
+    seed_ref,     # SMEM i32[1]
+    x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
+    blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
+    sa_ref, ss_ref, ff_ref,       # region slabs (blocked by index_map)
+    fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs
+    bdx_ref, bdy_ref, bdz_ref,    # fully resident block geometry (chunked)
+    box_ref, boy_ref, boz_ref,
+    lut_ref,
+    ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
+    oblk_ref, oci_ref, ocj_ref, ock_ref, oalive_ref, oabsorbed_ref, oface_ref,
+    ev_ref, it_ref,
+    *,
+    prm_static,
+):
+    (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
+     has_absorption, interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc,
+     bpr, K_reg, Kf_reg, fpb, nb_chunks, nt_chunks) = prm_static
+    multi_d = ndim >= 2
+    three_d = ndim == 3
+    dt = scal_ref[0]
+    c = scal_ref[1]
+    x1min, x1max, x2min, x2max, x3min, x3max = bounds
+    ntz, nty, ntx = tile_shape
+    tsx = (x1max - x1min) / ntx
+    tsy = (x2max - x2min) / nty
+    tsz = (x3max - x3min) / ntz
+    ncpb = nx * ny * nz
+
+    shape = (BSUB, LANES)
+    BIG = jnp.float32(3.0e38)
+    tiny = jnp.float32(1.0e-37)
+    tr = regions_ref[pl.program_id(0)]
+    first_blk = tr * bpr
+
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def uniform(it, tag):
+            del it, tag
+            bits = pltpu.prng_random_bits(shape)
+            return ((bits >> 9) & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
+                1.0 / (1 << 23)
+            )
+    else:
+        lane_id = (
+            jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            + jnp.uint32(pl.program_id(0) * BTILE)
+        )
+
+        def uniform(it, tag):
+            x = (
+                seed_ref[0].astype(jnp.uint32)
+                + lane_id
+                + it.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
+            )
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x7FEB352D)
+            x = x ^ (x >> 15)
+            x = x * jnp.uint32(0x846CA68B)
+            x = x ^ (x >> 16)
+            return (x >> 9).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
+
+    def expdraw(it, tag):
+        return -jnp.log(jnp.maximum(uniform(it, tag), tiny))
+
+    def body(carry):
+        (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
+         it, ev) = carry
+        blk_rel = blk - first_blk
+        resident = (blk_rel >= 0) & (blk_rel < bpr)
+        active = (alive != 0) & (tau < 1.0) & resident
+        blk_rel = jnp.clip(blk_rel, 0, bpr - 1)
+
+        dxb = _gather(bdx_ref, blk, nb_chunks)
+        dyb = _gather(bdy_ref, blk, nb_chunks)
+        dzb = _gather(bdz_ref, blk, nb_chunks)
+        dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
+        cell = blk_rel * ncpb + (ck * ny + cj) * nx + ci
+        ss = _gather(ss_ref, cell, K_reg)
+        if has_absorption:
+            sa = _gather(sa_ref, cell, K_reg)
+            ff = _gather(ff_ref, cell, K_reg)
+        else:
+            sa = jnp.zeros(shape)
+            ff = jnp.ones(shape)
+
+        fi = ci.astype(jnp.float32)
+        fj = cj.astype(jnp.float32)
+        fk = ck.astype(jnp.float32)
+        xl, xu = fi * dxb, (fi + 1.0) * dxb
+        yl, yu = fj * dyb, (fj + 1.0) * dyb
+        zl, zu = fk * dzb, (fk + 1.0) * dzb
+
+        if use_ddmc:
+            is_ddmc = active & (dmin * (sa + ss) > jnp.float32(tau_ddmc))
+            act_imc = active & ~is_ddmc
+        else:
+            is_ddmc = jnp.zeros(shape, bool)
+            act_imc = active
+
+        if has_absorption:
+            d_abs = expdraw(it, 0) / (ff * sa + tiny)
+            d_sc = expdraw(it, 1) / (ss + (1.0 - ff) * sa + tiny)
+        else:
+            d_abs = jnp.full(shape, BIG)
+            d_sc = expdraw(it, 1) / (ss + tiny)
+        d_end = c * dt * (1.0 - tau)
+        d_geom = jnp.minimum(dmin, d_end)
+
+        def face_dist(v, lo, hi, q):
+            vsafe_p = jnp.where(v > 0, v, 1.0)
+            vsafe_n = jnp.where(v < 0, v, -1.0)
+            return jnp.where(
+                v > 0, c * (hi - q) / vsafe_p,
+                jnp.where(v < 0, c * (lo - q) / vsafe_n, BIG),
+            )
+
+        fxd = face_dist(vx, xl, xu, x)
+        fyd = face_dist(vy, yl, yu, y) if multi_d else jnp.full(shape, BIG)
+        fzd = face_dist(vz, zl, zu, z) if three_d else jnp.full(shape, BIG)
+
+        d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
+        if has_absorption:
+            i_abs = act_imc & (d_abs < d_push) & (d_abs < d_sc)
+        else:
+            i_abs = jnp.zeros(shape, bool)
+        i_sc = act_imc & ~i_abs & (d_sc < d_push)
+        no_coll = act_imc & ~i_abs & ~i_sc
+        cr_x = no_coll & (fxd <= fyd) & (fxd <= fzd) & (fxd <= d_geom)
+        cr_y = no_coll & ~cr_x & (fyd <= fzd) & (fyd <= d_geom)
+        cr_z = no_coll & ~cr_x & ~cr_y & (fzd <= d_geom)
+        i_census = no_coll & ~cr_x & ~cr_y & ~cr_z & (d_end <= dmin)
+
+        d = jnp.where(i_abs, d_abs, jnp.where(i_sc, d_sc, d_push))
+        ntau = jnp.where(i_census, 1.0, tau + d / (c * dt))
+        nx_ = x + vx * (d / c)
+        ny_ = y + vy * (d / c) if multi_d else y
+        nz_ = z + vz * (d / c) if three_d else z
+        nx_ = jnp.where(cr_x, jnp.where(vx > 0, xu, xl), nx_)
+        ny_ = jnp.where(cr_y, jnp.where(vy > 0, yu, yl), ny_)
+        nz_ = jnp.where(cr_z, jnp.where(vz > 0, zu, zl), nz_)
+        nci = ci + jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0)
+        ncj = cj + jnp.where(cr_y, jnp.where(vy > 0, 1, -1), 0)
+        nck = ck + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
+
+        mu = 1.0 - 2.0 * uniform(it, 2)
+        phi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 3)
+        st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+        nvx = jnp.where(i_sc, c * st * jnp.cos(phi), vx)
+        nvy = jnp.where(i_sc, c * st * jnp.sin(phi), vy)
+        nvz = jnp.where(i_sc, c * mu, vz)
+
+        nalive = jnp.where(i_abs, 0, alive)
+        nabsorbed = jnp.where(i_abs, 1, absorbed)
+        nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
+        nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
+        nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
+
+        # ================= DDMC branch (face-flag albedo + ptcl_ddmc_step) ====
+        if use_ddmc:
+            sig_t = sa + ss
+            sel = [
+                is_ddmc & (face == 1),
+                is_ddmc & (face == -1),
+                is_ddmc & (face == 2),
+                is_ddmc & (face == -2),
+                is_ddmc & (face == 3),
+                is_ddmc & (face == -3),
+            ]
+            at_face = is_ddmc & (face != 0)
+
+            lam2 = jnp.float32(2.0 * 0.7104)
+            P = jnp.zeros(shape)
+            for m, fdx_, fv, sgn in (
+                (sel[0], dxb, vx, 1.0), (sel[1], dxb, vx, -1.0),
+                (sel[2], dyb, vy, 1.0), (sel[3], dyb, vy, -1.0),
+                (sel[4], dzb, vz, 1.0), (sel[5], dzb, vz, -1.0),
+            ):
+                Pf = (2.0 / 3.0) / (sig_t * fdx_ + lam2)
+                P = jnp.where(m, 2.0 * Pf * (1.0 + jnp.float32(sgn) * 1.5 * fv / c), P)
+            rejected = at_face & (uniform(it, 4) > P)
+
+            amu = jnp.sqrt(uniform(it, 5))
+            anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
+            aphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 6)
+            a1, a2, a3 = amu, anu * jnp.cos(aphi), anu * jnp.sin(aphi)
+
+            rj_x, rj_y, rj_z = x, y, z
+            rj_vx, rj_vy, rj_vz = vx, vy, vz
+            rj_si = jnp.zeros(shape, jnp.int32)
+            rj_sj = jnp.zeros(shape, jnp.int32)
+            rj_sk = jnp.zeros(shape, jnp.int32)
+            eps_i = jnp.float32(eps_imc)
+            for m, axis, lower in (
+                (sel[0], 0, True), (sel[1], 0, False),
+                (sel[2], 1, True), (sel[3], 1, False),
+                (sel[4], 2, True), (sel[5], 2, False),
+            ):
+                sgn = jnp.float32(-1.0 if lower else 1.0)
+                v1, v2, v3 = c * sgn * a1, c * a2, c * a3
+                if axis == 0:
+                    rj_vx = jnp.where(m, v1, rj_vx)
+                    rj_vy = jnp.where(m, v2, rj_vy)
+                    rj_vz = jnp.where(m, v3, rj_vz)
+                    rj_x = jnp.where(m, jnp.where(lower, xl - eps_i * dxb, xu + eps_i * dxb), rj_x)
+                    rj_si = jnp.where(m, -1 if lower else 1, rj_si)
+                elif axis == 1:
+                    rj_vy = jnp.where(m, v1, rj_vy)
+                    rj_vz = jnp.where(m, v2, rj_vz)
+                    rj_vx = jnp.where(m, v3, rj_vx)
+                    rj_y = jnp.where(m, jnp.where(lower, yl - eps_i * dyb, yu + eps_i * dyb), rj_y)
+                    rj_sj = jnp.where(m, -1 if lower else 1, rj_sj)
+                else:
+                    rj_vz = jnp.where(m, v1, rj_vz)
+                    rj_vx = jnp.where(m, v2, rj_vx)
+                    rj_vy = jnp.where(m, v3, rj_vy)
+                    rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzb, zu + eps_i * dzb), rj_z)
+                    rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
+
+            fx_l = (blk_rel * nz + ck) * ny * (nx + 1) + cj * (nx + 1) + ci
+            fp_xl = _gather(fpx_ref, fx_l, Kf_reg[0])
+            fp_xu = _gather(fpx_ref, fx_l + 1, Kf_reg[0])
+            if multi_d:
+                fy_l = ((blk_rel * nz + ck) * (ny + 1) + cj) * nx + ci
+                fp_yl = _gather(fpy_ref, fy_l, Kf_reg[1])
+                fp_yu = _gather(fpy_ref, fy_l + nx, Kf_reg[1])
+            else:
+                fp_yl = fp_yu = jnp.zeros(shape)
+            if three_d:
+                fz_l = ((blk_rel * (nz + 1) + ck) * ny + cj) * nx + ci
+                fp_zl = _gather(fpz_ref, fz_l, Kf_reg[2])
+                fp_zu = _gather(fpz_ref, fz_l + ny * nx, Kf_reg[2])
+            else:
+                fp_zl = fp_zu = jnp.zeros(shape)
+
+            lk = (fp_xl / dxb, fp_xu / dxb, fp_yl / dyb, fp_yu / dyb,
+                  fp_zl / dzb, fp_zu / dzb)
+            leak_tot = lk[0] + lk[1] + lk[2] + lk[3] + lk[4] + lk[5]
+            cdf = ff * sa + leak_tot + tiny
+            dt_ev = (-jnp.log(jnp.maximum(uniform(it, 7), tiny))) / (c * cdf)
+            dt_rem = dt * (1.0 - tau)
+            is_event = dt_ev < dt_rem
+            do_step = is_ddmc & ~rejected
+
+            dd_tau = jnp.where(is_event, tau + dt_ev / dt, 1.0)
+            xi = cdf * uniform(it, 8)
+            dd_absorbed = do_step & is_event & (xi < ff * sa)
+            xim = xi - ff * sa
+            cum = jnp.zeros(shape)
+            leak_sel = []
+            leak_any = jnp.zeros(shape, bool)
+            for l in lk:
+                m = do_step & is_event & ~dd_absorbed & ~leak_any & (xim < cum + l)
+                leak_sel.append(m)
+                leak_any = leak_any | m
+                cum = cum + l
+            fall = do_step & is_event & ~dd_absorbed & ~leak_any
+            if three_d:
+                leak_sel[5] = leak_sel[5] | fall
+            elif multi_d:
+                leak_sel[3] = leak_sel[3] | fall
+            else:
+                leak_sel[1] = leak_sel[1] | fall
+
+            bmu = jnp.sqrt(uniform(it, 9))
+            bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
+            bphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 10)
+            b1, b2, b3 = bmu, bnu * jnp.cos(bphi), bnu * jnp.sin(bphi)
+
+            dd_x, dd_y, dd_z = x, y, z
+            dd_vx, dd_vy, dd_vz = vx, vy, vz
+            dd_si = jnp.zeros(shape, jnp.int32)
+            dd_sj = jnp.zeros(shape, jnp.int32)
+            dd_sk = jnp.zeros(shape, jnp.int32)
+            cx_, cy_, cz_ = xl + 0.5 * dxb, yl + 0.5 * dyb, zl + 0.5 * dzb
+            eps_d = jnp.float32(eps_ddmc)
+            for m, axis, lower in (
+                (leak_sel[0], 0, True), (leak_sel[1], 0, False),
+                (leak_sel[2], 1, True), (leak_sel[3], 1, False),
+                (leak_sel[4], 2, True), (leak_sel[5], 2, False),
+            ):
+                out_sgn = jnp.float32(-1.0 if lower else 1.0)
+                v1, v2, v3 = c * out_sgn * b1, c * b2, c * b3
+                if axis == 0:
+                    dd_x = jnp.where(m, jnp.where(lower, xl - eps_d * dxb, xu + eps_d * dxb), dd_x)
+                    dd_y = jnp.where(m, cy_, dd_y)
+                    dd_z = jnp.where(m, cz_, dd_z)
+                    dd_vx = jnp.where(m, v1, dd_vx)
+                    dd_vy = jnp.where(m, v2, dd_vy)
+                    dd_vz = jnp.where(m, v3, dd_vz)
+                    dd_si = jnp.where(m, -1 if lower else 1, dd_si)
+                elif axis == 1:
+                    dd_y = jnp.where(m, jnp.where(lower, yl - eps_d * dyb, yu + eps_d * dyb), dd_y)
+                    dd_z = jnp.where(m, cz_, dd_z)
+                    dd_x = jnp.where(m, cx_, dd_x)
+                    dd_vy = jnp.where(m, v1, dd_vy)
+                    dd_vz = jnp.where(m, v2, dd_vz)
+                    dd_vx = jnp.where(m, v3, dd_vx)
+                    dd_sj = jnp.where(m, -1 if lower else 1, dd_sj)
+                else:
+                    dd_z = jnp.where(m, jnp.where(lower, zl - eps_d * dzb, zu + eps_d * dzb), dd_z)
+                    dd_x = jnp.where(m, cx_, dd_x)
+                    dd_y = jnp.where(m, cy_, dd_y)
+                    dd_vz = jnp.where(m, v1, dd_vz)
+                    dd_vx = jnp.where(m, v2, dd_vx)
+                    dd_vy = jnp.where(m, v3, dd_vy)
+                    dd_sk = jnp.where(m, -1 if lower else 1, dd_sk)
+
+            dd_census = do_step & ~is_event
+            dd_x = jnp.where(dd_census, xl + uniform(it, 11) * dxb, dd_x)
+            dd_y = jnp.where(dd_census, yl + uniform(it, 12) * dyb, dd_y)
+            dd_z = jnp.where(dd_census, zl + uniform(it, 13) * dzb, dd_z)
+            cmu = 1.0 - 2.0 * uniform(it, 14)
+            cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
+            cphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 15)
+            dd_vx = jnp.where(dd_census, c * cst * jnp.cos(cphi), dd_vx)
+            dd_vy = jnp.where(dd_census, c * cst * jnp.sin(cphi), dd_vy)
+            dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
+
+            dd_x = jnp.where(rejected, rj_x, dd_x)
+            dd_y = jnp.where(rejected, rj_y, dd_y)
+            dd_z = jnp.where(rejected, rj_z, dd_z)
+            dd_vx = jnp.where(rejected, rj_vx, dd_vx)
+            dd_vy = jnp.where(rejected, rj_vy, dd_vy)
+            dd_vz = jnp.where(rejected, rj_vz, dd_vz)
+            dd_si = jnp.where(rejected, rj_si, dd_si)
+            dd_sj = jnp.where(rejected, rj_sj, dd_sj)
+            dd_sk = jnp.where(rejected, rj_sk, dd_sk)
+            dd_tau = jnp.where(rejected, tau, dd_tau)
+
+            nx_ = jnp.where(is_ddmc, dd_x, nx_)
+            ny_ = jnp.where(is_ddmc, dd_y, ny_)
+            nz_ = jnp.where(is_ddmc, dd_z, nz_)
+            nvx = jnp.where(is_ddmc, dd_vx, nvx)
+            nvy = jnp.where(is_ddmc, dd_vy, nvy)
+            nvz = jnp.where(is_ddmc, dd_vz, nvz)
+            ntau = jnp.where(is_ddmc, dd_tau, ntau)
+            nci = jnp.where(is_ddmc, ci + dd_si, nci)
+            ncj = jnp.where(is_ddmc, cj + dd_sj, ncj)
+            nck = jnp.where(is_ddmc, ck + dd_sk, nck)
+            nalive = jnp.where(dd_absorbed, 0, nalive)
+            nabsorbed = jnp.where(dd_absorbed, 1, nabsorbed)
+            nface = jnp.where(is_ddmc, 0, nface)
+
+        # ---- block transition / domain BCs ------------------------------
+        out_lo_x, out_hi_x = nci < 0, nci >= nx
+        out_lo_y, out_hi_y = ncj < 0, ncj >= ny
+        out_lo_z, out_hi_z = nck < 0, nck >= nz
+
+        gx = _gather(box_ref, blk, nb_chunks) + nx_
+        gy = _gather(boy_ref, blk, nb_chunks) + ny_
+        gz = _gather(boz_ref, blk, nb_chunks) + nz_
+
+        def apply_bc(g, v, lo, hi, o_lo, o_hi, bc_lo, bc_hi, al, fc, half):
+            L = jnp.float32(hi - lo)
+            lo = jnp.float32(lo)
+            hi = jnp.float32(hi)
+            hit_lo = o_lo & (g <= lo + jnp.float32(half))
+            hit_hi = o_hi & (g >= hi - jnp.float32(half))
+            if bc_lo == BC.reflecting:
+                g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
+                v = jnp.where(hit_lo, -v, v)
+                fc = jnp.where(hit_lo, -fc, fc)
+            elif bc_lo == BC.periodic:
+                g = jnp.where(hit_lo, jnp.clip(g + L, lo, hi), g)
+            else:
+                al = jnp.where(hit_lo, 0, al)
+            if bc_hi == BC.reflecting:
+                g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
+                v = jnp.where(hit_hi, -v, v)
+                fc = jnp.where(hit_hi, -fc, fc)
+            elif bc_hi == BC.periodic:
+                g = jnp.where(hit_hi, jnp.clip(g - L, lo, hi), g)
+            else:
+                al = jnp.where(hit_hi, 0, al)
+            return g, v, al, fc
+
+        gx, nvx, nalive, nface = apply_bc(
+            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive, nface,
+            0.5 * finest[0],
+        )
+        if multi_d:
+            gy, nvy, nalive, nface = apply_bc(
+                gy, nvy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3], nalive,
+                nface, 0.5 * finest[1],
+            )
+        if three_d:
+            gz, nvz, nalive, nface = apply_bc(
+                gz, nvz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5], nalive,
+                nface, 0.5 * finest[2],
+            )
+
+        out = (out_lo_x | out_hi_x | out_lo_y | out_hi_y | out_lo_z | out_hi_z) & (
+            nalive != 0
+        )
+        px = gx + jnp.float32(0.01 * finest[0]) * (nvx / c)
+        py = gy + jnp.float32(0.01 * finest[1]) * (nvy / c) if multi_d else gy
+        pz = gz + jnp.float32(0.01 * finest[2]) * (nvz / c) if three_d else gz
+        tx = jnp.clip(jnp.floor((px - x1min) / tsx).astype(jnp.int32), 0, ntx - 1)
+        ty = jnp.clip(jnp.floor((py - x2min) / tsy).astype(jnp.int32), 0, nty - 1)
+        tz = jnp.clip(jnp.floor((pz - x3min) / tsz).astype(jnp.int32), 0, ntz - 1)
+        b_new = _gather(lut_ref, (tz * nty + ty) * ntx + tx, nt_chunks)
+        ndxb = _gather(bdx_ref, b_new, nb_chunks)
+        ndyb = _gather(bdy_ref, b_new, nb_chunks)
+        ndzb = _gather(bdz_ref, b_new, nb_chunks)
+        lx = gx - _gather(box_ref, b_new, nb_chunks)
+        ly = gy - _gather(boy_ref, b_new, nb_chunks)
+        lz = gz - _gather(boz_ref, b_new, nb_chunks)
+        ri = jnp.clip(jnp.floor(lx / ndxb).astype(jnp.int32), 0, nx - 1)
+        rj = jnp.clip(jnp.floor(ly / ndyb).astype(jnp.int32), 0, ny - 1)
+        rk = jnp.clip(jnp.floor(lz / ndzb).astype(jnp.int32), 0, nz - 1)
+        nblk = jnp.where(out, b_new, blk)
+
+        nx_ = jnp.where(out, lx, nx_)
+        ny_ = jnp.where(out, ly, ny_)
+        nz_ = jnp.where(out, lz, nz_)
+        nci = jnp.where(out, ri, jnp.clip(nci, 0, nx - 1))
+        ncj = jnp.where(out, rj, jnp.clip(ncj, 0, ny - 1))
+        nck = jnp.where(out, rk, jnp.clip(nck, 0, nz - 1))
+
+        def sel_act(new, old):
+            return jnp.where(active, new, old)
+
+        return (
+            sel_act(nx_, x), sel_act(ny_, y), sel_act(nz_, z),
+            sel_act(nvx, vx), sel_act(nvy, vy), sel_act(nvz, vz),
+            sel_act(ntau, tau),
+            jnp.where(active, nblk, blk),
+            jnp.where(active, nci, ci),
+            jnp.where(active, ncj, cj),
+            jnp.where(active, nck, ck),
+            jnp.where(active, nalive, alive),
+            jnp.where(active, nabsorbed, absorbed),
+            jnp.where(active, nface, face),
+            it + 1,
+            ev + jnp.sum(active.astype(jnp.int32)),
+        )
+
+    def cond(carry):
+        tau, blk, alive, it = carry[6], carry[7], carry[11], carry[14]
+        resident = (blk >= first_blk) & (blk < first_blk + bpr)
+        return (it < max_iters) & jnp.any((alive != 0) & (tau < 1.0) & resident)
+
+    init = (
+        x_ref[:], y_ref[:], z_ref[:],
+        vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
+        blk_ref[:], ci_ref[:], cj_ref[:], ck_ref[:],
+        alive_ref[:], absorbed_ref[:], face_ref[:],
+        jnp.int32(0), jnp.int32(0),
+    )
+    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, it, ev) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
+    ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
+    otau_ref[:] = tau
+    oblk_ref[:], oci_ref[:], ocj_ref[:], ock_ref[:] = blk, ci, cj, ck
+    oalive_ref[:], oabsorbed_ref[:], oface_ref[:] = alive, absorbed, face
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_stats():
+        ev_ref[0, 0] = 0
+        it_ref[0, 0] = 0
+
+    ev_ref[0, 0] = ev_ref[0, 0] + ev
+    it_ref[0, 0] = jnp.maximum(it_ref[0, 0], it)
+
+
+def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
+    """Census transport via region bucketing. Returns (particles, iters, events).
+
+    Outer ``while_loop``: bucket unfinished particles into the tile-aligned
+    reorder buffer, run the kernel grid, scatter results back; repeat until every
+    live particle reaches census (or the round backstop trips)."""
+    p = particles
+    cap = p.capacity
+    bpr, R, K_reg = _region_layout(mesh)
+    Kf_reg, fpb = _face_chunks(mesh, bpr)
+    f32, i32 = jnp.float32, jnp.int32
+    ncpb = mesh.ncells_per_block
+
+    # region-sliced coefficient slabs, built once per step
+    sa_t = _region_tables(coefs.sigma_a, R, bpr, ncpb, K_reg, f32)
+    ss_t = _region_tables(coefs.sigma_s, R, bpr, ncpb, K_reg, f32)
+    ff_t = _region_tables(coefs.fleck, R, bpr, ncpb, K_reg, f32)
+    if prm.use_ddmc:
+        fpx_t = _region_tables(coefs.px.reshape(-1), R, bpr, fpb[0], Kf_reg[0], f32)
+        fpy_t = _region_tables(coefs.py.reshape(-1), R, bpr, fpb[1], Kf_reg[1], f32)
+        fpz_t = _region_tables(coefs.pz.reshape(-1), R, bpr, fpb[2], Kf_reg[2], f32)
+    else:
+        fpx_t = jnp.zeros(((R + 1) * GREP, LANES), f32)
+        fpy_t = fpz_t = fpx_t
+        Kf_reg = (1, 1, 1)
+
+    Kb = _n_bchunks(mesh)
+    Kt = _n_tchunks(mesh)
+    bdx_t = _chunk_table(mesh.block_dx[:, 0], f32, Kb)
+    bdy_t = _chunk_table(mesh.block_dx[:, 1], f32, Kb)
+    bdz_t = _chunk_table(mesh.block_dx[:, 2], f32, Kb)
+    box_t = _chunk_table(mesh.block_origin[:, 0], f32, Kb)
+    boy_t = _chunk_table(mesh.block_origin[:, 1], f32, Kb)
+    boz_t = _chunk_table(mesh.block_origin[:, 2], f32, Kb)
+    lut_t = _chunk_table(mesh.lookup.reshape(-1), i32, Kt)
+
+    bufcap = cap + (R + 1) * BTILE
+    bufcap = -(-bufcap // BTILE) * BTILE
+    grid = bufcap // BTILE
+
+    prm_static = (
+        prm.ndim, mesh.nx, mesh.ny, mesh.nz, prm.max_iters,
+        tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
+        mesh.tile_shape, mesh.finest, prm.has_absorption, interpret,
+        prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
+        bpr, K_reg, Kf_reg, fpb, Kb, Kt,
+    )
+    kernel = functools.partial(_bucketed_kernel, prm_static=prm_static)
+
+    scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
+    try:
+        kd = jax.random.key_data(key)
+    except (TypeError, AttributeError):
+        kd = key
+    seed0 = kd.reshape(-1)[-1].astype(i32)
+
+    part_spec = pl.BlockSpec(
+        (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
+    )
+    slab = lambda rows: pl.BlockSpec(
+        (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R), 0),
+        memory_space=pltpu.VMEM,
+    )
+    resident_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda g, rr: (0, 0), memory_space=pltpu.VMEM
+    )
+    stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        + [part_spec] * 14
+        + [slab(K_reg * GREP)] * 3
+        + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)]
+        + [resident_spec(t) for t in (bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t)],
+        out_specs=tuple([part_spec] * 14 + [stat_spec] * 2),
+    )
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
+        + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 7
+        + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={i + 3: i for i in range(14)},
+        interpret=interpret,
+    )
+
+    FNAMES = ("x", "y", "z", "vx", "vy", "vz", "tau")
+    INAMES = ("block", "i", "j", "k")
+
+    def round_body(carry):
+        p, rounds, it_acc, ev_acc = carry
+        unfinished = p.alive & (p.tau < 1.0)
+        region = jnp.clip(p.block // bpr, 0, R - 1)
+        keyv = jnp.where(unfinished, region, R).astype(i32)
+
+        counts = jax.ops.segment_sum(
+            jnp.ones((cap,), i32), keyv, num_segments=R + 1
+        )
+        padded = -(-counts // BTILE) * BTILE
+        offs = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)[:-1]])
+        order = jnp.argsort(keyv, stable=True).astype(i32)
+        keyv_sorted = keyv[order]
+        first = jnp.searchsorted(keyv_sorted, jnp.arange(R + 1, dtype=keyv_sorted.dtype))
+        rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)
+        dest_sorted = offs[keyv_sorted] + rank_sorted  # in [0, bufcap)
+
+        def to_buf(arr, dtype):
+            buf = jnp.zeros((bufcap,), dtype)
+            return buf.at[dest_sorted].set(arr[order].astype(dtype)).reshape(
+                bufcap // LANES, LANES
+            )
+
+        bufs = (
+            [to_buf(getattr(p, n), f32) for n in FNAMES]
+            + [to_buf(getattr(p, n), i32) for n in INAMES]
+            + [to_buf(p.alive, i32), to_buf(p.absorbed, i32), to_buf(p.face, i32)]
+        )
+        # region id per tile (dead/padding tiles index the zero slab R)
+        tile_starts = jnp.arange(grid, dtype=i32) * BTILE
+        ends = offs + counts
+        tile_regions = jnp.searchsorted(ends, tile_starts, side="right").astype(i32)
+        tile_regions = jnp.minimum(tile_regions, R)
+
+        # golden-ratio increment 0x9E3779B9 as a signed int32
+        seed = (seed0 + rounds * jnp.int32(-1640531527))[None]
+        outs = call(tile_regions, scal, seed, *bufs,
+                    sa_t, ss_t, ff_t, fpx_t, fpy_t, fpz_t,
+                    bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t)
+        (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
+         balive, babsorbed, bface, ev, it) = outs
+
+        # dest_sorted maps SORTED position -> buffer slot; invert through `order`
+        back = {}
+        flats = dict(zip(FNAMES, (bx, by, bz, bvx, bvy, bvz, btau)))
+        flats.update(dict(zip(INAMES, (bblk, bci, bcj, bck))))
+        flats.update(dict(alive=balive, absorbed=babsorbed, face=bface))
+        for name, buf in flats.items():
+            ref = getattr(p, name)
+            vals_sorted = buf.reshape(bufcap)[dest_sorted].astype(ref.dtype)
+            back[name] = jnp.zeros_like(ref).at[order].set(vals_sorted)
+        p = dataclasses.replace(p, **back)
+        return p, rounds + 1, it_acc + it[0, 0], ev_acc + ev[0, 0]
+
+    def round_cond(carry):
+        p, rounds, _, _ = carry
+        return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(p.alive & (p.tau < 1.0))
+
+    p, rounds, iters, events = jax.lax.while_loop(
+        round_cond,
+        round_body,
+        (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32)),
+    )
+    return p, iters, events

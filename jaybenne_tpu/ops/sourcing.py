@@ -54,6 +54,7 @@ def source_photons(
     dtype,
     axis_name=None,
     cell_mask=None,
+    block_offset=None,
 ):
     """Returns (fields, particles, n_dropped).
 
@@ -63,15 +64,33 @@ def source_photons(
     (``psum`` over shards) so the summed energy per cell is exactly ``erad``
     regardless of the device count.
 
-    Under the spatial distribution, ``cell_mask`` ([B,1,1,1] broadcastable bool)
-    restricts births to this shard's owned blocks at the full per-cell rate; the
-    psum again reconstructs the (disjoint-union) global counts."""
+    Under the spatial distribution with REPLICATED fields, ``cell_mask``
+    ([B,1,1,1] broadcastable bool) restricts births to this shard's owned blocks
+    at the full per-cell rate; the psum reconstructs the (disjoint-union) global
+    counts.
+
+    Under the spatial distribution with SHARDED fields, ``fields`` arrays are the
+    shard's local ``[B_local, ...]`` block slice and ``block_offset`` is the
+    global id of its first block: every cell is owned by exactly one shard, so
+    counts/weights are purely local (no psum), particles are emitted with global
+    block ids, and padding blocks (global id >= mesh.n_blocks) source nothing."""
     assert source_type in ("thermal", "emission")
-    B, nz, ny, nx = fields.rho.shape
-    n_cells = B * nz * ny * nx
+    B, nz, ny, nx = fields.rho.shape  # B is the LOCAL block count when offset set
+    n_cells_local = B * nz * ny * nx
+    # the per-cell rate normalizes by the GLOBAL cell count so the whole mesh
+    # sources ~num_particles regardless of the partition
+    n_cells = mesh.total_cells if block_offset is not None else n_cells_local
 
     temp = eos.temperature_from_density_internal_energy(fields.rho, fields.sie)
-    dv = mesh.block_volume[:, None, None, None]  # [B,1,1,1]
+    if block_offset is not None:
+        vol_padded = jnp.concatenate(
+            [mesh.block_volume, jnp.ones((B,), mesh.block_volume.dtype)]
+        )
+        dv = jax.lax.dynamic_slice_in_dim(vol_padded, block_offset, B, 0)[
+            :, None, None, None
+        ]
+    else:
+        dv = mesh.block_volume[:, None, None, None]  # [B,1,1,1]
 
     if source_type == "thermal":
         erad = (4.0 * sb / c) * temp**4 * dv
@@ -87,11 +106,20 @@ def source_photons(
     n_cell = base + bern.astype(jnp.int32)  # [B,nz,ny,nx] — local births this shard
     if cell_mask is not None:
         n_cell = jnp.where(cell_mask, n_cell, 0)
+    if block_offset is not None:
+        own = (jnp.arange(B) + block_offset) < mesh.n_blocks  # padding sources nothing
+        n_cell = jnp.where(own[:, None, None, None], n_cell, 0)
     # cells with no source energy emit nothing (deviation: the reference creates
     # zero-weight particles there — e.g. emission with a zero-opacity model,
     # sourcing.cpp:98-103 — which transport as pure dead weight)
     n_cell = jnp.where(erad > 0, n_cell, 0)
-    n_glob = jax.lax.psum(n_cell, axis_name) if axis_name else n_cell
+    # sharded-fields spatial mode: every cell is owned by exactly one shard, so the
+    # local counts ARE the global per-cell counts — no reduction
+    n_glob = (
+        jax.lax.psum(n_cell, axis_name)
+        if (axis_name and block_offset is None)
+        else n_cell
+    )
     ew = jnp.where(n_glob > 0, erad / jnp.maximum(n_glob, 1).astype(dtype), 0.0)
     ew = ew.astype(dtype)
 
@@ -108,7 +136,7 @@ def source_photons(
 
     # ---- candidate grid ------------------------------------------------------
     K = base + 1  # static max births per cell
-    C = n_cells
+    C = n_cells_local
     n_flat = n_cell.reshape(C)
     valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n_flat[:, None]  # [C, K]
 
@@ -126,6 +154,8 @@ def source_photons(
     uz = rng.uniform(keys[2], shape, dtype)
     ndir = rng.isotropic_direction(keys[3], shape, dtype)
 
+    if block_offset is not None:
+        b_c = jnp.clip(b_c + block_offset, 0, mesh.n_blocks - 1)  # global block ids
     dxv = mesh.block_dx[b_c]  # [C, 3]
     # block-local positions, uniform over the cell (sourcing.cpp:175-177)
     x = (i_c.astype(dtype)[:, None] + ux) * dxv[:, 0:1]

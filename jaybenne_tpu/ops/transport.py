@@ -57,23 +57,28 @@ from ..utils.tree import pytree_dataclass, static
 @pytree_dataclass
 class TransportCoefs:
     """Per-cell transport coefficients, precomputed once per radiation step (fields do
-    not change during transport; the reference re-evaluates EOS/opacity per event,
-    ``transport.cpp:122-127``, with identical in-step values).
+    not change during transport).
 
-    Frequency-dependent opacities would need per-particle evaluation here; all models
-    currently in the inventory (Gray/EPBremss/GrayS/ThomsonS) are gray, matching the
-    reference's exercised configurations.
+    Gray models (the whole shipped deck corpus): coefficients are precomputed per
+    cell, ``packed`` rows are ``(sigma_a, sigma_s, fleck)``, and the event loop never
+    touches the model objects — bitwise-identical to evaluating per event. With a
+    frequency-DEPENDENT model, ``opacity``/``scattering`` are attached (static) and
+    ``packed`` rows carry ``(rho, temp, fleck)`` instead: the event loop gathers the
+    matter state and evaluates ``AbsorptionCoefficient(rho, T, E_photon)`` per event,
+    exactly like the reference (``transport.cpp:122-127``).
     """
 
-    sigma_a: jnp.ndarray  # [NC] absorption coefficient
-    sigma_s: jnp.ndarray  # [NC] scattering coefficient
+    sigma_a: jnp.ndarray  # [NC] Planck-mean absorption coefficient
+    sigma_s: jnp.ndarray  # [NC] scattering coefficient (mean if non-gray)
     fleck: jnp.ndarray    # [NC] Fleck factor
     px: jnp.ndarray       # [B, nz, ny, nx+1] DDMC face probs (zeros if unused)
     py: jnp.ndarray       # [B, nz, ny+1, nx]
     pz: jnp.ndarray       # [B, nz+1, ny, nx]
-    # optional [NC, 3] (sigma_a, sigma_s, fleck): lets the XLA event loop fetch all
-    # three with ONE row gather per event
+    # [NC, 3]: one row gather per event fetches all three values (see class doc)
     packed: jnp.ndarray = None
+    # frequency-dependent surface: static model objects, None for gray physics
+    opacity: object = static(default=None)
+    scattering: object = static(default=None)
 
 
 @pytree_dataclass
@@ -105,21 +110,33 @@ def default_eps(dtype):
 
 def precompute_coefs(fields, mesh, eos, opacity, scattering, use_ddmc, dtype):
     temp = eos.temperature_from_density_internal_energy(fields.rho, fields.sie)
-    sigma_s = scattering.total_scattering_coefficient(fields.rho, temp, 1.0)
-    sigma_a = opacity.absorption_coefficient(fields.rho, temp, 1.0)
+    sigma_s = scattering.total_scattering_coefficient(fields.rho, temp)
+    sigma_a = opacity.absorption_coefficient(fields.rho, temp)
     sigma_s = jnp.broadcast_to(jnp.asarray(sigma_s, dtype), fields.rho.shape)
     sigma_a = jnp.broadcast_to(jnp.asarray(sigma_a, dtype), fields.rho.shape)
     sa_flat = sigma_a.reshape(-1)
     ss_flat = sigma_s.reshape(-1)
     ff_flat = fields.fleck.reshape(-1).astype(dtype)
+    gray = getattr(opacity, "is_gray", True) and getattr(scattering, "is_gray", True)
+    if gray:
+        packed = jnp.stack([sa_flat, ss_flat, ff_flat], axis=-1)
+        models = dict(opacity=None, scattering=None)
+    else:
+        # per-event surface: the loop gathers (rho, T, fleck) and evaluates the
+        # models at the particle's photon energy
+        rho_flat = fields.rho.reshape(-1).astype(dtype)
+        tt_flat = jnp.asarray(temp, dtype).reshape(-1)
+        packed = jnp.stack([rho_flat, tt_flat, ff_flat], axis=-1)
+        models = dict(opacity=opacity, scattering=scattering)
     return TransportCoefs(
         sigma_a=sa_flat,
         sigma_s=ss_flat,
         fleck=ff_flat,
-        packed=jnp.stack([sa_flat, ss_flat, ff_flat], axis=-1),
+        packed=packed,
         px=fields.ddmc_px if use_ddmc else jnp.zeros_like(fields.ddmc_px),
         py=fields.ddmc_py if use_ddmc else jnp.zeros_like(fields.ddmc_py),
         pz=fields.ddmc_pz if use_ddmc else jnp.zeros_like(fields.ddmc_pz),
+        **models,
     )
 
 
@@ -158,12 +175,28 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     else:
         b_local = p.block
 
-    dxv = mesh.block_dx[p.block]  # [P, 3]  (block metadata is global/replicated)
-    dx, dy, dz = dxv[:, 0], dxv[:, 1], dxv[:, 2]
+    meta = mesh.block_meta[p.block]  # [P, 6] one gather: (dx, dy, dz, origin)
+    dx, dy, dz = meta[:, 0], meta[:, 1], meta[:, 2]
+    org_own = meta[:, 3:6]
     dmin = jnp.minimum(dx, jnp.minimum(dy, dz))
     b_idx = jnp.clip(b_local, 0, coefs.px.shape[0] - 1)  # field-gather block index
     cell = mesh.flat_cell(b_idx, p.k, p.j, p.i)
-    if coefs.packed is not None:
+    if coefs.opacity is not None:
+        # frequency-dependent surface: gather the matter state and evaluate the
+        # models at the particle's photon energy, as the reference does per event
+        # (transport.cpp:122-127)
+        rows = jnp.take(coefs.packed, cell, axis=0)  # (rho, temp, fleck)
+        rho_g, tt_g, ff = rows[:, 0], rows[:, 1], rows[:, 2]
+        sa = jnp.asarray(
+            coefs.opacity.absorption_coefficient(rho_g, tt_g, p.energy), dtype
+        )
+        ss = jnp.asarray(
+            coefs.scattering.total_scattering_coefficient(rho_g, tt_g, p.energy),
+            dtype,
+        )
+        sa = jnp.broadcast_to(sa, rho_g.shape)
+        ss = jnp.broadcast_to(ss, rho_g.shape)
+    elif coefs.packed is not None:
         rows = jnp.take(coefs.packed, cell, axis=0)  # one 3-wide row gather
         sa, ss, ff = rows[:, 0], rows[:, 1], rows[:, 2]
     else:
@@ -183,12 +216,41 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     yl, yu = fj * dy, (fj + 1.0) * dy
     zl, zu = fk * dz, (fk + 1.0) * dz
 
-    ks = jax.random.split(key, 12)
     shape = p.x.shape
+    # ONE batched threefry draw per event covers every variate this iteration
+    # needs (the reference draws lazily from a stateful per-thread pool; separate
+    # jax.random calls here cost ~10x the dispatch/overhead on the fallback path).
+    # Row map: 0-1 exp distances, 2-3 scatter; DDMC: 4 albedo, 5-6 bounce dir,
+    # 7 event time, 8 event CDF, 9-10 leak dir, 11-13 census pos, 14-15 census
+    # dir; SMR subface resample: 16-18 selection, 19-20 hemisphere dir.
+    smr_resample = prm.use_ddmc and mesh.max_level > 0
+    n_draw = 21 if smr_resample else (16 if prm.use_ddmc else 4)
+    U = jax.random.uniform(key, (n_draw,) + shape, dtype=dtype)
+
+    def u(i):
+        return U[i]
+
+    def expd(i):
+        return -jnp.log(jnp.maximum(U[i], tiny))
+
+    def iso_dir(i):
+        """Isotropic direction from rows (i, i+1), polar axis z (scatter conv)."""
+        mu = 1.0 - 2.0 * U[i]
+        phi = (2.0 * jnp.pi) * U[i + 1]
+        st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+        return st * jnp.cos(phi), st * jnp.sin(phi), mu
+
+    def face_iso(i):
+        """Cosine-weighted hemisphere dir from rows (i, i+1): unsigned principal
+        component first (see rng.face_isotropic_direction)."""
+        mu = jnp.sqrt(U[i])
+        nu = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+        phi = (2.0 * jnp.pi) * U[i + 1]
+        return mu, nu * jnp.cos(phi), nu * jnp.sin(phi)
 
     # ===================== IMC branch (ptcl_transport_step) ====================
-    d_abs = rng.exponential(ks[0], shape, dtype) / (ff * sa + tiny)
-    d_sc = rng.exponential(ks[1], shape, dtype) / (ss + (1.0 - ff) * sa + tiny)
+    d_abs = expd(0) / (ff * sa + tiny)
+    d_sc = expd(1) / (ss + (1.0 - ff) * sa + tiny)
     d_end = c * dt * (1.0 - p.tau)
     d_geom = jnp.minimum(dmin, d_end)
 
@@ -226,7 +288,7 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     step_z = jnp.where(cr_z, jnp.where(p.vz > 0, 1, -1), 0).astype(jnp.int32)
 
     # isotropic scatter redraw (scattering.hpp:21-29)
-    snx, sny, snz = rng.isotropic_direction(ks[2], shape, dtype)
+    snx, sny, snz = iso_dir(2)
     imc_vx = jnp.where(i_sc, c * snx, p.vx)
     imc_vy = jnp.where(i_sc, c * sny, p.vy)
     imc_vz = jnp.where(i_sc, c * snz, p.vz)
@@ -262,12 +324,12 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
         for m, fdx, fv, sgn in zip(sel, face_dx, face_v, face_sign):
             Pf = (2.0 / 3.0) / (sig_t * fdx + 2.0 * LAM_EXT)
             P = jnp.where(m, 2.0 * Pf * (1.0 + sgn * 1.5 * fv / c), P)
-        u_alb = rng.uniform(ks[3], shape, dtype)
+        u_alb = u(4)
         rejected = at_face & (u_alb > P)
 
         # rejected: hemisphere direction away from the face; re-seed eps into the
         # neighboring cell (index steps; block transition handles edges)
-        a1, a2, a3 = rng.face_isotropic_direction(ks[4], shape, dtype)
+        a1, a2, a3 = face_iso(5)
         rj_x, rj_y, rj_z = p.x, p.y, p.z
         rj_vx, rj_vy, rj_vz = p.vx, p.vy, p.vz
         rj_si = jnp.zeros(shape, jnp.int32)
@@ -323,13 +385,13 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
         lk = [fp_xl / dx, fp_xu / dx, fp_yl / dy, fp_yu / dy, fp_zl / dz, fp_zu / dz]
         leak_tot = sum(lk)
         cdf = ff * sa + leak_tot + tiny
-        dt_ev = rng.exponential(ks[5], shape, dtype) / (c * cdf)
+        dt_ev = expd(7) / (c * cdf)
         dt_rem = dt * (1.0 - p.tau)
         is_event = dt_ev < dt_rem
 
         dd_tau = jnp.where(is_event, p.tau + dt_ev / dt, 1.0)
 
-        xi = cdf * rng.uniform(ks[6], shape, dtype)
+        xi = cdf * u(8)
         dd_absorbed = do_step & is_event & (xi < ff * sa)
         xim = xi - ff * sa
         cum = jnp.zeros(shape, dtype)
@@ -350,7 +412,7 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
             leak_sel[1] = leak_sel[1] | fallthrough
         leak_any = leak_any | fallthrough
 
-        b1, b2, b3 = rng.face_isotropic_direction(ks[7], shape, dtype)
+        b1, b2, b3 = face_iso(9)
         dd_x, dd_y, dd_z = p.x, p.y, p.z
         dd_vx, dd_vy, dd_vz = p.vx, p.vy, p.vz
         dd_si = jnp.zeros(shape, jnp.int32)
@@ -396,10 +458,10 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
 
         # census: resample position uniform in cell + isotropic direction
         dd_census = do_step & ~is_event
-        ucx = rng.uniform(ks[8], shape, dtype)
-        ucy = rng.uniform(ks[9], shape, dtype)
-        ucz = rng.uniform(ks[10], shape, dtype)
-        cnx, cny, cnz = rng.isotropic_direction(ks[11], shape, dtype)
+        ucx = u(11)
+        ucy = u(12)
+        ucz = u(13)
+        cnx, cny, cnz = iso_dir(14)
         dd_x = jnp.where(dd_census, xl + ucx * dx, dd_x)
         dd_y = jnp.where(dd_census, yl + ucy * dy, dd_y)
         dd_z = jnp.where(dd_census, zl + ucz * dz, dd_z)
@@ -458,18 +520,24 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
 
     # ===================== block transition / boundary conditions =============
     leak_code = jnp.where(is_ddmc, dd_leak_code, 0) if prm.use_ddmc else None
-    # the subface resample needs the destination block's face probs; under the
-    # spatial decomposition those may live on another shard, so it is skipped there
-    # (spatial + SMR + DDMC is rejected at config time)
-    sub_coefs = coefs if (prm.use_ddmc and block_offset is None and mesh.max_level > 0) else None
+    # DDMC leaks into a FINER block resample among its subfaces inline when the
+    # destination's face probs are on this shard; under the spatial decomposition
+    # a remote destination instead records a pending-leak code that the OWNING
+    # shard resolves on arrival (the reference's post-communication
+    # SampleDDMCBlockFace pass)
+    sub_coefs = coefs if smr_resample else None
+    sub_draws = (u(16), u(17), u(18), *face_iso(19)) if smr_resample else None
     p = resolve_block_transition(
-        p, mesh, prm, coefs=sub_coefs, leak_code=leak_code, key=ks[3]
+        p, mesh, prm, coefs=sub_coefs, leak_code=leak_code, draws=sub_draws,
+        org=org_own, block_offset=block_offset,
+        n_local=coefs.px.shape[0] if block_offset is not None else None,
     )
     return p, n_active
 
 
 def resolve_block_transition(
-    p, mesh, prm: TransportParams, coefs=None, leak_code=None, key=None
+    p, mesh, prm: TransportParams, coefs=None, leak_code=None, draws=None, org=None,
+    block_offset=None, n_local=None,
 ):
     """Re-home particles whose cell index stepped off their block: apply domain
     (swarm) boundary conditions, locate the new owning block via the lookup grid, and
@@ -496,7 +564,8 @@ def resolve_block_transition(
     out = (out_lo_x | out_hi_x | out_lo_y | out_hi_y | out_lo_z | out_hi_z) & p.alive
     # fast exit is not possible under jit; the ops below are cheap masked arithmetic
 
-    org = mesh.block_origin[p.block]
+    if org is None:
+        org = mesh.block_origin[p.block]
     gx = org[:, 0] + p.x
     gy = org[:, 1] + p.y
     gz = org[:, 2] + p.z
@@ -560,23 +629,41 @@ def resolve_block_transition(
     py = gy + 0.01 * finest[1] * (vy / c) if prm.ndim >= 2 else gy
     pz = gz + 0.01 * finest[2] * (vz / c) if prm.ndim == 3 else gz
     b_new = mesh.locate_block(px, py, pz)
-    org_new = mesh.block_origin[b_new]
-    lx = (gx - org_new[:, 0]).astype(dtype)
-    ly = (gy - org_new[:, 1]).astype(dtype)
-    lz = (gz - org_new[:, 2]).astype(dtype)
-    i_new, j_new, k_new = mesh.cell_of_local(b_new, lx, ly, lz)
+    meta_new = mesh.block_meta[b_new]  # one gather: (dx, origin) of the new block
+    dx_new = meta_new[:, 0:3]
+    lx = (gx - meta_new[:, 3]).astype(dtype)
+    ly = (gy - meta_new[:, 4]).astype(dtype)
+    lz = (gz - meta_new[:, 5]).astype(dtype)
+    # cell of the local position, clamped to the interior (resolves the at-face
+    # ambiguity of a just-migrated particle in favor of the entry cell)
+    i_new = jnp.clip(jnp.floor(lx / dx_new[:, 0]).astype(jnp.int32), 0, mesh.nx - 1)
+    j_new = jnp.clip(jnp.floor(ly / dx_new[:, 1]).astype(jnp.int32), 0, mesh.ny - 1)
+    k_new = jnp.clip(jnp.floor(lz / dx_new[:, 2]).astype(jnp.int32), 0, mesh.nz - 1)
 
     upd = out & alive
+    leak_field = p.leak
 
     # ---- DDMC coarse->fine subface resampling --------------------------------
-    if coefs is not None and leak_code is not None and key is not None:
+    if coefs is not None and leak_code is not None and draws is not None:
         refine = (
             upd
             & (leak_code != 0)
             & (mesh.block_level[b_new] > mesh.block_level[p.block])
         )
+        if block_offset is None:
+            refine_here = refine
+            b_coef = b_new  # coefs are global: face index by global block id
+        else:
+            # only destinations on this shard have their face probs resident;
+            # remote ones carry a pending-leak code for the owner to resolve
+            here = (b_new >= block_offset) & (b_new < block_offset + n_local)
+            refine_here = refine & here
+            b_coef = jnp.clip(b_new - block_offset, 0, n_local - 1)
+            leak_field = jnp.where(
+                upd, jnp.where(refine & ~here, leak_code, 0), leak_field
+            )
         lx, ly, lz, vx, vy, vz, i_new, j_new, k_new = _ddmc_subface_resample(
-            mesh, coefs, prm, key, refine, leak_code, b_new,
+            mesh, coefs, prm, draws, refine_here, leak_code, b_coef, dx_new,
             lx, ly, lz, vx, vy, vz, i_new, j_new, k_new,
         )
 
@@ -594,11 +681,12 @@ def resolve_block_transition(
         k=jnp.where(upd, k_new, jnp.clip(p.k, 0, mesh.nz - 1)),
         alive=alive,
         face=face,
+        leak=leak_field,
     )
 
 
 def _ddmc_subface_resample(
-    mesh, coefs, prm, key, refine, leak_code, b,
+    mesh, coefs, prm, draws, refine, leak_code, b, dxv,
     lx, ly, lz, vx, vy, vz, ii, jj, kk,
 ):
     """Choose among the refined subfaces for DDMC particles leaking coarse->fine.
@@ -617,13 +705,8 @@ def _ddmc_subface_resample(
         return lx, ly, lz, vx, vy, vz, ii, jj, kk  # 1D: nothing to resample
 
     shape = lx.shape
-    ku, kdir = jax.random.split(key)
-    u_sel = rng.uniform(jax.random.fold_in(ku, 1), shape, dtype)
-    u_t1 = rng.uniform(jax.random.fold_in(ku, 2), shape, dtype)
-    u_t2 = rng.uniform(jax.random.fold_in(ku, 3), shape, dtype)
-    a1, a2, a3 = rng.face_isotropic_direction(kdir, shape, dtype)
+    u_sel, u_t1, u_t2, a1, a2, a3 = draws  # pre-drawn rows of the event's batch
 
-    dxv = mesh.block_dx[b]
     axis = jnp.abs(leak_code) - 1  # 0 / 1 / 2
     sgn = jnp.sign(leak_code).astype(dtype)
 

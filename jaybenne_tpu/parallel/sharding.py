@@ -57,9 +57,14 @@ def np_devices(devs):
     return np.asarray(devs)
 
 
-def state_specs(state: SimState) -> SimState:
-    """Build a SimState-of-PartitionSpecs matching ``state``'s tree structure."""
-    fields_spec = jax.tree.map(lambda _: P(), state.fields)
+def state_specs(state: SimState, shard_fields: bool = False) -> SimState:
+    """Build a SimState-of-PartitionSpecs matching ``state``'s tree structure.
+
+    ``shard_fields``: shard field arrays along the block axis (spatial
+    decomposition — requires the block axis padded to a multiple of the device
+    count, see ``spatial.pad_field_blocks``); otherwise fields are replicated."""
+    fspec = P("shard") if shard_fields else P()
+    fields_spec = jax.tree.map(lambda _: fspec, state.fields)
     particles_spec = jax.tree.map(lambda _: P("shard"), state.particles)
     return SimState(
         fields=fields_spec,
@@ -75,9 +80,10 @@ def pad_capacity(capacity: int, n: int) -> int:
     return ((capacity + n - 1) // n) * n
 
 
-def shard_state(state: SimState, dmesh: DeviceMesh) -> SimState:
-    """Place the state on the device mesh (particles split, rest replicated)."""
-    specs = state_specs(state)
+def shard_state(state: SimState, dmesh: DeviceMesh, shard_fields: bool = False) -> SimState:
+    """Place the state on the device mesh (particles split; fields split along the
+    block axis too when ``shard_fields``, else replicated)."""
+    specs = state_specs(state, shard_fields)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(dmesh, s)), state, specs
     )

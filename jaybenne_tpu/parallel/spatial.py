@@ -1,24 +1,37 @@
-"""Spatial (block-sharded) distribution with particle migration.
+"""Spatial (block-sharded) distribution with particle migration and SHARDED fields.
 
 The faithful TPU mapping of the reference's MPI decomposition (SURVEY §2d):
 blocks are assigned contiguously to shards; particles live on the shard owning their
 block; the per-step census loop becomes
 
-    iterate {  local transport to census/exit  ->  all_to_all particle migration  }
+    iterate {  local transport to census/exit  ->  all_to_all particle migration
+               ->  subface fixup of DDMC arrivals  }
     until psum(unfinished) == 0
 
 which is exactly the reference's iterative task list (``jaybenne.cpp:113-131``:
-transport -> swarm Send/Receive -> ``TaskQualifier::global_sync`` completion check),
-with ``lax.all_to_all`` over ICI in place of per-neighbor MPI buffers and ``psum`` in
-place of the allreduce.
+transport -> swarm Send/Receive -> ``SampleDDMCBlockFace`` -> global completion
+check), with ``lax.all_to_all`` over ICI in place of per-neighbor MPI buffers and
+``psum`` in place of the allreduce.
 
-Field COEFFICIENT arrays are computed on replicated matter fields and then sliced
-per shard, so the hot transport gathers touch only the local ``[B_local]`` slice;
-block METADATA (origins, sizes, lookup grid — a few KB) stays replicated, which is
+**Memory layout.** Field arrays are SHARDED along the block axis (padded to
+``n_shards * B_local`` for an even split; see ``pad_field_blocks``): each shard
+holds only its ``[B_local, nz, ny, nx]`` slice of matter + radiation state, so
+per-device field bytes scale ~1/N — the regime this decomposition exists for
+(reference blocks are distributed the same way, ``jaybenne.cpp:26-61``). Block
+METADATA (origins, sizes, levels, lookup grid — a few KB) stays replicated, which is
 what lets a shard compute the full block transition for an outgoing particle before
-shipping it (no post-communication fixup pass). Migration uses fixed-size per-pair
-buffers: overflowing particles simply stay in transit and ride the next iteration,
-so no particle is ever dropped.
+shipping it. The one cross-shard field communication is the DDMC face-probability
+construction: each face samples tau on BOTH sides, so the per-cell ``sigma_t`` array
+(one array of the ~11-array field state) is transiently ``all_gather``-ed — the
+analog of the reference's ghost exchange on ``ddmc_reg`` (``jaybenne.cpp:108-110``).
+
+Migration uses fixed-size per-pair buffers: overflowing SENT particles stay in
+transit and ride the next iteration (lossless); RECEIVED particles that find no free
+ledger slot are dropped and counted into ``SimState.overflow`` (the driver warns —
+raise ``jaybenne/capacity_factor`` if it fires). DDMC particles that leaked into a
+finer REMOTE block carry a pending-leak code and are subface-resampled by the owner
+on arrival (``ParticleLedger.leak``), mirroring the reference's post-communication
+``SampleDDMCBlockFace`` pass.
 
 Prefer the particle-sharded strategy (``jaybenne_tpu.parallel.sharding``) unless the
 mesh is too large to replicate: it needs no migration at all. This module exists for
@@ -46,7 +59,7 @@ from .sharding import state_specs
 # particle fields shipped during migration
 _MIGRATE_FIELDS = (
     "x", "y", "z", "vx", "vy", "vz", "tau", "weight", "energy",
-    "block", "i", "j", "k", "face",
+    "block", "i", "j", "k", "face", "leak",
 )
 
 MAX_MIGRATION_ROUNDS = 128
@@ -107,8 +120,57 @@ def migrate(p, offset, blocks_per_shard, n_shards, K, axis_name):
     return p, dropped
 
 
+def pad_field_blocks(fields, mesh, n_shards):
+    """Pad every field array's block axis from ``B`` to ``n_shards * ceil(B/n)`` so
+    it splits evenly over the device mesh. Padding matter blocks carry benign
+    values (rho = sie = u = 1) so pointwise derived-field math stays finite; they
+    source no particles and no particle ever enters them (they cover no domain
+    volume in the lookup grid)."""
+    B = mesh.n_blocks
+    Bl = -(-B // n_shards)
+    n_pad = n_shards * Bl - B
+    if n_pad == 0:
+        return fields
+    ones = ("rho", "sie", "u")
+    return dataclasses.replace(
+        fields,
+        **{
+            f.name: _pad_blocks(
+                getattr(fields, f.name), n_pad, 1.0 if f.name in ones else 0.0
+            )
+            for f in dataclasses.fields(fields)
+        },
+    )
+
+
+def _fixup_subface_arrivals(p, coefs_local, mesh, prm, offset, n_local, key):
+    """Subface-resample DDMC particles that arrived via migration with a pending
+    coarse->fine leak code (the reference's post-communication
+    ``SampleDDMCBlockFace``): choose among the destination block's fine faces with
+    probability ~ its local ``ddmc_face_prob`` values, re-seat the transverse
+    position, redraw a hemisphere direction, and clear the code."""
+    need = p.alive & (p.leak != 0) & (p.block >= offset) & (p.block < offset + n_local)
+    dtype = p.x.dtype
+    U = jax.random.uniform(key, (5,) + p.x.shape, dtype=dtype)
+    mu = jnp.sqrt(U[3])
+    nu = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+    phi = (2.0 * jnp.pi) * U[4]
+    draws = (U[0], U[1], U[2], mu, nu * jnp.cos(phi), nu * jnp.sin(phi))
+    b_loc = jnp.clip(p.block - offset, 0, n_local - 1)
+    dxv = mesh.block_dx[p.block]
+    lx, ly, lz, vx, vy, vz, ii, jj, kk = transport_ops._ddmc_subface_resample(
+        mesh, coefs_local, prm, draws, need, p.leak, b_loc, dxv,
+        p.x, p.y, p.z, p.vx, p.vy, p.vz, p.i, p.j, p.k,
+    )
+    return dataclasses.replace(
+        p,
+        x=lx, y=ly, z=lz, vx=vx, vy=vy, vz=vz, i=ii, j=jj, k=kk,
+        leak=jnp.where(need, 0, p.leak),
+    )
+
+
 def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shard"):
-    """Per-cycle step body for ``shard_map``: fields replicated, particles sharded by
+    """Per-cycle step body for ``shard_map``: fields AND particles sharded by
     owning block, census via migration rounds + psum completion."""
     eos = cfg.mcblock.build_eos()
     opacity = cfg.mcblock.build_opacity()
@@ -122,13 +184,7 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
     B = mesh.n_blocks
     Bl = -(-B // n_shards)  # blocks per shard (last shard may own padding)
     n_pad = n_shards * Bl - B
-    ncells = mesh.ncells_per_block
-
-    def owned_cell_mask(shard_idx):
-        """[B, 1, 1, 1] mask of blocks owned by this shard."""
-        bids = jnp.arange(B)
-        own = (bids >= shard_idx * Bl) & (bids < (shard_idx + 1) * Bl)
-        return own[:, None, None, None]
+    smr_ddmc = jb.use_ddmc and mesh.max_level > 0
 
     def slice_local(arr4, shard_idx, fill):
         """Take this shard's [Bl, ...] block slice of a replicated [B, ...] array."""
@@ -136,33 +192,40 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
         return jax.lax.dynamic_slice_in_dim(padded, shard_idx * Bl, Bl, axis=0)
 
     def step(state, dt):
-        f = state.fields
+        f = state.fields  # this shard's LOCAL [Bl, ...] block slice
         p = state.particles
         shard = jax.lax.axis_index(axis_name)
         offset = shard * Bl
         key = jax.random.fold_in(state.rng_key, state.cycle)
         key = jax.random.fold_in(key, shard)
-        k_src, k_tr = jax.random.split(key)
+        k_src, k_tr, k_fix = jax.random.split(key, 3)
 
-        # 1. derived fields on the replicated matter state
+        # 1. derived fields: the Fleck factor is pointwise on local blocks; the
+        # DDMC face probabilities need tau on BOTH sides of every local face, so
+        # the one per-cell sigma_t array is transiently all_gathered (the ghost
+        # exchange of jaybenne.cpp:108-110)
         f = dataclasses.replace(
             f, fleck=fleck_ops.fleck_factor(f.rho, f.sie, eos, opacity, dt, dtype)
         )
         if jb.use_ddmc:
             temp = eos.temperature_from_density_internal_energy(f.rho, f.sie)
             sig_t = (
-                opacity.absorption_coefficient(f.rho, temp, 1.0)
-                + scattering.total_scattering_coefficient(f.rho, temp, 1.0)
+                opacity.absorption_coefficient(f.rho, temp)
+                + scattering.total_scattering_coefficient(f.rho, temp)
             )
             sig_t = jnp.broadcast_to(jnp.asarray(sig_t, dtype), f.rho.shape)
+            sig_glob = jax.lax.all_gather(sig_t, axis_name, axis=0, tiled=True)[:B]
             px, py, pz = fleck_ops.ddmc_face_probs(
-                mesh, sig_t, jb.tau_ddmc, periodic, dtype
+                mesh, sig_glob, jb.tau_ddmc, periodic, dtype
             )
-            f = dataclasses.replace(f, ddmc_px=px, ddmc_py=py, ddmc_pz=pz)
+            f = dataclasses.replace(
+                f,
+                ddmc_px=slice_local(px, shard, 0.0),
+                ddmc_py=slice_local(py, shard, 0.0),
+                ddmc_pz=slice_local(pz, shard, 0.0),
+            )
 
-        # 2. emission sourcing into OWNED blocks only: each cell is sourced by
-        # exactly one shard; psum of the masked per-cell counts reproduces the
-        # global count for the weights
+        # 2. emission sourcing into local blocks (disjoint ownership — no psum)
         dropped = jnp.zeros((), jnp.int32)
         if jb.do_emission:
             f, p, dropped = sourcing.source_photons(
@@ -172,28 +235,16 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
                 sb=consts.sb, c=consts.c,
                 num_particles=jb.num_particles,
                 dt=dt, dtype=dtype,
-                axis_name=axis_name,
-                cell_mask=owned_cell_mask(shard),
+                block_offset=offset,
             )
             dropped = dropped.astype(jnp.int32)
         else:
             f = dataclasses.replace(f, energy_delta=jnp.zeros_like(f.energy_delta))
 
-        # 3. census loop with migration (jaybenne.cpp:113-131)
-        coefs_full = transport_ops.precompute_coefs(
+        # 3. census loop with migration (jaybenne.cpp:113-131): the local fields
+        # ARE the transport coefficients' extent — no slicing
+        coefs_local = transport_ops.precompute_coefs(
             f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
-        )
-        sa_l = slice_local(coefs_full.sigma_a.reshape(B, ncells), shard, 0.0).reshape(-1)
-        ss_l = slice_local(coefs_full.sigma_s.reshape(B, ncells), shard, 0.0).reshape(-1)
-        ff_l = slice_local(coefs_full.fleck.reshape(B, ncells), shard, 1.0).reshape(-1)
-        coefs_local = transport_ops.TransportCoefs(
-            sigma_a=sa_l,
-            sigma_s=ss_l,
-            fleck=ff_l,
-            packed=jnp.stack([sa_l, ss_l, ff_l], axis=-1),
-            px=slice_local(coefs_full.px, shard, 0.0),
-            py=slice_local(coefs_full.py, shard, 0.0),
-            pz=slice_local(coefs_full.pz, shard, 0.0),
         )
         K = max(64, p.capacity // (2 * n_shards))
 
@@ -204,6 +255,10 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
                 block_offset=offset,
             )
             p, mig_dropped = migrate(p, offset, Bl, n_shards, K, axis_name)
+            if smr_ddmc:
+                p = _fixup_subface_arrivals(
+                    p, coefs_local, mesh, prm, offset, Bl, rng.fold(k_fix, rounds)
+                )
             local_unfinished = jnp.sum((p.alive & (p.tau < 1.0)).astype(jnp.int32))
             unfinished = jax.lax.psum(local_unfinished, axis_name)
             return (
@@ -224,11 +279,11 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
         )
         dropped = dropped + mig_drop
 
-        # 4./5. tallies + feedback on replicated fields
-        f = tally.accumulate_absorption(f, p, mesh, axis_name)
-        f = tally.evaluate_radiation_energy(f, p, mesh, axis_name)
+        # 4./5. tallies + feedback, purely local (each cell owned by one shard)
+        f = tally.accumulate_absorption(f, p, mesh, block_offset=offset)
+        f = tally.evaluate_radiation_energy(f, p, mesh, block_offset=offset)
         if jb.do_feedback:
-            f = tally.update_fluid(f, mesh)
+            f = tally.update_fluid(f, mesh, block_offset=offset)
 
         p = dataclasses.replace(
             p, absorbed=jnp.zeros_like(p.absorbed), tau=jnp.zeros_like(p.tau)
@@ -258,7 +313,7 @@ def make_spatial_step(mesh, cfg: RunConfig, dmesh):
     core = build_spatial_step_core(mesh, cfg, n)
 
     def run(state, dt):
-        specs = state_specs(state)
+        specs = state_specs(state, shard_fields=True)
         stats_spec = StepStats(iterations=P(), events=P(), n_alive=P(), dropped=P())
         fn = jax.shard_map(
             core, mesh=dmesh,
@@ -271,7 +326,7 @@ def make_spatial_step(mesh, cfg: RunConfig, dmesh):
 
 
 def make_spatial_init(mesh, cfg: RunConfig, dmesh):
-    """Sharded thermal init: each shard sources its OWNED blocks' cells."""
+    """Sharded thermal init: each shard sources its OWNED (local) blocks' cells."""
     from ..config import InitialRadiation
 
     n = dmesh.devices.size
@@ -285,10 +340,9 @@ def make_spatial_init(mesh, cfg: RunConfig, dmesh):
     def core(state):
         f, p = state.fields, state.particles
         shard = jax.lax.axis_index("shard")
+        offset = shard * Bl
         dropped = jnp.zeros((), jnp.int32)
         if cfg.mcblock.initial_radiation == InitialRadiation.thermal:
-            bids = jnp.arange(B)
-            own = ((bids >= shard * Bl) & (bids < (shard + 1) * Bl))[:, None, None, None]
             key = jax.random.fold_in(state.rng_key, 0x7FFFFFFF)
             key = jax.random.fold_in(key, shard)
             f, p, dropped = sourcing.source_photons(
@@ -298,18 +352,17 @@ def make_spatial_init(mesh, cfg: RunConfig, dmesh):
                 sb=consts.sb, c=consts.c,
                 num_particles=jb.num_particles,
                 dt=0.0, dtype=jb.dtype,
-                axis_name="shard",
-                cell_mask=own,
+                block_offset=offset,
             )
             dropped = jnp.asarray(dropped, jnp.int32)
-        f = tally.evaluate_radiation_energy(f, p, mesh, "shard")
+        f = tally.evaluate_radiation_energy(f, p, mesh, block_offset=offset)
         return dataclasses.replace(
             state, fields=f, particles=p,
             overflow=state.overflow + jax.lax.psum(dropped, "shard"),
         )
 
     def run(state):
-        specs = state_specs(state)
+        specs = state_specs(state, shard_fields=True)
         fn = jax.shard_map(
             core, mesh=dmesh, in_specs=(specs,), out_specs=specs, check_vma=False
         )

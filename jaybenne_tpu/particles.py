@@ -63,6 +63,13 @@ class ParticleLedger:
     # resamples and fresh sources (~1.5%/cycle), adding artificial interface
     # resistance inside optically thick regions.
     face: jnp.ndarray
+    # pending DDMC coarse->fine subface resample: +-(axis+1) of a DDMC leak whose
+    # destination block is FINER and lives on another shard (spatial
+    # decomposition only — the reference's post-communication
+    # ``SampleDDMCBlockFace`` pass, ``sample_ddmc_bface.cpp:81-427``). The owning
+    # shard resamples on arrival and clears the code; single-shard runs resample
+    # inline and never set it.
+    leak: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -107,6 +114,8 @@ def insert_particles(ledger: ParticleLedger, cand: dict, valid) -> tuple:
         updates["absorbed"] = put(ledger.absorbed, jnp.zeros(shape, dtype=bool))
     if "face" not in cand:
         updates["face"] = put(ledger.face, jnp.zeros(shape, dtype=jnp.int32))
+    if "leak" not in cand:
+        updates["leak"] = put(ledger.leak, jnp.zeros(shape, dtype=jnp.int32))
     return _dc.replace(ledger, **updates), n_dropped
 
 
@@ -121,4 +130,5 @@ def empty_ledger(capacity: int, dtype=jnp.float32) -> ParticleLedger:
         alive=jnp.zeros((capacity,), dtype=bool),
         absorbed=jnp.zeros((capacity,), dtype=bool),
         face=iz,
+        leak=iz,
     )

@@ -77,19 +77,34 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
     if num_particles is None:
         num_particles = jb.num_particles
 
+    gray_models = getattr(opacity, "is_gray", True) and getattr(
+        scattering, "is_gray", True
+    )
+
     def _pallas_ok(p):
-        """(use_kernel, interpret): 'on' off-TPU runs the kernel in the Pallas
-        interpreter, which lets the full step exercise the kernel in CPU CI."""
+        """(mode, interpret): mode is 'full' (VMEM-resident census kernel),
+        'bucketed' (region-sliced kernel for big meshes), or None (XLA loop).
+        'on' off-TPU runs the kernel in the Pallas interpreter, which lets the
+        full step exercise the kernel in CPU CI."""
+        from .ops import pallas_bucketed as pb
         from .ops import pallas_transport as pt
 
         if jb.use_pallas == "off" or dtype != jnp.float32:
-            return False, False
-        if p.capacity % pt.TILE != 0 or not pt.supports(mesh, prm):
-            return False, False
+            return None, False
+        if not gray_models:
+            # frequency-dependent models evaluate per event on the XLA path
+            return None, False
+        mode = None
+        if p.capacity % pt.TILE == 0 and pt.supports(mesh, prm):
+            mode = "full"
+        elif p.capacity % pb.BTILE == 0 and pb.supports(mesh, prm):
+            mode = "bucketed"
+        if mode is None:
+            return None, False
         on_tpu = jax.default_backend() == "tpu"
         if jb.use_pallas == "on":
-            return True, not on_tpu
-        return on_tpu, False
+            return mode, not on_tpu
+        return (mode if on_tpu else None), False
 
     def step(state, dt):
         # jax.named_scope regions are the trace-annotation analog of the reference's
@@ -110,8 +125,8 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
             if jb.use_ddmc:
                 temp = eos.temperature_from_density_internal_energy(f.rho, f.sie)
                 sig_t = (
-                    opacity.absorption_coefficient(f.rho, temp, 1.0)
-                    + scattering.total_scattering_coefficient(f.rho, temp, 1.0)
+                    opacity.absorption_coefficient(f.rho, temp)
+                    + scattering.total_scattering_coefficient(f.rho, temp)
                 )
                 sig_t = jnp.broadcast_to(jnp.asarray(sig_t, dtype), f.rho.shape)
                 px, py, pz = fleck_ops.ddmc_face_probs(
@@ -141,11 +156,17 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
             coefs = transport_ops.precompute_coefs(
                 f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
             )
-            pallas_on, pallas_interp = _pallas_ok(p)
-            if pallas_on:
+            pallas_mode, pallas_interp = _pallas_ok(p)
+            if pallas_mode == "full":
                 from .ops.pallas_transport import transport_pallas
 
                 p, iters, events = transport_pallas(
+                    p, coefs, mesh, k_tr, prm, dt, interpret=pallas_interp
+                )
+            elif pallas_mode == "bucketed":
+                from .ops.pallas_bucketed import transport_bucketed
+
+                p, iters, events = transport_bucketed(
                     p, coefs, mesh, k_tr, prm, dt, interpret=pallas_interp
                 )
             else:

@@ -106,3 +106,29 @@ def test_tabulated_opacity_interpolation(tmp_path):
     opac = mc.build_opacity()
     v = float(opac.absorption_coefficient(1.0, 1.0e5))
     assert np.isclose(v, 3.0 * 1.0e5**-1.5, rtol=1e-3)
+
+
+def test_epbremss_spectral_form():
+    """EPBremss is frequency-dependent: alpha ~ nu^-3 between the stimulated-emission
+    regime and the exponential tail; nu=None returns the Kramers Planck mean."""
+    import numpy as np
+    from jaybenne_tpu.models.opacity import EPBremss, NonCGSUnits
+    from jaybenne_tpu.utils import constants as C
+
+    m = EPBremss()
+    rho, T = 1.0, 1.0e6
+    mean = float(m.absorption_coefficient(rho, T))
+    assert np.isclose(mean, m.kff * rho**2 * T**-3.5, rtol=1e-6)
+    assert not m.is_gray and not NonCGSUnits(m).is_gray
+
+    # in the Wien tail h nu >> kT the stimulated factor -> 1 and alpha ~ nu^-3
+    e1 = 50.0 * C.KB * T
+    a1 = float(m.absorption_coefficient(rho, T, e1))
+    a2 = float(m.absorption_coefficient(rho, T, 2.0 * e1))
+    assert np.isclose(a1 / a2, 8.0, rtol=1e-3), a1 / a2
+    # Rayleigh-Jeans limit: (1 - e^-x) ~ x -> alpha ~ nu^-2
+    e3 = 1e-3 * C.KB * T
+    a3 = float(m.absorption_coefficient(rho, T, e3))
+    a4 = float(m.absorption_coefficient(rho, T, 2.0 * e3))
+    assert np.isclose(a3 / a4, 4.0, rtol=1e-2), a3 / a4
+    assert a1 > 0 and a3 > 0

@@ -252,3 +252,104 @@ def test_pallas_interpret_smr_ddmc_conserves_energy():
         assert (np.asarray(p.j)[alive] < sim.mesh.ny).all()
         totals[mode] = w
     assert np.isclose(totals["on"], totals["off"], rtol=1e-5)
+
+
+def _setup_big(nx_total=8192, nblk=256, sigma_s=2.0e2, n=4000, use_ddmc=False):
+    """A mesh past VMEM residency (32 blocks x 256 cells -> 8 bucketing regions)."""
+    from jaybenne_tpu.ops import pallas_bucketed as pb
+    from jaybenne_tpu.ops import fleck as F
+
+    deck = Deck.parse(DECK).update(
+        {
+            "parthenon/mesh/nx1": nx_total,
+            "parthenon/meshblock/nx1": nblk,
+            "jaybenne/use_ddmc": "true" if use_ddmc else "false",
+            "mcblock/scattering_constant_value": sigma_s,
+        }
+    )
+    cfg = cm.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    assert not supports(mesh, prm)      # full-residency kernel refuses this mesh
+    assert pb.supports(mesh, prm)       # the bucketed kernel covers it
+    assert pb._region_layout(mesh)[1] >= 4  # multiple regions exercised
+
+    key = jr.PRNGKey(0)
+    p = empty_ledger(pb.BTILE * ((n + pb.BTILE - 1) // pb.BTILE))
+    dxc = 1.0 / nx_total
+    ks = jr.split(key, 4)
+    nx_, ny_, nz_ = (
+        1.0 - 2.0 * jr.uniform(ks[1], (n,)),
+        jr.uniform(ks[2], (n,)) - 0.5,
+        jr.uniform(ks[3], (n,)) - 0.5,
+    )
+    nrm = jnp.sqrt(nx_**2 + ny_**2 + nz_**2)
+    c = 2.99792458e10
+    mid_cell = nblk // 2
+    mid_block = (nx_total // nblk) // 2
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set((mid_cell + jr.uniform(ks[0], (n,))) * dxc),
+        vx=p.vx.at[:n].set(c * nx_ / nrm),
+        vy=p.vy.at[:n].set(c * ny_ / nrm),
+        vz=p.vz.at[:n].set(c * nz_ / nrm),
+        block=p.block.at[:n].set(mid_block),
+        i=p.i.at[:n].set(mid_cell),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    NC = mesh.total_cells
+    B = mesh.n_blocks
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)),
+        sigma_s=jnp.full((NC,), float(sigma_s)),
+        fleck=jnp.ones((NC,)),
+        px=jnp.zeros((B, 1, 1, nblk + 1)),
+        py=jnp.zeros((B, 1, 2, nblk)),
+        pz=jnp.zeros((B, 2, 1, nblk)),
+    )
+    if use_ddmc:
+        sig = jnp.full((B, 1, 1, nblk), float(sigma_s))
+        px, py, pz = F.ddmc_face_probs(
+            mesh, sig, cfg.jaybenne.tau_ddmc, (False, False, False), jnp.float32
+        )
+        coefs = dataclasses.replace(coefs, px=px, py=py, pz=pz)
+    return cfg, mesh, prm, p, coefs, key, n
+
+
+def test_bucketed_interpret_matches_xla():
+    """Bucketed region kernel on an 8192-cell mesh (beyond VMEM residency): full
+    census, nothing lost, same diffusion statistics as the XLA loop."""
+    from jaybenne_tpu.ops.pallas_bucketed import transport_bucketed
+
+    cfg, mesh, prm, p, coefs, key, n = _setup_big()
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, it_p, ev_p = transport_bucketed(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, it_x, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+
+    for out, name in ((pp, "bucketed"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-4
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.1
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+
+
+def test_bucketed_interpret_ddmc():
+    """DDMC through the bucketed kernel (thick cells, leakage across regions)."""
+    from jaybenne_tpu.ops.pallas_bucketed import transport_bucketed
+
+    cfg, mesh, prm, p, coefs, key, n = _setup_big(sigma_s=1.0e6, use_ddmc=True)
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = transport_bucketed(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, _ = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-4

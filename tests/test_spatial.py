@@ -113,3 +113,70 @@ def test_spatial_eight_devices_matches_single():
     w = t1 + t8
     err = np.abs(t1 - t8)[w > 0].sum() / w[w > 0].sum()
     assert err < 0.05, err
+
+
+def test_spatial_fields_are_sharded_per_device():
+    """VERDICT #4 contract: the spatial decomposition actually shards field memory —
+    each device holds a [B/N, ...] block slice, so per-device field bytes scale
+    ~1/N (the huge-mesh regime this mode exists for)."""
+    sim = _sim_or_none()
+    f = sim.state.fields
+    for name in ("rho", "sie", "u", "energy_tally"):
+        arr = getattr(f, name)
+        shards = arr.addressable_shards
+        assert len(shards) == 2, name
+        # each device's slice covers half the (padded) block axis
+        assert shards[0].data.shape[0] == arr.shape[0] // 2, name
+    # particle-sharded mode keeps fields replicated by design
+    deck = Deck.parse(DECK).update({"jaybenne/decomposition": "particle"})
+    simp = Simulation(cfg_mod.from_deck(deck), quiet=True)
+    rep = simp.state.fields.rho.addressable_shards
+    assert rep[0].data.shape == simp.state.fields.rho.shape
+
+
+def _sim_or_none():
+    return Simulation(cfg_mod.from_deck(Deck.parse(DECK)), quiet=True)
+
+
+@pytest.mark.slow
+def test_spatial_smr_ddmc_eight_devices():
+    """Spatial + SMR + DDMC (previously rejected at config time): 8 block-sharded
+    devices run the stepdiff_smr_ddmc deck with sharded fields, cross-shard DDMC
+    subface fixup, and migration — energy conserved exactly and the profile
+    consistent with a single-device run."""
+    import os
+
+    _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mods = {
+        "parthenon/mesh/nx1": 32, "parthenon/mesh/nx2": 16,
+        "parthenon/meshblock/nx1": 8, "parthenon/meshblock/nx2": 8,
+        "jaybenne/num_particles": 96000,
+        "jaybenne/dt": "1.e-11", "parthenon/time/tlim": "2.e-11",
+        "jaybenne/use_pallas": "off",
+    }
+    tallies = {}
+    for nd in (8, 1):
+        deck = Deck.from_file(os.path.join(_ROOT, "inputs/stepdiff_smr_ddmc.in")).update(
+            {
+                **mods,
+                "jaybenne/n_devices": nd,
+                "jaybenne/decomposition": "spatial" if nd > 1 else "particle",
+            }
+        )
+        sim = Simulation(cfg_mod.from_deck(deck), quiet=True)
+        assert sim.mesh.max_level > 0
+        sim.run()
+        dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
+        B = sim.mesh.n_blocks
+        t = np.asarray(sim.state.fields.energy_tally)[:B]
+        p = sim.state.particles
+        w = float(np.asarray(p.weight)[np.asarray(p.alive)].sum())
+        e = float((t * dv).sum())
+        assert np.isclose(e, w, rtol=1e-5)  # tally == live weights exactly
+        tallies[nd] = t.reshape(-1)
+    s = tallies[1] + tallies[8]
+    mask = s > 0
+    err = np.abs(tallies[1] - tallies[8])[mask].sum() / s[mask].sum()
+    # thermal sourcing puts ~all 96k particles on the hot side (~375/cell):
+    # two independent runs differ by ~5-6% weighted; a decomposition bug is O(1)
+    assert err < 0.10, err

@@ -243,3 +243,75 @@ def test_reflecting_inexact_extents_conserves_particles():
     state, stats = sim.step_fn(sim.state, jnp.float32(1.0e-11))
     assert int(state.particles.num_alive()) == n0
     assert int(stats.iterations) < sim.cfg.jaybenne.max_transport_iterations
+
+
+def test_per_event_opacity_gray_bitwise_unchanged():
+    """Forcing the per-event frequency surface with GRAY models must reproduce the
+    precomputed-coefficient path BITWISE: same per-cell values reach every event
+    either way (VERDICT #5 contract)."""
+    from jaybenne_tpu.ops import transport as T
+    from jaybenne_tpu.step import make_transport_params
+
+    sim = _sim({"mcblock/scattering_constant_value": "5.0e2"})
+    cfg = sim.cfg
+    eos = cfg.mcblock.build_eos()
+    opacity = cfg.mcblock.build_opacity()
+    scattering = cfg.mcblock.build_scattering()
+    prm = make_transport_params(cfg, jnp.float32)
+    f = sim.state.fields
+    f = dataclasses.replace(
+        f,
+        fleck=jax.numpy.full_like(f.fleck, 0.8),
+    )
+    coefs_gray = T.precompute_coefs(
+        f, sim.mesh, eos, opacity, scattering, False, jnp.float32
+    )
+    # hand-build the per-event variant: packed = (rho, T, fleck) + models attached
+    temp = eos.temperature_from_density_internal_energy(f.rho, f.sie)
+    coefs_evt = dataclasses.replace(
+        coefs_gray,
+        packed=jnp.stack(
+            [
+                f.rho.reshape(-1).astype(jnp.float32),
+                jnp.asarray(temp, jnp.float32).reshape(-1),
+                f.fleck.reshape(-1).astype(jnp.float32),
+            ],
+            axis=-1,
+        ),
+        opacity=opacity,
+        scattering=scattering,
+    )
+    key = jax.random.PRNGKey(7)
+    dt = jnp.float32(1.0e-11)
+    p0 = sim.state.particles
+    p1, it1, ev1 = T.transport(p0, coefs_gray, sim.mesh, key, prm, dt)
+    p2, it2, ev2 = T.transport(p0, coefs_evt, sim.mesh, key, prm, dt)
+    assert int(it1) == int(it2) and int(ev1) == int(ev2)
+    for name in ("x", "y", "z", "vx", "vy", "vz", "tau", "weight"):
+        a = np.asarray(getattr(p1, name))
+        b = np.asarray(getattr(p2, name))
+        assert (a == b).all(), name
+    for name in ("block", "i", "j", "k", "alive", "absorbed", "face"):
+        assert (np.asarray(getattr(p1, name)) == np.asarray(getattr(p2, name))).all(), name
+
+
+def test_epbremss_end_to_end_runs():
+    """A frequency-dependent opacity drives the per-event path through a full
+    cycle: energy bookkeeping still closes (weights + deposits vs emission)."""
+    sim = _sim(
+        {
+            "mcblock/opacity_model": "ep_bremss",
+            "mcblock/scattering_model": "none",
+            "mcblock/initial_temperature": "1.0e7",
+            "jaybenne/do_emission": "true",
+            "jaybenne/do_feedback": "false",
+        }
+    )
+    p0 = sim.state.particles
+    w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+    state, stats = sim.step_fn(sim.state, jnp.float32(1.0e-11))
+    p1 = state.particles
+    w1 = float(np.asarray(p1.weight)[np.asarray(p1.alive)].sum())
+    delta = float(np.asarray(state.fields.energy_delta).sum())
+    assert int(stats.iterations) < sim.cfg.jaybenne.max_transport_iterations
+    assert np.isclose(w1 + delta, w0, rtol=5e-4), (w0, w1, delta)

@@ -32,6 +32,8 @@ MATRIX = [
     ("stepdiff_smr.py", "stepdiff_smr_ddmc.in", 8),
     ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 1),
     ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 8),
+    ("inf.py", "inf.in", 1),
+    ("inf_stiff.py", "inf_stiff.in", 1),
 ]
 
 

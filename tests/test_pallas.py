@@ -259,11 +259,15 @@ def _setup_big(nx_total=8192, nblk=256, sigma_s=2.0e2, n=4000, use_ddmc=False):
     from jaybenne_tpu.ops import pallas_bucketed as pb
     from jaybenne_tpu.ops import fleck as F
 
+    # c*dt spans ~80 cells: a particle does O(100) zone-capped events, not the
+    # O(nx) a domain-crossing dt would cost in interpret mode
     deck = Deck.parse(DECK).update(
         {
             "parthenon/mesh/nx1": nx_total,
             "parthenon/meshblock/nx1": nblk,
             "jaybenne/use_ddmc": "true" if use_ddmc else "false",
+            "jaybenne/dt": "3.3e-13",
+            "parthenon/time/tlim": "3.3e-13",
             "mcblock/scattering_constant_value": sigma_s,
         }
     )
@@ -285,16 +289,18 @@ def _setup_big(nx_total=8192, nblk=256, sigma_s=2.0e2, n=4000, use_ddmc=False):
     )
     nrm = jnp.sqrt(nx_**2 + ny_**2 + nz_**2)
     c = 2.99792458e10
-    mid_cell = nblk // 2
-    mid_block = (nx_total // nblk) // 2
+    # spread particles over the whole domain so every bucketing region is hot
+    cells = jr.randint(jr.PRNGKey(9), (n,), 0, nx_total)
+    blocks = cells // nblk
+    loc = cells % nblk
     p = dataclasses.replace(
         p,
-        x=p.x.at[:n].set((mid_cell + jr.uniform(ks[0], (n,))) * dxc),
+        x=p.x.at[:n].set((loc + jr.uniform(ks[0], (n,))) * (dxc * nblk / nblk)),
         vx=p.vx.at[:n].set(c * nx_ / nrm),
         vy=p.vy.at[:n].set(c * ny_ / nrm),
         vz=p.vz.at[:n].set(c * nz_ / nrm),
-        block=p.block.at[:n].set(mid_block),
-        i=p.i.at[:n].set(mid_cell),
+        block=p.block.at[:n].set(blocks),
+        i=p.i.at[:n].set(loc),
         alive=p.alive.at[:n].set(True),
         weight=p.weight.at[:n].set(1.0),
     )
@@ -333,8 +339,8 @@ def test_bucketed_interpret_matches_xla():
         assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
     gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
     gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
-    assert abs(gx_p.mean() - gx_x.mean()) < 2e-4
-    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.1
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.05
     assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
 
 
@@ -352,4 +358,4 @@ def test_bucketed_interpret_ddmc():
         assert not (np.asarray(out.tau)[alive] < 1.0).any()
     gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
     gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
-    assert abs(gx_p.mean() - gx_x.mean()) < 2e-4
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3

@@ -23,6 +23,23 @@ if _env_platforms == "cpu" and _jax.config.jax_platforms != "cpu":
     except Exception:  # pragma: no cover - never fatal
         pass
 
+# Persistent XLA compilation cache: each distinct configuration costs a one-time
+# ~70-130 s trace+lower on the tunneled TPU (and tens of seconds on CPU CI); caching
+# the compiled executables on disk makes every rerun of the same config (regression
+# gates, bench reruns, restarted jobs) start in seconds. Opt out / redirect with
+# JAYBENNE_CACHE_DIR ("" disables); an explicit user-set jax cache dir wins.
+_cache_dir = _os.environ.get(
+    "JAYBENNE_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "jaybenne_tpu_xla"),
+)
+if _cache_dir and _jax.config.jax_compilation_cache_dir is None:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - never fatal
+        pass
+
 from . import config, driver, io, mesh, particles, state, step  # noqa: F401,E402
 from .config import from_deck, from_file  # noqa: F401,E402
 

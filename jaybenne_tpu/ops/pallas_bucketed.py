@@ -4,31 +4,35 @@ The full-residency kernel (``ops/pallas_transport.py``) keeps every coefficient
 table in VMEM, which caps the mesh at O(5k) cells. This module removes that cap
 with the classic particle-in-cell locality play, mapped onto the Pallas pipeline:
 
-  1. each census round, particles are bucketed by mesh REGION (a contiguous range
-     of ``bpr`` blocks whose coefficient slab fits one VMEM block) into a
-     tile-aligned reorder buffer — a stable sort + scatter in plain XLA;
-  2. the kernel runs a grid of 1024-particle tiles; a scalar-prefetched per-tile
-     region id drives the BlockSpec index maps, so Pallas DMAs exactly the tile's
-     region slab (cell coefficients + DDMC face probs) from HBM, double-buffered
-     against compute — consecutive tiles of the same region reuse the resident
-     slab without re-fetching;
+  1. each census round, particles are bucketed by mesh REGION — a compact
+     axis-aligned box of blocks whose coefficient slab fits one VMEM block —
+     into a tile-aligned reorder buffer (a stable sort + scatter in plain XLA);
+  2. the kernel runs a grid of ``BTILE``-particle tiles; a scalar-prefetched
+     per-tile region id drives the BlockSpec index maps, so Pallas DMAs exactly
+     the tile's region slab (cell coefficients + DDMC face probs) from HBM,
+     double-buffered against compute — consecutive tiles of the same region
+     reuse the resident slab without re-fetching;
   3. inside the kernel each tile iterates its particles to census; a particle
-     that walks OUT of the tile's region pauses (goes non-resident) and is
-     re-bucketed by the next round. Block geometry and the block-lookup grid stay
-     fully VMEM-resident (chunked lane tables — they are O(blocks), not O(cells)).
+     that walks OUT of the tile's region pauses (carried ``paused`` mask) and is
+     re-bucketed by the next round. Block geometry, the block-lookup grid, and
+     the block->region/slot maps stay fully VMEM-resident (chunked lane tables —
+     they are O(blocks), not O(cells)).
 
 This is the reference's own structure — transport until off-block, communicate,
 repeat (``jaybenne.cpp:113-131``) — with "communicate" replaced by an on-chip
-re-sort. For diffusive problems particles rarely leave a region within a step, so
-one or two rounds complete the census; streaming particles take one round per
-region crossed (each cheap).
+re-sort. Regions are chosen COMPACT (cubic where possible, built statically from
+block centers) so the exit rate scales with surface/volume: for diffusive
+problems almost every particle finishes inside its region in round one and the
+round count is set by the short tail of boundary-walkers. Tiles are wide
+(``BSUB`` sublane groups) to amortize the fixed per-iteration cost of the
+census ``while_loop`` over many particles.
 
 Physics is the same event body as the full-residency kernel: IMC
-(``ptcl_transport_step``, reference ``transport_utils.hpp:111-160``) plus the DDMC
-branch with the face-flag albedo test. Scope: uniform (single-level) meshes for
-DDMC — the coarse->fine subface resample needs remote face probs, so SMR+DDMC
-stays with the full-residency kernel or the XLA loop; SMR with pure IMC is fine
-(transitions are geometric).
+(``ptcl_transport_step``, reference ``transport_utils.hpp:111-160``) plus the
+DDMC branch with the face-flag albedo test. Scope: uniform (single-level)
+meshes for DDMC — the coarse->fine subface resample needs remote face probs, so
+SMR+DDMC stays with the full-residency kernel or the XLA loop; SMR with pure
+IMC is fine (transitions are geometric).
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,26 +57,105 @@ from .pallas_transport import (
     _n_tchunks,
 )
 
-BSUB = 8                   # sublanes per bucketed tile
-BTILE = BSUB * LANES       # particles per tile (small: regions can be sparse)
-REGION_CELLS = 1024        # target cells per region slab
-MAX_REGION_CHUNKS = 32     # slab gather cost cap (range-selects per table read)
+BSUB = 64                  # sublane groups per bucketed tile (wide: amortizes the
+#                            fixed per-iteration while_loop cost over 8192 lanes)
+BTILE = BSUB * LANES       # particles per tile
+REGION_CELLS_IMC = 8192    # target cells per region slab (IMC: 1 gathered table)
+REGION_CELLS_DDMC = 2048   # smaller for DDMC: 3 cell + 3 face tables per event
+MAX_REGION_CHUNKS = 64     # slab gather cost cap (range-selects per table read)
 MAX_BUCKET_ROUNDS = 256    # outer re-bucketing rounds (hang backstop)
 
 
-def _region_layout(mesh):
-    """(bpr, R, K_reg): blocks per region, region count, slab chunk count."""
+def _pack_regions(rid, B):
+    """Dense-reindex a raw region id per block into (region_of, slot, lists)."""
+    uniq, region_of = np.unique(rid, return_inverse=True)
+    R = len(uniq)
+    order = np.argsort(region_of, kind="stable")
+    sorted_r = region_of[order]
+    first = np.searchsorted(sorted_r, np.arange(R))
+    ranks = np.arange(B) - first[sorted_r]
+    slot = np.empty(B, np.int32)
+    slot[order] = ranks.astype(np.int32)
+    maxbpr = int(ranks.max()) + 1 if B else 1
+    return region_of.astype(np.int32), slot, sorted_r, ranks, order, R, maxbpr
+
+
+def _build_regions(mesh, target_cells):
+    """Static region decomposition: partition blocks into compact axis-aligned
+    boxes of <= ``target_cells`` cells by bisecting the domain (longest axis
+    first, never finer than the block-lookup grid), assigning each block by its
+    center. Runs in numpy at trace time — the mesh is static.
+
+    Returns TWO layouts sharing one slab geometry: the base grid and a grid
+    shifted by half a region along every split axis. Rounds alternate between
+    them so a particle random-walking at a base-grid face (which it would
+    re-cross O(sqrt(events)) times, pausing each time) sits deep inside a
+    shifted-grid region on the next round and runs to census.
+
+    Returns ``(region_of[2, B], slot[2, B], perm[2, R, maxbpr], R, maxbpr)``
+    with region ids dense per parity (pad perm entries = B)."""
+    B = mesh.n_blocks
     ncpb = mesh.ncells_per_block
-    bpr = max(1, REGION_CELLS // ncpb)
-    R = -(-mesh.n_blocks // bpr)
-    K_reg = -(-(bpr * ncpb) // LANES)
-    return bpr, R, K_reg
+    org = np.asarray(mesh.block_origin, np.float64)
+    bdx = np.asarray(mesh.block_dx, np.float64)
+    ctr = org + 0.5 * bdx * np.array([mesh.nx, mesh.ny, mesh.nz], np.float64)
+    x1min, x1max, x2min, x2max, x3min, x3max = mesh.bounds
+    lo = np.array([x1min, x2min, x3min], np.float64)
+    ext = np.maximum(
+        np.array([x1max, x2max, x3max], np.float64) - lo, np.finfo(np.float64).tiny
+    )
+    ntz, nty, ntx = mesh.tile_shape
+    nt = np.array([ntx, nty, ntz], np.int64)
+    grid = np.ones(3, np.int64)
+
+    def assign(g, shift=0.0):
+        fx = (ctr - lo) / ext * g + shift
+        ix = np.clip(fx.astype(np.int64), 0, g)  # shifted grid gets g+1 slots
+        return (ix[:, 2] * (g[1] + 1) + ix[:, 1]) * (g[0] + 1) + ix[:, 0]
+
+    def max_cells(rid):
+        return int(np.bincount(np.unique(rid, return_inverse=True)[1]).max()) * ncpb
+
+    rid = assign(grid)
+    while max_cells(rid) > target_cells:
+        cand = [a for a in range(3) if grid[a] < nt[a]]
+        if not cand:
+            break  # one block per region is the floor; supports() gates K_reg
+        a = max(cand, key=lambda a: ext[a] / grid[a])
+        grid[a] *= 2
+        rid = assign(grid)
+
+    shift = np.where(grid > 1, 0.5, 0.0)
+    layouts = [_pack_regions(assign(grid), B), _pack_regions(assign(grid, shift), B)]
+    R = max(l[5] for l in layouts)
+    maxbpr = max(l[6] for l in layouts)
+    region_of = np.stack([l[0] for l in layouts])
+    slot = np.stack([l[1] for l in layouts])
+    perm = np.full((2, R, maxbpr), B, np.int32)
+    for pi, (_, _, sorted_r, ranks, order, _, _) in enumerate(layouts):
+        perm[pi, sorted_r, ranks] = order.astype(np.int32)
+    return region_of, slot, perm, R, maxbpr
 
 
-def _face_chunks(mesh, bpr):
+def _region_layout(mesh, use_ddmc=False):
+    """(maxbpr, R, K_reg): blocks per region slab, region count, slab chunks."""
+    target = max(
+        REGION_CELLS_DDMC if use_ddmc else REGION_CELLS_IMC, mesh.ncells_per_block
+    )
+    _, _, _, R, maxbpr = _build_regions(mesh, target)
+    K_reg = -(-(maxbpr * mesh.ncells_per_block) // LANES)
+    return maxbpr, R, K_reg
+
+
+def _parity_tables(build, perm2):
+    """Stack a per-parity slab-table builder over the two region layouts."""
+    return jnp.stack([build(perm2[0]), build(perm2[1])])
+
+
+def _face_chunks(mesh, maxbpr):
     nx, ny, nz = mesh.nx, mesh.ny, mesh.nz
     fpb = (nz * ny * (nx + 1), nz * (ny + 1) * nx, (nz + 1) * ny * nx)
-    return tuple(-(-(bpr * n) // LANES) for n in fpb), fpb
+    return tuple(-(-(maxbpr * n) // LANES) for n in fpb), fpb
 
 
 def supports(mesh, prm) -> bool:
@@ -80,8 +164,8 @@ def supports(mesh, prm) -> bool:
     single-level meshes (see module doc)."""
     if prm.use_ddmc and mesh.max_level > 0:
         return False
-    bpr, R, K_reg = _region_layout(mesh)
-    Kf, _ = _face_chunks(mesh, bpr)
+    maxbpr, R, K_reg = _region_layout(mesh, prm.use_ddmc)
+    Kf, _ = _face_chunks(mesh, maxbpr)
     return (
         K_reg <= MAX_REGION_CHUNKS
         and max(Kf) <= MAX_REGION_CHUNKS * 2
@@ -90,15 +174,16 @@ def supports(mesh, prm) -> bool:
     )
 
 
-def _region_tables(vec, R, bpr, per_block, K_reg, dtype):
+def _region_tables(vec, perm, per_block, K_reg, dtype):
     """[B * per_block] -> [(R+1) * K_reg * GREP, LANES]: per-region slabs of
-    ``bpr * per_block`` values in chunked-lane layout, one extra ZERO slab for the
-    dead tail tiles."""
-    B_eff = R * bpr
-    n = vec.shape[0]
-    pad = B_eff * per_block - n
-    flat = jnp.concatenate([vec.astype(dtype), jnp.zeros((pad,), dtype)])
-    slabs = flat.reshape(R, bpr * per_block)
+    ``maxbpr * per_block`` values (region's blocks gathered via ``perm``) in
+    chunked-lane layout, plus one extra ZERO slab for the dead tail tiles."""
+    R, maxbpr = perm.shape
+    B = vec.shape[0] // per_block
+    mat = jnp.concatenate(
+        [vec.reshape(B, per_block).astype(dtype), jnp.zeros((1, per_block), dtype)]
+    )
+    slabs = mat[perm].reshape(R, maxbpr * per_block)
     tabs = jax.vmap(lambda s: _chunk_table(s, dtype, K_reg))(slabs)
     zero = jnp.zeros((1, K_reg * GREP, LANES), dtype)
     return jnp.concatenate([tabs, zero], axis=0).reshape(-1, LANES)
@@ -115,6 +200,7 @@ def _bucketed_kernel(
     bdx_ref, bdy_ref, bdz_ref,    # fully resident block geometry (chunked)
     box_ref, boy_ref, boz_ref,
     lut_ref,
+    reg_ref, slot_ref,            # block -> region id / slab slot (chunked)
     ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
     oblk_ref, oci_ref, ocj_ref, ock_ref, oalive_ref, oabsorbed_ref, oface_ref,
     ev_ref, it_ref,
@@ -123,7 +209,7 @@ def _bucketed_kernel(
 ):
     (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
      has_absorption, interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc,
-     bpr, K_reg, Kf_reg, fpb, nb_chunks, nt_chunks) = prm_static
+     maxbpr, K_reg, Kf_reg, fpb, nb_chunks, nt_chunks) = prm_static
     multi_d = ndim >= 2
     three_d = ndim == 3
     dt = scal_ref[0]
@@ -139,7 +225,6 @@ def _bucketed_kernel(
     BIG = jnp.float32(3.0e38)
     tiny = jnp.float32(1.0e-37)
     tr = regions_ref[pl.program_id(0)]
-    first_blk = tr * bpr
 
     if not interpret:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -176,11 +261,9 @@ def _bucketed_kernel(
 
     def body(carry):
         (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
-         it, ev) = carry
-        blk_rel = blk - first_blk
-        resident = (blk_rel >= 0) & (blk_rel < bpr)
-        active = (alive != 0) & (tau < 1.0) & resident
-        blk_rel = jnp.clip(blk_rel, 0, bpr - 1)
+         paused, it, ev) = carry
+        active = (alive != 0) & (tau < 1.0) & (paused == 0)
+        blk_rel = jnp.clip(_gather(slot_ref, blk, nb_chunks), 0, maxbpr - 1)
 
         dxb = _gather(bdx_ref, blk, nb_chunks)
         dyb = _gather(bdy_ref, blk, nb_chunks)
@@ -504,9 +587,21 @@ def _bucketed_kernel(
         out = (out_lo_x | out_hi_x | out_lo_y | out_hi_y | out_lo_z | out_hi_z) & (
             nalive != 0
         )
-        px = gx + jnp.float32(0.01 * finest[0]) * (nvx / c)
-        py = gy + jnp.float32(0.01 * finest[1]) * (nvy / c) if multi_d else gy
-        pz = gz + jnp.float32(0.01 * finest[2]) * (nvz / c) if three_d else gz
+        # lookup probe: nudge half a finest cell along the CROSSED face's normal
+        # (see pallas_transport.py — a velocity nudge can vanish for grazing
+        # crossings and spin the loop at zero distance until the iteration cap)
+        sgx = jnp.where(out_hi_x, 1.0, 0.0) - jnp.where(out_lo_x, 1.0, 0.0)
+        sgy = jnp.where(out_hi_y, 1.0, 0.0) - jnp.where(out_lo_y, 1.0, 0.0)
+        sgz = jnp.where(out_hi_z, 1.0, 0.0) - jnp.where(out_lo_z, 1.0, 0.0)
+        px = gx + jnp.where(
+            sgx != 0.0, jnp.float32(0.5 * finest[0]) * sgx,
+            jnp.float32(0.01 * finest[0]) * (nvx / c))
+        py = gy + jnp.where(
+            sgy != 0.0, jnp.float32(0.5 * finest[1]) * sgy,
+            jnp.float32(0.01 * finest[1]) * (nvy / c)) if multi_d else gy
+        pz = gz + jnp.where(
+            sgz != 0.0, jnp.float32(0.5 * finest[2]) * sgz,
+            jnp.float32(0.01 * finest[2]) * (nvz / c)) if three_d else gz
         tx = jnp.clip(jnp.floor((px - x1min) / tsx).astype(jnp.int32), 0, ntx - 1)
         ty = jnp.clip(jnp.floor((py - x2min) / tsy).astype(jnp.int32), 0, nty - 1)
         tz = jnp.clip(jnp.floor((pz - x3min) / tsz).astype(jnp.int32), 0, ntz - 1)
@@ -529,6 +624,16 @@ def _bucketed_kernel(
         ncj = jnp.where(out, rj, jnp.clip(ncj, 0, ny - 1))
         nck = jnp.where(out, rk, jnp.clip(nck, 0, nz - 1))
 
+        # pause particles whose new block left the tile's region (re-bucketed by
+        # the next outer round — the reference's off-block break, transport.cpp:151);
+        # int32 mask: Mosaic can't select between i1 vectors at this tile shape
+        npaused = jnp.maximum(
+            paused,
+            (out & (nalive != 0) & (_gather(reg_ref, nblk, nb_chunks) != tr)).astype(
+                jnp.int32
+            ),
+        )
+
         def sel_act(new, old):
             return jnp.where(active, new, old)
 
@@ -543,25 +648,29 @@ def _bucketed_kernel(
             jnp.where(active, nalive, alive),
             jnp.where(active, nabsorbed, absorbed),
             jnp.where(active, nface, face),
+            jnp.where(active, npaused, paused),
             it + 1,
             ev + jnp.sum(active.astype(jnp.int32)),
         )
 
     def cond(carry):
-        tau, blk, alive, it = carry[6], carry[7], carry[11], carry[14]
-        resident = (blk >= first_blk) & (blk < first_blk + bpr)
-        return (it < max_iters) & jnp.any((alive != 0) & (tau < 1.0) & resident)
+        tau, alive, paused, it = carry[6], carry[11], carry[14], carry[15]
+        return (it < max_iters) & jnp.any(
+            (alive != 0) & (tau < 1.0) & (paused == 0)
+        )
 
+    blk0 = blk_ref[:]
+    paused0 = (_gather(reg_ref, blk0, nb_chunks) != tr).astype(jnp.int32)
     init = (
         x_ref[:], y_ref[:], z_ref[:],
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
-        blk_ref[:], ci_ref[:], cj_ref[:], ck_ref[:],
+        blk0, ci_ref[:], cj_ref[:], ck_ref[:],
         alive_ref[:], absorbed_ref[:], face_ref[:],
+        paused0,
         jnp.int32(0), jnp.int32(0),
     )
-    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, it, ev) = (
-        jax.lax.while_loop(cond, body, init)
-    )
+    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, _p, it,
+     ev) = jax.lax.while_loop(cond, body, init)
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau
@@ -585,22 +694,32 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     live particle reaches census (or the round backstop trips)."""
     p = particles
     cap = p.capacity
-    bpr, R, K_reg = _region_layout(mesh)
-    Kf_reg, fpb = _face_chunks(mesh, bpr)
     f32, i32 = jnp.float32, jnp.int32
     ncpb = mesh.ncells_per_block
 
-    # region-sliced coefficient slabs, built once per step
-    sa_t = _region_tables(coefs.sigma_a, R, bpr, ncpb, K_reg, f32)
-    ss_t = _region_tables(coefs.sigma_s, R, bpr, ncpb, K_reg, f32)
-    ff_t = _region_tables(coefs.fleck, R, bpr, ncpb, K_reg, f32)
+    target = max(
+        REGION_CELLS_DDMC if prm.use_ddmc else REGION_CELLS_IMC, ncpb
+    )
+    region_of_np, slot_np, perm_np, R, maxbpr = _build_regions(mesh, target)
+    K_reg = -(-(maxbpr * ncpb) // LANES)
+    Kf_reg, fpb = _face_chunks(mesh, maxbpr)
+    region_of2 = jnp.asarray(region_of_np)  # [2, B]: base / half-shifted parity
+    perm2 = jnp.asarray(perm_np)            # [2, R, maxbpr]
+
+    # region-sliced coefficient slabs, built once per step, one per parity
+    sa_t2 = _parity_tables(lambda pm: _region_tables(coefs.sigma_a, pm, ncpb, K_reg, f32), perm2)
+    ss_t2 = _parity_tables(lambda pm: _region_tables(coefs.sigma_s, pm, ncpb, K_reg, f32), perm2)
+    ff_t2 = _parity_tables(lambda pm: _region_tables(coefs.fleck, pm, ncpb, K_reg, f32), perm2)
     if prm.use_ddmc:
-        fpx_t = _region_tables(coefs.px.reshape(-1), R, bpr, fpb[0], Kf_reg[0], f32)
-        fpy_t = _region_tables(coefs.py.reshape(-1), R, bpr, fpb[1], Kf_reg[1], f32)
-        fpz_t = _region_tables(coefs.pz.reshape(-1), R, bpr, fpb[2], Kf_reg[2], f32)
+        fpx_t2 = _parity_tables(
+            lambda pm: _region_tables(coefs.px.reshape(-1), pm, fpb[0], Kf_reg[0], f32), perm2)
+        fpy_t2 = _parity_tables(
+            lambda pm: _region_tables(coefs.py.reshape(-1), pm, fpb[1], Kf_reg[1], f32), perm2)
+        fpz_t2 = _parity_tables(
+            lambda pm: _region_tables(coefs.pz.reshape(-1), pm, fpb[2], Kf_reg[2], f32), perm2)
     else:
-        fpx_t = jnp.zeros(((R + 1) * GREP, LANES), f32)
-        fpy_t = fpz_t = fpx_t
+        fpx_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), f32)
+        fpy_t2 = fpz_t2 = fpx_t2
         Kf_reg = (1, 1, 1)
 
     Kb = _n_bchunks(mesh)
@@ -612,6 +731,10 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     boy_t = _chunk_table(mesh.block_origin[:, 1], f32, Kb)
     boz_t = _chunk_table(mesh.block_origin[:, 2], f32, Kb)
     lut_t = _chunk_table(mesh.lookup.reshape(-1), i32, Kt)
+    reg_t2 = jnp.stack([_chunk_table(region_of2[pi], i32, Kb) for pi in (0, 1)])
+    slot_t2 = jnp.stack(
+        [_chunk_table(jnp.asarray(slot_np[pi]), i32, Kb) for pi in (0, 1)]
+    )
 
     bufcap = cap + (R + 1) * BTILE
     bufcap = -(-bufcap // BTILE) * BTILE
@@ -622,7 +745,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
         mesh.tile_shape, mesh.finest, prm.has_absorption, interpret,
         prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
-        bpr, K_reg, Kf_reg, fpb, Kb, Kt,
+        maxbpr, K_reg, Kf_reg, fpb, Kb, Kt,
     )
     kernel = functools.partial(_bucketed_kernel, prm_static=prm_static)
 
@@ -655,7 +778,13 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         + [part_spec] * 14
         + [slab(K_reg * GREP)] * 3
         + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)]
-        + [resident_spec(t) for t in (bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t)],
+        + [
+            resident_spec(t)
+            for t in (
+                bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, reg_t2[0],
+                slot_t2[0],
+            )
+        ],
         out_specs=tuple([part_spec] * 14 + [stat_spec] * 2),
     )
     out_shapes = tuple(
@@ -677,8 +806,14 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
 
     def round_body(carry):
         p, rounds, it_acc, ev_acc = carry
+        # alternate the base / half-shifted region grids: a particle that paused
+        # random-walking at one parity's face is interior to the other parity
+        parity = rounds & 1
+        sa_t, ss_t, ff_t = sa_t2[parity], ss_t2[parity], ff_t2[parity]
+        fpx_t, fpy_t, fpz_t = fpx_t2[parity], fpy_t2[parity], fpz_t2[parity]
+        reg_t, slot_t = reg_t2[parity], slot_t2[parity]
         unfinished = p.alive & (p.tau < 1.0)
-        region = jnp.clip(p.block // bpr, 0, R - 1)
+        region = region_of2[parity, p.block]
         keyv = jnp.where(unfinished, region, R).astype(i32)
 
         counts = jax.ops.segment_sum(
@@ -713,7 +848,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         seed = (seed0 + rounds * jnp.int32(-1640531527))[None]
         outs = call(tile_regions, scal, seed, *bufs,
                     sa_t, ss_t, ff_t, fpx_t, fpy_t, fpz_t,
-                    bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t)
+                    bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, reg_t, slot_t)
         (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
          balive, babsorbed, bface, ev, it) = outs
 
@@ -732,6 +867,29 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     def round_cond(carry):
         p, rounds, _, _ = carry
         return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(p.alive & (p.tau < 1.0))
+
+    import os as _os  # DIAG
+    if _os.environ.get("JB_DIAG_ROUNDS"):
+        import sys as _sys
+        import time as _t
+
+        carry = (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32))
+        rb = jax.jit(round_body)
+        while int(carry[1]) < MAX_BUCKET_ROUNDS and bool(
+            jnp.any(carry[0].alive & (carry[0].tau < 1.0))
+        ):
+            u = int((carry[0].alive & (carry[0].tau < 1.0)).sum())
+            it0 = int(carry[2])
+            t0 = _t.perf_counter()
+            carry = rb(carry)
+            jax.block_until_ready(carry[0].x)
+            print(
+                f"round {int(carry[1])-1}: unfinished {u} "
+                f"iters {int(carry[2])-it0} took {_t.perf_counter()-t0:.3f}s",
+                file=_sys.stderr,
+            )
+        p, rounds, iters, events = carry
+        return p, iters, events
 
     p, rounds, iters, events = jax.lax.while_loop(
         round_cond,

@@ -1,0 +1,911 @@
+"""Uniform-mesh bucketed Pallas transport with global cell tracking.
+
+For single-level (uniform) meshes the block forest is pure bookkeeping: the mesh
+IS one global Cartesian grid. This kernel drops every per-block table the
+region-bucketed kernel (``ops/pallas_bucketed.py``) carries — block geometry,
+origin, lookup-grid and block->region maps — by tracking particles with GLOBAL
+integer cell indices ``(gi, gj, gk)`` and global positions:
+
+  * cell faces are ``x1min + gi * dx`` with a STATIC cell size — no geometry
+    gathers at all;
+  * block transitions do not exist; a crossing is ``gi += 1``;
+  * domain boundaries are exact integer tests (``gi < 0``, ``gi >= NX``) — no
+    float face-tolerance machinery;
+  * the only in-kernel gather left is the region coefficient slab
+    (3 vector ops per 128-entry chunk).
+
+Census bucketing works as in ``pallas_bucketed``: particles are sorted by
+CORE region (an axis-aligned box of cells), a scalar-prefetched per-tile region
+id drives the slab BlockSpecs, and a particle that pauses is re-bucketed next
+round. The slab stores the core plus a HALO of ``HALO`` cells, and a particle
+pauses only on leaving the halo box — so every re-bucket hands every particle
+at least HALO cells of margin in every split axis, far beyond the per-step rms
+walk of a diffusive particle, and the straggler tail dies in a couple of
+rounds. (Phase-shifted region grids without a halo were tried first and
+measured insufficient: a pauser resumes sitting ON the previous grid's face
+and corner-walkers can find a pausing face in every phase — a ~0.9/round
+straggler survival tail.)
+
+Physics is the same event body as the other kernels: IMC
+(``ptcl_transport_step``, reference ``transport_utils.hpp:111-160``) and the
+DDMC branch with the face-flag albedo test (``transport_utils.hpp:163-397``).
+Scope: uniform meshes only (SMR big meshes go to ``pallas_bucketed``; SMR that
+fits VMEM goes to the full-residency kernel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import BC
+from .pallas_transport import GREP, LANES, _chunk_table, _gather
+
+BSUB = 64                  # sublane groups per tile (amortize the fixed
+#                            per-iteration while_loop cost over 8192 lanes)
+BTILE = BSUB * LANES
+REGION_CELLS_IMC = 8192    # target cells per region slab (IMC: 1 gathered table)
+REGION_CELLS_DDMC = 2048   # smaller for DDMC: 3 cell + 3 face tables per event
+MAX_REGION_CHUNKS = 64     # slab gather cost cap (3 vector ops per chunk scanned)
+MAX_BUCKET_ROUNDS = 256    # outer re-bucketing rounds (hang backstop)
+
+
+def _grid_dims(mesh):
+    ntz, nty, ntx = mesh.tile_shape
+    return ntx * mesh.nx, nty * mesh.ny, ntz * mesh.nz  # (NX, NY, NZ)
+
+
+HALO = 4  # slab halo in cells beyond the core region box (along split axes)
+
+
+def _grid_layout(mesh, use_ddmc=False):
+    """Static region-grid layout for a uniform mesh.
+
+    Regions are CORE boxes (the bucketing key) surrounded by a HALO: the slab
+    stores core+halo coefficients and a particle pauses only on leaving the
+    halo box. Re-bucketing therefore hands every particle >= HALO cells of
+    margin in every split axis — far beyond the per-step rms walk of a
+    diffusive particle — so the straggler tail dies in a couple of rounds.
+    (Phase-shifted region grids were tried instead and measured insufficient:
+    a corner-walker can sit near faces of several phases at once.)
+
+    Returns (rn, ng, halo, K_reg, Kf_reg): core dims in cells (rx,ry,rz),
+    region-grid dims (NGX,NGY,NGZ), per-axis halo, and slab chunk counts."""
+    NX, NY, NZ = _grid_dims(mesh)
+    dxc = np.asarray(mesh.block_dx, np.float64)[0]
+    target = max(REGION_CELLS_DDMC if use_ddmc else REGION_CELLS_IMC, LANES)
+    ng = np.ones(3, np.int64)
+    N = np.array([NX, NY, NZ], np.int64)
+    rn = N.copy()
+
+    def slab_dims(rn, ng):
+        h = np.where(ng > 1, np.minimum(HALO, rn), 0)
+        return rn + 2 * h, h
+
+    sd, h = slab_dims(rn, ng)
+    while int(sd.prod()) > target:
+        cand = [a for a in range(3) if rn[a] > 1]
+        if not cand:
+            break
+        a = max(cand, key=lambda a: rn[a] * dxc[a])  # keep regions compact
+        ng[a] *= 2
+        rn[a] = -(-N[a] // ng[a])
+        sd, h = slab_dims(rn, ng)
+    K_reg = -(-int(sd.prod()) // LANES)
+    Kf = (
+        -(-int((sd[0] + 1) * sd[1] * sd[2]) // LANES),
+        -(-int(sd[0] * (sd[1] + 1) * sd[2]) // LANES),
+        -(-int(sd[0] * sd[1] * (sd[2] + 1)) // LANES),
+    )
+    return (
+        (int(rn[0]), int(rn[1]), int(rn[2])),
+        (int(ng[0]), int(ng[1]), int(ng[2])),
+        (int(h[0]), int(h[1]), int(h[2])),
+        K_reg,
+        Kf,
+    )
+
+
+def supports(mesh, prm) -> bool:
+    """Any SINGLE-LEVEL mesh whose region slab fits the chunk-scan budget —
+    the global cell count is unbounded (regions are sliced from HBM)."""
+    if mesh.max_level > 0:
+        return False
+    _, _, _, K_reg, Kf = _grid_layout(mesh, prm.use_ddmc)
+    return K_reg <= MAX_REGION_CHUNKS and max(Kf) <= MAX_REGION_CHUNKS * 2
+
+
+def _to_global(mesh, blocks_arr):
+    """[B, nz, ny, nx] block-structured cell array -> [NZ, NY, NX] global grid
+    (block order resolved through the lookup grid)."""
+    ntz, nty, ntx = mesh.tile_shape
+    nz, ny, nx = mesh.nz, mesh.ny, mesh.nx
+    a = blocks_arr[mesh.lookup.reshape(-1)]
+    a = a.reshape(ntz, nty, ntx, nz, ny, nx).transpose(0, 3, 1, 4, 2, 5)
+    return a.reshape(ntz * nz, nty * ny, ntx * nx)
+
+
+def _faces_to_global(mesh, farr, axis):
+    """Block-structured face array -> global face array (shared faces overlap
+    consistently on a uniform mesh). axis: 0=x ([...,nx+1]), 1=y, 2=z."""
+    ntz, nty, ntx = mesh.tile_shape
+    nz, ny, nx = mesh.nz, mesh.ny, mesh.nx
+    if axis == 0:
+        base = _to_global(mesh, farr[:, :, :, :nx])
+        lastb = mesh.lookup[:, :, ntx - 1].reshape(-1)
+        last = farr[lastb, :, :, nx].reshape(ntz, nty, nz, ny)
+        last = last.transpose(0, 2, 1, 3).reshape(ntz * nz, nty * ny, 1)
+        return jnp.concatenate([base, last], axis=2)
+    if axis == 1:
+        base = _to_global(mesh, farr[:, :, :ny, :])
+        lastb = mesh.lookup[:, nty - 1, :].reshape(-1)
+        last = farr[lastb, :, ny, :].reshape(ntz, ntx, nz, nx)
+        last = last.transpose(0, 2, 1, 3).reshape(ntz * nz, 1, ntx * nx)
+        return jnp.concatenate([base, last], axis=1)
+    base = _to_global(mesh, farr[:, :nz, :, :])
+    lastb = mesh.lookup[ntz - 1, :, :].reshape(-1)
+    last = farr[lastb, nz, :, :].reshape(nty, ntx, ny, nx)
+    last = last.transpose(0, 2, 1, 3).reshape(1, nty * ny, ntx * nx)
+    return jnp.concatenate([base, last], axis=0)
+
+
+def _slab_tables(
+    glob, rshape, origins, K, dtype, periodic=(False, False, False), wrap=None
+):
+    """Slice a global [GZ, GY, GX] array into per-region slabs in chunked-lane
+    layout: [(R_pad+1) * K * GREP, LANES]. Out-of-domain halo entries WRAP on
+    periodic axes (the kernel runs unwrapped coordinates there) and are 0 on
+    physical axes. ``wrap`` overrides the wrap period per (x, y, z) axis — face
+    arrays wrap modulo the CELL count (face N is face 0), not the array size."""
+    GZ, GY, GX = glob.shape
+    wx, wy, wz = wrap if wrap is not None else (GX, GY, GZ)
+    rz, ry, rx = rshape
+    oz = origins[:, 2][:, None, None, None]
+    oy = origins[:, 1][:, None, None, None]
+    ox = origins[:, 0][:, None, None, None]
+    dz = jnp.arange(rz)[None, :, None, None]
+    dy = jnp.arange(ry)[None, None, :, None]
+    dx = jnp.arange(rx)[None, None, None, :]
+    gz_, gy_, gx_ = oz + dz, oy + dy, ox + dx
+    ok = jnp.full(jnp.broadcast_shapes(gz_.shape, gy_.shape, gx_.shape), True)
+    if periodic[2]:
+        gz_ = jnp.where((gz_ < 0) | (gz_ >= GZ), jnp.mod(gz_, wz), gz_)
+    else:
+        ok = ok & (gz_ >= 0) & (gz_ < GZ)
+    if periodic[1]:
+        gy_ = jnp.where((gy_ < 0) | (gy_ >= GY), jnp.mod(gy_, wy), gy_)
+    else:
+        ok = ok & (gy_ >= 0) & (gy_ < GY)
+    if periodic[0]:
+        gx_ = jnp.where((gx_ < 0) | (gx_ >= GX), jnp.mod(gx_, wx), gx_)
+    else:
+        ok = ok & (gx_ >= 0) & (gx_ < GX)
+    flat = (
+        jnp.clip(gz_, 0, GZ - 1) * GY + jnp.clip(gy_, 0, GY - 1)
+    ) * GX + jnp.clip(gx_, 0, GX - 1)
+    vals = jnp.where(ok, glob.reshape(-1)[flat], 0).astype(dtype)
+    R_pad = origins.shape[0]
+    slabs = vals.reshape(R_pad, rz * ry * rx)
+    tabs = jax.vmap(lambda s: _chunk_table(s, dtype, K))(slabs)
+    zero = jnp.zeros((1, K * GREP, LANES), dtype)
+    return jnp.concatenate([tabs, zero], axis=0).reshape(-1, LANES)
+
+
+def _grid_kernel(
+    regions_ref,  # scalar prefetch: i32[grid] region id per tile
+    scal_ref,     # SMEM f32[8]: dt, c
+    intr_ref,     # SMEM i32[8]: seed (slots 1-7 reserved)
+    x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
+    gi_ref, gj_ref, gk_ref, alive_ref, absorbed_ref, face_ref,
+    sa_ref, ss_ref, ff_ref,       # region slabs (blocked by index_map)
+    fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs
+    ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
+    ogi_ref, ogj_ref, ogk_ref, oalive_ref, oabsorbed_ref, oface_ref,
+    ev_ref, it_ref,
+    *,
+    prm_static,
+):
+    (ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY, cell_dx,
+     max_iters, bcs, bounds, has_absorption, interpret, use_ddmc, tau_ddmc,
+     eps_imc, eps_ddmc, K_reg, Kf_reg) = prm_static
+    sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz  # slab dims
+    multi_d = ndim >= 2
+    three_d = ndim == 3
+    dt = scal_ref[0]
+    c = scal_ref[1]
+    x1min, x1max, x2min, x2max, x3min, x3max = bounds
+    dxc = jnp.float32(cell_dx[0])
+    dyc = jnp.float32(cell_dx[1])
+    dzc = jnp.float32(cell_dx[2])
+    dmin = jnp.float32(min(cell_dx[:ndim]))
+
+    shape = (BSUB, LANES)
+    BIG = jnp.float32(3.0e38)
+    tiny = jnp.float32(1.0e-37)
+    tr = regions_ref[pl.program_id(0)]
+    rcx = tr % NGX
+    rcy = (tr // NGX) % NGY
+    rcz = tr // (NGX * NGY)
+    box = rcx * rnx - hx  # slab cell-box origin (may be negative at edges)
+    boy = rcy * rny - hy
+    boz = rcz * rnz - hz
+
+    if not interpret:
+        pltpu.prng_seed(intr_ref[0] + pl.program_id(0))
+
+        def uniform(it, tag):
+            del it, tag
+            bits = pltpu.prng_random_bits(shape)
+            return ((bits >> 9) & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
+                1.0 / (1 << 23)
+            )
+    else:
+        lane_id = (
+            jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            + jnp.uint32(pl.program_id(0) * BTILE)
+        )
+
+        def uniform(it, tag):
+            x = (
+                intr_ref[0].astype(jnp.uint32)
+                + lane_id
+                + it.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
+            )
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x7FEB352D)
+            x = x ^ (x >> 15)
+            x = x * jnp.uint32(0x846CA68B)
+            x = x ^ (x >> 16)
+            return (x >> 9).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
+
+    def expdraw(it, tag):
+        return -jnp.log(jnp.maximum(uniform(it, tag), tiny))
+
+    def in_region(gi, gj, gk):
+        # residency is the HALO box: bucketed by core, paused on leaving core+halo
+        li, lj, lk = gi - box, gj - boy, gk - boz
+        return (
+            (li >= 0) & (li < sdx) & (lj >= 0) & (lj < sdy)
+            & (lk >= 0) & (lk < sdz)
+        )
+
+    def body(carry):
+        (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face,
+         paused, it, ev) = carry
+        active = (alive != 0) & (tau < 1.0) & (paused == 0)
+
+        li, lj, lk = gi - box, gj - boy, gk - boz
+        cell = (lk * sdy + lj) * sdx + li
+        ss = _gather(ss_ref, cell, K_reg)
+        if has_absorption:
+            sa = _gather(sa_ref, cell, K_reg)
+            ff = _gather(ff_ref, cell, K_reg)
+        else:
+            sa = jnp.zeros(shape)
+            ff = jnp.ones(shape)
+
+        fi = gi.astype(jnp.float32)
+        fj = gj.astype(jnp.float32)
+        fk = gk.astype(jnp.float32)
+        xl, xu = x1min + fi * dxc, x1min + (fi + 1.0) * dxc
+        yl, yu = x2min + fj * dyc, x2min + (fj + 1.0) * dyc
+        zl, zu = x3min + fk * dzc, x3min + (fk + 1.0) * dzc
+
+        if use_ddmc:
+            is_ddmc = active & (dmin * (sa + ss) > jnp.float32(tau_ddmc))
+            act_imc = active & ~is_ddmc
+        else:
+            is_ddmc = jnp.zeros(shape, bool)
+            act_imc = active
+
+        if has_absorption:
+            d_abs = expdraw(it, 0) / (ff * sa + tiny)
+            d_sc = expdraw(it, 1) / (ss + (1.0 - ff) * sa + tiny)
+        else:
+            d_abs = jnp.full(shape, BIG)
+            d_sc = expdraw(it, 1) / (ss + tiny)
+        d_end = c * dt * (1.0 - tau)
+        d_geom = jnp.minimum(dmin, d_end)
+
+        def face_dist(v, lo, hi, q):
+            vsafe_p = jnp.where(v > 0, v, 1.0)
+            vsafe_n = jnp.where(v < 0, v, -1.0)
+            return jnp.where(
+                v > 0, c * (hi - q) / vsafe_p,
+                jnp.where(v < 0, c * (lo - q) / vsafe_n, BIG),
+            )
+
+        fxd = face_dist(vx, xl, xu, x)
+        fyd = face_dist(vy, yl, yu, y) if multi_d else jnp.full(shape, BIG)
+        fzd = face_dist(vz, zl, zu, z) if three_d else jnp.full(shape, BIG)
+
+        d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
+        if has_absorption:
+            i_abs = act_imc & (d_abs < d_push) & (d_abs < d_sc)
+        else:
+            i_abs = jnp.zeros(shape, bool)
+        i_sc = act_imc & ~i_abs & (d_sc < d_push)
+        no_coll = act_imc & ~i_abs & ~i_sc
+        cr_x = no_coll & (fxd <= fyd) & (fxd <= fzd) & (fxd <= d_geom)
+        cr_y = no_coll & ~cr_x & (fyd <= fzd) & (fyd <= d_geom)
+        cr_z = no_coll & ~cr_x & ~cr_y & (fzd <= d_geom)
+        i_census = no_coll & ~cr_x & ~cr_y & ~cr_z & (d_end <= dmin)
+
+        d = jnp.where(i_abs, d_abs, jnp.where(i_sc, d_sc, d_push))
+        ntau = jnp.where(i_census, 1.0, tau + d / (c * dt))
+        nx_ = x + vx * (d / c)
+        ny_ = y + vy * (d / c) if multi_d else y
+        nz_ = z + vz * (d / c) if three_d else z
+        nx_ = jnp.where(cr_x, jnp.where(vx > 0, xu, xl), nx_)
+        ny_ = jnp.where(cr_y, jnp.where(vy > 0, yu, yl), ny_)
+        nz_ = jnp.where(cr_z, jnp.where(vz > 0, zu, zl), nz_)
+        ngi = gi + jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0)
+        ngj = gj + jnp.where(cr_y, jnp.where(vy > 0, 1, -1), 0)
+        ngk = gk + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
+
+        mu = 1.0 - 2.0 * uniform(it, 2)
+        phi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 3)
+        st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+        nvx = jnp.where(i_sc, c * st * jnp.cos(phi), vx)
+        nvy = jnp.where(i_sc, c * st * jnp.sin(phi), vy)
+        nvz = jnp.where(i_sc, c * mu, vz)
+
+        nalive = jnp.where(i_abs, 0, alive)
+        nabsorbed = jnp.where(i_abs, 1, absorbed)
+        nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
+        nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
+        nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
+
+        # ================= DDMC branch (face-flag albedo + ptcl_ddmc_step) ====
+        if use_ddmc:
+            sig_t = sa + ss
+            sel = [
+                is_ddmc & (face == 1),
+                is_ddmc & (face == -1),
+                is_ddmc & (face == 2),
+                is_ddmc & (face == -2),
+                is_ddmc & (face == 3),
+                is_ddmc & (face == -3),
+            ]
+            at_face = is_ddmc & (face != 0)
+
+            lam2 = jnp.float32(2.0 * 0.7104)
+            P = jnp.zeros(shape)
+            for m, fdx_, fv, sgn in (
+                (sel[0], dxc, vx, 1.0), (sel[1], dxc, vx, -1.0),
+                (sel[2], dyc, vy, 1.0), (sel[3], dyc, vy, -1.0),
+                (sel[4], dzc, vz, 1.0), (sel[5], dzc, vz, -1.0),
+            ):
+                Pf = (2.0 / 3.0) / (sig_t * fdx_ + lam2)
+                P = jnp.where(m, 2.0 * Pf * (1.0 + jnp.float32(sgn) * 1.5 * fv / c), P)
+            rejected = at_face & (uniform(it, 4) > P)
+
+            amu = jnp.sqrt(uniform(it, 5))
+            anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
+            aphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 6)
+            a1, a2, a3 = amu, anu * jnp.cos(aphi), anu * jnp.sin(aphi)
+
+            rj_x, rj_y, rj_z = x, y, z
+            rj_vx, rj_vy, rj_vz = vx, vy, vz
+            rj_si = jnp.zeros(shape, jnp.int32)
+            rj_sj = jnp.zeros(shape, jnp.int32)
+            rj_sk = jnp.zeros(shape, jnp.int32)
+            eps_i = jnp.float32(eps_imc)
+            for m, axis, lower in (
+                (sel[0], 0, True), (sel[1], 0, False),
+                (sel[2], 1, True), (sel[3], 1, False),
+                (sel[4], 2, True), (sel[5], 2, False),
+            ):
+                sgn = jnp.float32(-1.0 if lower else 1.0)
+                v1, v2, v3 = c * sgn * a1, c * a2, c * a3
+                if axis == 0:
+                    rj_vx = jnp.where(m, v1, rj_vx)
+                    rj_vy = jnp.where(m, v2, rj_vy)
+                    rj_vz = jnp.where(m, v3, rj_vz)
+                    rj_x = jnp.where(m, jnp.where(lower, xl - eps_i * dxc, xu + eps_i * dxc), rj_x)
+                    rj_si = jnp.where(m, -1 if lower else 1, rj_si)
+                elif axis == 1:
+                    rj_vy = jnp.where(m, v1, rj_vy)
+                    rj_vz = jnp.where(m, v2, rj_vz)
+                    rj_vx = jnp.where(m, v3, rj_vx)
+                    rj_y = jnp.where(m, jnp.where(lower, yl - eps_i * dyc, yu + eps_i * dyc), rj_y)
+                    rj_sj = jnp.where(m, -1 if lower else 1, rj_sj)
+                else:
+                    rj_vz = jnp.where(m, v1, rj_vz)
+                    rj_vx = jnp.where(m, v2, rj_vx)
+                    rj_vy = jnp.where(m, v3, rj_vy)
+                    rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzc, zu + eps_i * dzc), rj_z)
+                    rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
+
+            fx_l = (lk * sdy + lj) * (sdx + 1) + li
+            fp_xl = _gather(fpx_ref, fx_l, Kf_reg[0])
+            fp_xu = _gather(fpx_ref, fx_l + 1, Kf_reg[0])
+            if multi_d:
+                fy_l = ((lk * (sdy + 1)) + lj) * sdx + li
+                fp_yl = _gather(fpy_ref, fy_l, Kf_reg[1])
+                fp_yu = _gather(fpy_ref, fy_l + sdx, Kf_reg[1])
+            else:
+                fp_yl = fp_yu = jnp.zeros(shape)
+            if three_d:
+                fz_l = ((lk * sdy) + lj) * sdx + li
+                fp_zl = _gather(fpz_ref, fz_l, Kf_reg[2])
+                fp_zu = _gather(fpz_ref, fz_l + sdy * sdx, Kf_reg[2])
+            else:
+                fp_zl = fp_zu = jnp.zeros(shape)
+
+            lk_ = (fp_xl / dxc, fp_xu / dxc, fp_yl / dyc, fp_yu / dyc,
+                   fp_zl / dzc, fp_zu / dzc)
+            leak_tot = lk_[0] + lk_[1] + lk_[2] + lk_[3] + lk_[4] + lk_[5]
+            cdf = ff * sa + leak_tot + tiny
+            dt_ev = (-jnp.log(jnp.maximum(uniform(it, 7), tiny))) / (c * cdf)
+            dt_rem = dt * (1.0 - tau)
+            is_event = dt_ev < dt_rem
+            do_step = is_ddmc & ~rejected
+
+            dd_tau = jnp.where(is_event, tau + dt_ev / dt, 1.0)
+            xi = cdf * uniform(it, 8)
+            dd_absorbed = do_step & is_event & (xi < ff * sa)
+            xim = xi - ff * sa
+            cum = jnp.zeros(shape)
+            leak_sel = []
+            leak_any = jnp.zeros(shape, bool)
+            for l in lk_:
+                m = do_step & is_event & ~dd_absorbed & ~leak_any & (xim < cum + l)
+                leak_sel.append(m)
+                leak_any = leak_any | m
+                cum = cum + l
+            fall = do_step & is_event & ~dd_absorbed & ~leak_any
+            if three_d:
+                leak_sel[5] = leak_sel[5] | fall
+            elif multi_d:
+                leak_sel[3] = leak_sel[3] | fall
+            else:
+                leak_sel[1] = leak_sel[1] | fall
+
+            bmu = jnp.sqrt(uniform(it, 9))
+            bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
+            bphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 10)
+            b1, b2, b3 = bmu, bnu * jnp.cos(bphi), bnu * jnp.sin(bphi)
+
+            dd_x, dd_y, dd_z = x, y, z
+            dd_vx, dd_vy, dd_vz = vx, vy, vz
+            dd_si = jnp.zeros(shape, jnp.int32)
+            dd_sj = jnp.zeros(shape, jnp.int32)
+            dd_sk = jnp.zeros(shape, jnp.int32)
+            cx_, cy_, cz_ = xl + 0.5 * dxc, yl + 0.5 * dyc, zl + 0.5 * dzc
+            eps_d = jnp.float32(eps_ddmc)
+            for m, axis, lower in (
+                (leak_sel[0], 0, True), (leak_sel[1], 0, False),
+                (leak_sel[2], 1, True), (leak_sel[3], 1, False),
+                (leak_sel[4], 2, True), (leak_sel[5], 2, False),
+            ):
+                out_sgn = jnp.float32(-1.0 if lower else 1.0)
+                v1, v2, v3 = c * out_sgn * b1, c * b2, c * b3
+                if axis == 0:
+                    dd_x = jnp.where(m, jnp.where(lower, xl - eps_d * dxc, xu + eps_d * dxc), dd_x)
+                    dd_y = jnp.where(m, cy_, dd_y)
+                    dd_z = jnp.where(m, cz_, dd_z)
+                    dd_vx = jnp.where(m, v1, dd_vx)
+                    dd_vy = jnp.where(m, v2, dd_vy)
+                    dd_vz = jnp.where(m, v3, dd_vz)
+                    dd_si = jnp.where(m, -1 if lower else 1, dd_si)
+                elif axis == 1:
+                    dd_y = jnp.where(m, jnp.where(lower, yl - eps_d * dyc, yu + eps_d * dyc), dd_y)
+                    dd_z = jnp.where(m, cz_, dd_z)
+                    dd_x = jnp.where(m, cx_, dd_x)
+                    dd_vy = jnp.where(m, v1, dd_vy)
+                    dd_vz = jnp.where(m, v2, dd_vz)
+                    dd_vx = jnp.where(m, v3, dd_vx)
+                    dd_sj = jnp.where(m, -1 if lower else 1, dd_sj)
+                else:
+                    dd_z = jnp.where(m, jnp.where(lower, zl - eps_d * dzc, zu + eps_d * dzc), dd_z)
+                    dd_x = jnp.where(m, cx_, dd_x)
+                    dd_y = jnp.where(m, cy_, dd_y)
+                    dd_vz = jnp.where(m, v1, dd_vz)
+                    dd_vx = jnp.where(m, v2, dd_vx)
+                    dd_vy = jnp.where(m, v3, dd_vy)
+                    dd_sk = jnp.where(m, -1 if lower else 1, dd_sk)
+
+            dd_census = do_step & ~is_event
+            dd_x = jnp.where(dd_census, xl + uniform(it, 11) * dxc, dd_x)
+            dd_y = jnp.where(dd_census, yl + uniform(it, 12) * dyc, dd_y)
+            dd_z = jnp.where(dd_census, zl + uniform(it, 13) * dzc, dd_z)
+            cmu = 1.0 - 2.0 * uniform(it, 14)
+            cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
+            cphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 15)
+            dd_vx = jnp.where(dd_census, c * cst * jnp.cos(cphi), dd_vx)
+            dd_vy = jnp.where(dd_census, c * cst * jnp.sin(cphi), dd_vy)
+            dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
+
+            dd_x = jnp.where(rejected, rj_x, dd_x)
+            dd_y = jnp.where(rejected, rj_y, dd_y)
+            dd_z = jnp.where(rejected, rj_z, dd_z)
+            dd_vx = jnp.where(rejected, rj_vx, dd_vx)
+            dd_vy = jnp.where(rejected, rj_vy, dd_vy)
+            dd_vz = jnp.where(rejected, rj_vz, dd_vz)
+            dd_si = jnp.where(rejected, rj_si, dd_si)
+            dd_sj = jnp.where(rejected, rj_sj, dd_sj)
+            dd_sk = jnp.where(rejected, rj_sk, dd_sk)
+            dd_tau = jnp.where(rejected, tau, dd_tau)
+
+            nx_ = jnp.where(is_ddmc, dd_x, nx_)
+            ny_ = jnp.where(is_ddmc, dd_y, ny_)
+            nz_ = jnp.where(is_ddmc, dd_z, nz_)
+            nvx = jnp.where(is_ddmc, dd_vx, nvx)
+            nvy = jnp.where(is_ddmc, dd_vy, nvy)
+            nvz = jnp.where(is_ddmc, dd_vz, nvz)
+            ntau = jnp.where(is_ddmc, dd_tau, ntau)
+            ngi = jnp.where(is_ddmc, gi + dd_si, ngi)
+            ngj = jnp.where(is_ddmc, gj + dd_sj, ngj)
+            ngk = jnp.where(is_ddmc, gk + dd_sk, ngk)
+            nalive = jnp.where(dd_absorbed, 0, nalive)
+            nabsorbed = jnp.where(dd_absorbed, 1, nabsorbed)
+            nface = jnp.where(is_ddmc, 0, nface)
+
+        # ---- domain BCs: exact integer tests, no float face tolerance.
+        # Periodic axes are a NO-OP here: the kernel runs UNWRAPPED coordinates
+        # (the slab halo wraps, so the periodic seam is interior to the slab) and
+        # the host re-wraps cells/positions after the round. A wrapped index
+        # would jump the particle out of any halo and turn the periodic face
+        # into an unshiftable pause line (measured: ~0.92/round straggler tail).
+        def apply_bc(g, v, ci, N, lo, hi, bc_lo, bc_hi, al, fc):
+            L = jnp.float32(hi - lo)
+            lo = jnp.float32(lo)
+            hi = jnp.float32(hi)
+            hit_lo = ci < 0
+            hit_hi = ci >= N
+            if bc_lo == BC.reflecting:
+                g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
+                v = jnp.where(hit_lo, -v, v)
+                fc = jnp.where(hit_lo, -fc, fc)
+                ci = jnp.where(hit_lo, 0, ci)
+            elif bc_lo != BC.periodic:  # outflow: dead; clamp for safe gathers
+                al = jnp.where(hit_lo, 0, al)
+                ci = jnp.where(hit_lo, 0, ci)
+            if bc_hi == BC.reflecting:
+                g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
+                v = jnp.where(hit_hi, -v, v)
+                fc = jnp.where(hit_hi, -fc, fc)
+                ci = jnp.where(hit_hi, N - 1, ci)
+            elif bc_hi != BC.periodic:
+                al = jnp.where(hit_hi, 0, al)
+                ci = jnp.where(hit_hi, N - 1, ci)
+            return g, v, ci, al, fc
+
+        nx_, nvx, ngi, nalive, nface = apply_bc(
+            nx_, nvx, ngi, NX, x1min, x1max, bcs[0], bcs[1], nalive, nface
+        )
+        if multi_d:
+            ny_, nvy, ngj, nalive, nface = apply_bc(
+                ny_, nvy, ngj, NY, x2min, x2max, bcs[2], bcs[3], nalive, nface
+            )
+        else:
+            ngj = jnp.clip(ngj, 0, NY - 1)
+        if three_d:
+            nz_, nvz, ngk, nalive, nface = apply_bc(
+                nz_, nvz, ngk, NZ, x3min, x3max, bcs[4], bcs[5], nalive, nface
+            )
+        else:
+            ngk = jnp.clip(ngk, 0, NZ - 1)
+
+        # pause when the particle's cell leaves the tile's region box (the
+        # reference's off-block break, transport.cpp:151); int32 mask (Mosaic
+        # can't select between i1 vectors at this tile shape)
+        npaused = jnp.maximum(
+            paused,
+            ((nalive != 0) & ~in_region(ngi, ngj, ngk)).astype(jnp.int32),
+        )
+
+        def sel_act(new, old):
+            return jnp.where(active, new, old)
+
+        return (
+            sel_act(nx_, x), sel_act(ny_, y), sel_act(nz_, z),
+            sel_act(nvx, vx), sel_act(nvy, vy), sel_act(nvz, vz),
+            sel_act(ntau, tau),
+            jnp.where(active, ngi, gi),
+            jnp.where(active, ngj, gj),
+            jnp.where(active, ngk, gk),
+            jnp.where(active, nalive, alive),
+            jnp.where(active, nabsorbed, absorbed),
+            jnp.where(active, nface, face),
+            jnp.where(active, npaused, paused),
+            it + 1,
+            ev + jnp.sum(active.astype(jnp.int32)),
+        )
+
+    def cond(carry):
+        tau, alive, paused, it = carry[6], carry[10], carry[13], carry[14]
+        return (it < max_iters) & jnp.any(
+            (alive != 0) & (tau < 1.0) & (paused == 0)
+        )
+
+    gi0, gj0, gk0 = gi_ref[:], gj_ref[:], gk_ref[:]
+    paused0 = (~in_region(gi0, gj0, gk0)).astype(jnp.int32)
+    init = (
+        x_ref[:], y_ref[:], z_ref[:],
+        vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
+        gi0, gj0, gk0,
+        alive_ref[:], absorbed_ref[:], face_ref[:],
+        paused0,
+        jnp.int32(0), jnp.int32(0),
+    )
+    (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face, _p, it,
+     ev) = jax.lax.while_loop(cond, body, init)
+    ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
+    ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
+    otau_ref[:] = tau
+    ogi_ref[:], ogj_ref[:], ogk_ref[:] = gi, gj, gk
+    oalive_ref[:], oabsorbed_ref[:], oface_ref[:] = alive, absorbed, face
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_stats():
+        ev_ref[0, 0] = 0
+        it_ref[0, 0] = 0
+
+    ev_ref[0, 0] = ev_ref[0, 0] + ev
+    it_ref[0, 0] = jnp.maximum(it_ref[0, 0], it)
+
+
+def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
+    """Census transport on a uniform mesh via phase-shifted region bucketing.
+    Returns (particles, iters, events)."""
+    p = particles
+    cap = p.capacity
+    f32, i32 = jnp.float32, jnp.int32
+    NX, NY, NZ = _grid_dims(mesh)
+    rn, ng, halo, K_reg, Kf_reg = _grid_layout(mesh, prm.use_ddmc)
+    rnx, rny, rnz = rn
+    hx, hy, hz = halo
+    sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz
+    NGX, NGY, NGZ = ng
+    R_pad = NGX * NGY * NGZ
+
+    # slab origins = core origin - halo (negative at edges; zero-padded)
+    rc = jnp.arange(R_pad, dtype=i32)
+    rcx, rcy, rcz = rc % NGX, (rc // NGX) % NGY, rc // (NGX * NGY)
+    origins = jnp.stack(
+        [rcx * rnx - hx, rcy * rny - hy, rcz * rnz - hz], axis=1
+    )
+
+    def glob_cells(vec):
+        return _to_global(mesh, vec.reshape(mesh.n_blocks, mesh.nz, mesh.ny, mesh.nx))
+
+    per = (
+        prm.swarm_bc[0] == BC.periodic,
+        prm.swarm_bc[2] == BC.periodic,
+        prm.swarm_bc[4] == BC.periodic,
+    )
+    rsh = (sdz, sdy, sdx)
+    sa_t = _slab_tables(glob_cells(coefs.sigma_a), rsh, origins, K_reg, f32, per)
+    ss_t = _slab_tables(glob_cells(coefs.sigma_s), rsh, origins, K_reg, f32, per)
+    ff_t = _slab_tables(glob_cells(coefs.fleck), rsh, origins, K_reg, f32, per)
+    if prm.use_ddmc:
+        fpx_t = _slab_tables(
+            _faces_to_global(mesh, coefs.px, 0), (sdz, sdy, sdx + 1),
+            origins, Kf_reg[0], f32, per, wrap=(NX, NY, NZ))
+        fpy_t = _slab_tables(
+            _faces_to_global(mesh, coefs.py, 1), (sdz, sdy + 1, sdx),
+            origins, Kf_reg[1], f32, per, wrap=(NX, NY, NZ))
+        fpz_t = _slab_tables(
+            _faces_to_global(mesh, coefs.pz, 2), (sdz + 1, sdy, sdx),
+            origins, Kf_reg[2], f32, per, wrap=(NX, NY, NZ))
+    else:
+        fpx_t = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
+        fpy_t = fpz_t = fpx_t
+        Kf_reg = (1, 1, 1)
+
+    # ledger (block, i, j, k) <-> global cells; static block coords via origins
+    borg = np.asarray(mesh.block_origin, np.float64)
+    bdx0 = np.asarray(mesh.block_dx, np.float64)[0]
+    x1min, _, x2min, _, x3min, _ = mesh.bounds
+    bcx = jnp.asarray(
+        np.rint((borg[:, 0] - x1min) / (bdx0[0] * mesh.nx)).astype(np.int32))
+    bcy = jnp.asarray(
+        np.rint((borg[:, 1] - x2min) / (bdx0[1] * mesh.ny)).astype(np.int32))
+    bcz = jnp.asarray(
+        np.rint((borg[:, 2] - x3min) / (bdx0[2] * mesh.nz)).astype(np.int32))
+    orgx = jnp.asarray(borg[:, 0], f32)
+    orgy = jnp.asarray(borg[:, 1], f32)
+    orgz = jnp.asarray(borg[:, 2], f32)
+
+    bufcap = cap + (R_pad + 1) * BTILE
+    bufcap = -(-bufcap // BTILE) * BTILE
+    grid = bufcap // BTILE
+
+    prm_static = (
+        prm.ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY,
+        tuple(float(v) for v in bdx0),
+        prm.max_iters, tuple(prm.swarm_bc),
+        tuple(float(b) for b in mesh.bounds),
+        prm.has_absorption, interpret, prm.use_ddmc, prm.tau_ddmc,
+        prm.eps_imc, prm.eps_ddmc, K_reg, Kf_reg,
+    )
+    kernel = functools.partial(_grid_kernel, prm_static=prm_static)
+
+    scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
+    try:
+        kd = jax.random.key_data(key)
+    except (TypeError, AttributeError):
+        kd = key
+    seed0 = kd.reshape(-1)[-1].astype(i32)
+
+    part_spec = pl.BlockSpec(
+        (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
+    )
+    slab = lambda rows: pl.BlockSpec(
+        (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R_pad), 0),
+        memory_space=pltpu.VMEM,
+    )
+    stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        + [part_spec] * 13
+        + [slab(K_reg * GREP)] * 3
+        + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)],
+        out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
+    )
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
+        + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 6
+        + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={i + 3: i for i in range(13)},
+        interpret=interpret,
+    )
+
+    def round_body(carry):
+        p, rounds, it_acc, ev_acc = carry
+        unfinished = p.alive & (p.tau < 1.0)
+
+        gi = bcx[p.block] * mesh.nx + p.i
+        gj = bcy[p.block] * mesh.ny + p.j
+        gk = bcz[p.block] * mesh.nz + p.k
+        gx = p.x + orgx[p.block]
+        gy = p.y + orgy[p.block]
+        gz = p.z + orgz[p.block]
+
+        region = (gk // rnz * NGY + gj // rny) * NGX + gi // rnx
+        keyv = jnp.where(unfinished, region, R_pad).astype(i32)
+
+        counts = jax.ops.segment_sum(
+            jnp.ones((cap,), i32), keyv, num_segments=R_pad + 1
+        )
+        padded = -(-counts // BTILE) * BTILE
+        offs = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)[:-1]])
+        order = jnp.argsort(keyv, stable=True).astype(i32)
+        keyv_sorted = keyv[order]
+        first = jnp.searchsorted(
+            keyv_sorted, jnp.arange(R_pad + 1, dtype=keyv_sorted.dtype))
+        rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)
+        dest_sorted = offs[keyv_sorted] + rank_sorted  # in [0, bufcap)
+
+        def to_buf(arr, dtype):
+            buf = jnp.zeros((bufcap,), dtype)
+            return buf.at[dest_sorted].set(arr[order].astype(dtype)).reshape(
+                bufcap // LANES, LANES
+            )
+
+        bufs = (
+            [to_buf(a, f32) for a in (gx, gy, gz, p.vx, p.vy, p.vz, p.tau)]
+            + [to_buf(a, i32) for a in (gi, gj, gk)]
+            + [to_buf(p.alive, i32), to_buf(p.absorbed, i32), to_buf(p.face, i32)]
+        )
+        tile_starts = jnp.arange(grid, dtype=i32) * BTILE
+        ends = offs + counts
+        tile_regions = jnp.searchsorted(ends, tile_starts, side="right").astype(i32)
+        tile_regions = jnp.minimum(tile_regions, R_pad)
+
+        # golden-ratio increment 0x9E3779B9 as a signed int32
+        seed = seed0 + rounds * jnp.int32(-1640531527)
+        z0 = jnp.int32(0)
+        intr = jnp.stack([seed, z0, z0, z0, z0, z0, z0, z0])
+        outs = call(tile_regions, scal, intr, *bufs,
+                    sa_t, ss_t, ff_t, fpx_t, fpy_t, fpz_t)
+        (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
+         balive, babsorbed, bface, ev, it) = outs
+
+        def from_buf(buf, dtype):
+            return buf.reshape(bufcap)[dest_sorted].astype(dtype)
+
+        gi_n = from_buf(bgi, i32)
+        gj_n = from_buf(bgj, i32)
+        gk_n = from_buf(bgk, i32)
+        gx_n = from_buf(bx, f32)
+        gy_n = from_buf(by, f32)
+        gz_n = from_buf(bz, f32)
+        # re-wrap the kernel's unwrapped coordinates on periodic axes
+        x1min_, x1max_, x2min_, x2max_, x3min_, x3max_ = mesh.bounds
+        if prm.swarm_bc[0] == BC.periodic:
+            w = gi_n // NX
+            gi_n = gi_n - w * NX
+            gx_n = gx_n - w.astype(f32) * jnp.float32(x1max_ - x1min_)
+        if prm.swarm_bc[2] == BC.periodic:
+            w = gj_n // NY
+            gj_n = gj_n - w * NY
+            gy_n = gy_n - w.astype(f32) * jnp.float32(x2max_ - x2min_)
+        if prm.swarm_bc[4] == BC.periodic:
+            w = gk_n // NZ
+            gk_n = gk_n - w * NZ
+            gz_n = gz_n - w.astype(f32) * jnp.float32(x3max_ - x3min_)
+        # global cell -> (block, local) through the lookup grid
+        tb = mesh.lookup[
+            jnp.clip(gk_n // mesh.nz, 0, mesh.tile_shape[0] - 1),
+            jnp.clip(gj_n // mesh.ny, 0, mesh.tile_shape[1] - 1),
+            jnp.clip(gi_n // mesh.nx, 0, mesh.tile_shape[2] - 1),
+        ].astype(i32)
+        back = {
+            "block": tb,
+            "i": gi_n - (gi_n // mesh.nx) * mesh.nx,
+            "j": gj_n - (gj_n // mesh.ny) * mesh.ny,
+            "k": gk_n - (gk_n // mesh.nz) * mesh.nz,
+            "x": gx_n - orgx[tb],
+            "y": gy_n - orgy[tb],
+            "z": gz_n - orgz[tb],
+            "vx": from_buf(bvx, f32), "vy": from_buf(bvy, f32),
+            "vz": from_buf(bvz, f32), "tau": from_buf(btau, f32),
+            "alive": from_buf(balive, jnp.bool_),
+            "absorbed": from_buf(babsorbed, jnp.bool_),
+            "face": from_buf(bface, i32),
+        }
+        # dest_sorted maps SORTED position -> buffer slot; invert through `order`
+        upd = {
+            name: jnp.zeros_like(getattr(p, name)).at[order].set(
+                vals.astype(getattr(p, name).dtype))
+            for name, vals in back.items()
+        }
+        p = dataclasses.replace(p, **upd)
+        return p, rounds + 1, it_acc + it[0, 0], ev_acc + ev[0, 0]
+
+    def round_cond(carry):
+        p, rounds, _, _ = carry
+        return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(p.alive & (p.tau < 1.0))
+
+    import os as _os
+    if _os.environ.get("JB_DIAG_ROUNDS"):  # eager per-round diagnostics
+        import sys as _sys
+        import time as _t
+
+        carry = (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32))
+        rb = jax.jit(round_body)
+        while int(carry[1]) < MAX_BUCKET_ROUNDS and bool(
+            jnp.any(carry[0].alive & (carry[0].tau < 1.0))
+        ):
+            u = int((carry[0].alive & (carry[0].tau < 1.0)).sum())
+            it0 = int(carry[2])
+            t0 = _t.perf_counter()
+            carry = rb(carry)
+            jax.block_until_ready(carry[0].x)
+            print(
+                f"round {int(carry[1])-1}: unfinished {u} "
+                f"iters {int(carry[2])-it0} took {_t.perf_counter()-t0:.3f}s",
+                file=_sys.stderr,
+            )
+        p, rounds, iters, events = carry
+        return p, iters, events
+
+    p, rounds, iters, events = jax.lax.while_loop(
+        round_cond,
+        round_body,
+        (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32)),
+    )
+    return p, iters, events

@@ -132,24 +132,23 @@ def _chunk_table(vec, dtype, n_chunks):
 def _gather(tab_ref, idx, n_chunks=1):
     """Gather from a chunked table ref ([n_chunks*GREP, LANES]) with arbitrary flat
     indices: per GREP-row group of the index tile, each 128-entry chunk is
-    lane-gathered and range-selected (same vector-op count as a fully replicated
-    table — a [SUBLANES, LANES] gather is 32 vreg gathers either way)."""
+    lane-gathered and range-selected. The chunk id / lane offset are split once
+    per group (LANES = 128 = 1 << 7), so the scan costs 3 vector ops per chunk
+    (take_along_axis + eq + select); out-of-range indices return 0."""
     groups = []
     for s in range(idx.shape[0] // GREP):
         sl = idx[s * GREP : (s + 1) * GREP, :]
         if n_chunks == 1:
             g = jnp.take_along_axis(tab_ref[0:GREP, :], jnp.clip(sl, 0, LANES - 1), axis=1)
         else:
+            ch = sl >> 7
+            rel = sl & (LANES - 1)
             g = jnp.zeros(sl.shape, tab_ref.dtype)
             for k in range(n_chunks):
-                rel = sl - k * LANES
-                hit = (rel >= 0) & (rel < LANES)
                 part = jnp.take_along_axis(
-                    tab_ref[k * GREP : (k + 1) * GREP, :],
-                    jnp.clip(rel, 0, LANES - 1),
-                    axis=1,
+                    tab_ref[k * GREP : (k + 1) * GREP, :], rel, axis=1
                 )
-                g = jnp.where(hit, part, g)
+                g = jnp.where(ch == k, part, g)
         groups.append(g)
     return jnp.concatenate(groups, axis=0)
 
@@ -600,10 +599,24 @@ def _transport_kernel(
             rk = jnp.clip((lz / dzb).astype(jnp.int32), 0, nz - 1)
             nblk = blk
         else:
-            # velocity-nudged probe resolves boundary-exact positions by direction
-            px = gx + jnp.float32(0.01 * finest[0]) * (nvx / c)
-            py = gy + jnp.float32(0.01 * finest[1]) * (nvy / c) if multi_d else gy
-            pz = gz + jnp.float32(0.01 * finest[2]) * (nvz / c) if three_d else gz
+            # lookup probe: nudge half a finest cell along the CROSSED face's
+            # normal (known exactly from the out flags). A velocity-based nudge
+            # vanishes for grazing crossings and can map the particle back into
+            # the block it just left, where the face distance is 0 and crossing
+            # always beats scattering — a zero-progress spin to the iteration
+            # cap. Non-crossing axes keep the small directional tiebreak.
+            sgx = jnp.where(out_hi_x, 1.0, 0.0) - jnp.where(out_lo_x, 1.0, 0.0)
+            sgy = jnp.where(out_hi_y, 1.0, 0.0) - jnp.where(out_lo_y, 1.0, 0.0)
+            sgz = jnp.where(out_hi_z, 1.0, 0.0) - jnp.where(out_lo_z, 1.0, 0.0)
+            px = gx + jnp.where(
+                sgx != 0.0, jnp.float32(0.5 * finest[0]) * sgx,
+                jnp.float32(0.01 * finest[0]) * (nvx / c))
+            py = gy + jnp.where(
+                sgy != 0.0, jnp.float32(0.5 * finest[1]) * sgy,
+                jnp.float32(0.01 * finest[1]) * (nvy / c)) if multi_d else gy
+            pz = gz + jnp.where(
+                sgz != 0.0, jnp.float32(0.5 * finest[2]) * sgz,
+                jnp.float32(0.01 * finest[2]) * (nvz / c)) if three_d else gz
             tx = jnp.clip(jnp.floor((px - x1min) / tsx).astype(jnp.int32), 0, ntx - 1)
             ty = jnp.clip(jnp.floor((py - x2min) / tsy).astype(jnp.int32), 0, nty - 1)
             tz = jnp.clip(jnp.floor((pz - x3min) / tsz).astype(jnp.int32), 0, ntz - 1)

@@ -83,10 +83,12 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
 
     def _pallas_ok(p):
         """(mode, interpret): mode is 'full' (VMEM-resident census kernel),
-        'bucketed' (region-sliced kernel for big meshes), or None (XLA loop).
+        'grid' (uniform-mesh global-cell bucketed kernel), 'bucketed'
+        (block-region bucketed kernel: big SMR meshes), or None (XLA loop).
         'on' off-TPU runs the kernel in the Pallas interpreter, which lets the
         full step exercise the kernel in CPU CI."""
         from .ops import pallas_bucketed as pb
+        from .ops import pallas_grid as pg
         from .ops import pallas_transport as pt
 
         if jb.use_pallas == "off" or dtype != jnp.float32:
@@ -97,6 +99,8 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
         mode = None
         if p.capacity % pt.TILE == 0 and pt.supports(mesh, prm):
             mode = "full"
+        elif p.capacity % pg.BTILE == 0 and pg.supports(mesh, prm):
+            mode = "grid"
         elif p.capacity % pb.BTILE == 0 and pb.supports(mesh, prm):
             mode = "bucketed"
         if mode is None:
@@ -161,6 +165,12 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
                 from .ops.pallas_transport import transport_pallas
 
                 p, iters, events = transport_pallas(
+                    p, coefs, mesh, k_tr, prm, dt, interpret=pallas_interp
+                )
+            elif pallas_mode == "grid":
+                from .ops.pallas_grid import transport_grid
+
+                p, iters, events = transport_grid(
                     p, coefs, mesh, k_tr, prm, dt, interpret=pallas_interp
                 )
             elif pallas_mode == "bucketed":

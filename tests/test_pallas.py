@@ -255,9 +255,14 @@ def test_pallas_interpret_smr_ddmc_conserves_energy():
 
 
 def _setup_big(nx_total=8192, nblk=256, sigma_s=2.0e2, n=4000, use_ddmc=False):
-    """A mesh past VMEM residency (32 blocks x 256 cells -> 8 bucketing regions)."""
+    """A mesh past VMEM residency (32 blocks x 256 cells), with the region target
+    shrunk so multiple bucketing regions are exercised at a compile size interpret
+    mode can afford (production-size regions unroll 64-chunk gathers)."""
     from jaybenne_tpu.ops import pallas_bucketed as pb
     from jaybenne_tpu.ops import fleck as F
+
+    pb.REGION_CELLS_IMC = 1024
+    pb.REGION_CELLS_DDMC = 1024
 
     # c*dt spans ~80 cells: a particle does O(100) zone-capped events, not the
     # O(nx) a domain-crossing dt would cost in interpret mode
@@ -342,6 +347,54 @@ def test_bucketed_interpret_matches_xla():
     assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
     assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.05
     assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+
+
+def test_grid_interpret_matches_xla():
+    """Uniform-mesh global-cell kernel on a mesh beyond VMEM residency: full
+    census, nothing lost, same diffusion statistics as the XLA loop."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    pg.REGION_CELLS_IMC = 1024
+    pg.REGION_CELLS_DDMC = 1024
+    cfg, mesh, prm, p, coefs, key, n = _setup_big()
+    assert pg.supports(mesh, prm)
+    assert pg._grid_layout(mesh)[1][0] >= 4  # multiple regions in x
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, it_p, ev_p = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, it_x, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+
+    for out, name in ((pp, "grid"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.05
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+    # cells stay consistent with positions
+    assert (np.asarray(pp.i)[np.asarray(pp.alive)] >= 0).all()
+    assert (np.asarray(pp.i)[np.asarray(pp.alive)] < mesh.nx).all()
+
+
+def test_grid_interpret_ddmc():
+    """DDMC through the uniform-grid kernel (thick cells, cross-region leaks)."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    pg.REGION_CELLS_IMC = 1024
+    pg.REGION_CELLS_DDMC = 1024
+    cfg, mesh, prm, p, coefs, key, n = _setup_big(sigma_s=1.0e6, use_ddmc=True)
+    assert pg.supports(mesh, prm)
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, _ = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
 
 
 def test_bucketed_interpret_ddmc():

@@ -349,6 +349,76 @@ def test_bucketed_interpret_matches_xla():
     assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
 
 
+def test_grazing_block_crossing_no_spin():
+    """Regression: a particle crossing a block face with a grazing (near-zero
+    normal velocity) crossing must not be re-homed into the block it just left.
+    With the old velocity-proportional lookup nudge and an f32-inexact extent
+    (domain [0, 0.1]: 8 * f32(0.00625) = 0.049999999 < 0.05, the lookup-tile
+    boundary) the probe binned back into the source block, where the face
+    distance is 0 and crossing always beats scattering — a zero-progress spin
+    to the 10000-iteration cap. The fix probes half a finest cell along the
+    crossed face's normal."""
+    deck = Deck.parse(DECK).update(
+        {
+            "parthenon/mesh/nx1": 16,
+            "parthenon/mesh/x1min": 0.0,
+            "parthenon/mesh/x1max": 0.1,
+            "parthenon/mesh/nx2": 8,
+            "parthenon/mesh/x2min": 0.0,
+            "parthenon/mesh/x2max": 0.05,
+            "parthenon/mesh/ix2_bc": "periodic",
+            "parthenon/mesh/ox2_bc": "periodic",
+            "parthenon/meshblock/nx1": 8,
+            "parthenon/meshblock/nx2": 8,
+            "jaybenne/dt": "2.0e-12",
+            "parthenon/time/tlim": "2.0e-12",
+            "mcblock/scattering_constant_value": 1.0e-1,
+        }
+    )
+    cfg = cm.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    assert supports(mesh, prm)
+    n = 64
+    c = 2.99792458e10
+    dxb = np.float32(mesh.block_dx[0, 0])
+    face = np.float32(8.0) * dxb  # block 0's upper x face, block-local
+    p = empty_ledger(TILE)
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set(face),
+        y=p.y.at[:n].set(
+            jnp.linspace(0.001, float(mesh.block_dx[0, 1]) * 7.9, n, dtype=jnp.float32)
+        ),
+        vx=p.vx.at[:n].set(c * 1.0e-7),
+        vy=p.vy.at[:n].set(c),
+        block=p.block.at[:n].set(0),
+        i=p.i.at[:n].set(7),
+        j=p.j.at[:n].set(jnp.arange(n, dtype=jnp.int32) % 8),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    NC = mesh.total_cells
+    B = mesh.n_blocks
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)),
+        sigma_s=jnp.full((NC,), 1.0e-1),
+        fleck=jnp.ones((NC,)),
+        px=jnp.zeros((B, 1, 8, 9)),
+        py=jnp.zeros((B, 1, 9, 8)),
+        pz=jnp.zeros((B, 2, 8, 8)),
+    )
+    dt = jnp.float32(2.0e-12)
+    pp, iters, _ = transport_pallas(
+        p, coefs, mesh, jr.PRNGKey(3), prm, dt, interpret=True
+    )
+    alive = np.asarray(pp.alive)
+    assert int(alive.sum()) == n
+    assert not (np.asarray(pp.tau)[alive] < 1.0).any()
+    # a spin would burn the full max_transport_iterations budget
+    assert int(iters) < 500, int(iters)
+
+
 def test_grid_interpret_matches_xla():
     """Uniform-mesh global-cell kernel on a mesh beyond VMEM residency: full
     census, nothing lost, same diffusion statistics as the XLA loop."""

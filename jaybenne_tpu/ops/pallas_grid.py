@@ -11,8 +11,9 @@ integer cell indices ``(gi, gj, gk)`` and global positions:
   * block transitions do not exist; a crossing is ``gi += 1``;
   * domain boundaries are exact integer tests (``gi < 0``, ``gi >= NX``) — no
     float face-tolerance machinery;
-  * the only in-kernel gather left is the region coefficient slab
-    (3 vector ops per 128-entry chunk).
+  * the only in-kernel gathers left are the two derived coefficient slabs
+    ea = fleck*sigma_a and es = sigma_s + (1-fleck)*sigma_a (3 vector ops per
+    128-entry chunk; sigma_t = ea + es covers every other coefficient use).
 
 Census bucketing works as in ``pallas_bucketed``: particles are sorted by
 CORE region (an axis-aligned box of cells), a scalar-prefetched per-tile region
@@ -47,8 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import BC
 from .pallas_transport import GREP, LANES, _chunk_table, _gather
 
-BSUB = 64                  # sublane groups per tile (amortize the fixed
-#                            per-iteration while_loop cost over 8192 lanes)
+BSUB = 16                  # sublane groups per tile. Tile size trades lane
+#   occupancy against fixed per-iteration cost: regions hold ~1e3 particles at
+#   production densities, so 8192-lane tiles ran ~20% full (measured r2: big-mesh
+#   step 16.5s); 2048-lane tiles pack ~4x denser and the per-iteration cost of
+#   the chunk-scan gathers + event body scales with BSUB.
 BTILE = BSUB * LANES
 REGION_CELLS_IMC = 8192    # target cells per region slab (IMC: 1 gathered table)
 REGION_CELLS_DDMC = 2048   # smaller for DDMC: 3 cell + 3 face tables per event
@@ -203,7 +207,11 @@ def _grid_kernel(
     intr_ref,     # SMEM i32[8]: seed (slots 1-7 reserved)
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
     gi_ref, gj_ref, gk_ref, alive_ref, absorbed_ref, face_ref,
-    sa_ref, ss_ref, ff_ref,       # region slabs (blocked by index_map)
+    ea_ref, es_ref,               # region slabs (blocked by index_map):
+    #   ea = fleck*sigma_a (effective absorption), es = sigma_s +
+    #   (1-fleck)*sigma_a (effective scattering). Every in-kernel coefficient
+    #   use derives from these two (sigma_t = ea + es), so the per-iteration
+    #   chunk-scan gather cost is 2 tables, not 3.
     fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs
     ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
     ogi_ref, ogj_ref, ogk_ref, oalive_ref, oabsorbed_ref, oface_ref,
@@ -284,13 +292,11 @@ def _grid_kernel(
 
         li, lj, lk = gi - box, gj - boy, gk - boz
         cell = (lk * sdy + lj) * sdx + li
-        ss = _gather(ss_ref, cell, K_reg)
+        es = _gather(es_ref, cell, K_reg)
         if has_absorption:
-            sa = _gather(sa_ref, cell, K_reg)
-            ff = _gather(ff_ref, cell, K_reg)
+            ea = _gather(ea_ref, cell, K_reg)
         else:
-            sa = jnp.zeros(shape)
-            ff = jnp.ones(shape)
+            ea = jnp.zeros(shape)
 
         fi = gi.astype(jnp.float32)
         fj = gj.astype(jnp.float32)
@@ -300,18 +306,18 @@ def _grid_kernel(
         zl, zu = x3min + fk * dzc, x3min + (fk + 1.0) * dzc
 
         if use_ddmc:
-            is_ddmc = active & (dmin * (sa + ss) > jnp.float32(tau_ddmc))
+            is_ddmc = active & (dmin * (ea + es) > jnp.float32(tau_ddmc))
             act_imc = active & ~is_ddmc
         else:
             is_ddmc = jnp.zeros(shape, bool)
             act_imc = active
 
         if has_absorption:
-            d_abs = expdraw(it, 0) / (ff * sa + tiny)
-            d_sc = expdraw(it, 1) / (ss + (1.0 - ff) * sa + tiny)
+            d_abs = expdraw(it, 0) / (ea + tiny)
+            d_sc = expdraw(it, 1) / (es + tiny)
         else:
             d_abs = jnp.full(shape, BIG)
-            d_sc = expdraw(it, 1) / (ss + tiny)
+            d_sc = expdraw(it, 1) / (es + tiny)
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -366,7 +372,7 @@ def _grid_kernel(
 
         # ================= DDMC branch (face-flag albedo + ptcl_ddmc_step) ====
         if use_ddmc:
-            sig_t = sa + ss
+            sig_t = ea + es
             sel = [
                 is_ddmc & (face == 1),
                 is_ddmc & (face == -1),
@@ -444,7 +450,7 @@ def _grid_kernel(
             lk_ = (fp_xl / dxc, fp_xu / dxc, fp_yl / dyc, fp_yu / dyc,
                    fp_zl / dzc, fp_zu / dzc)
             leak_tot = lk_[0] + lk_[1] + lk_[2] + lk_[3] + lk_[4] + lk_[5]
-            cdf = ff * sa + leak_tot + tiny
+            cdf = ea + leak_tot + tiny
             dt_ev = (-jnp.log(jnp.maximum(uniform(it, 7), tiny))) / (c * cdf)
             dt_rem = dt * (1.0 - tau)
             is_event = dt_ev < dt_rem
@@ -452,8 +458,8 @@ def _grid_kernel(
 
             dd_tau = jnp.where(is_event, tau + dt_ev / dt, 1.0)
             xi = cdf * uniform(it, 8)
-            dd_absorbed = do_step & is_event & (xi < ff * sa)
-            xim = xi - ff * sa
+            dd_absorbed = do_step & is_event & (xi < ea)
+            xim = xi - ea
             cum = jnp.zeros(shape)
             leak_sel = []
             leak_any = jnp.zeros(shape, bool)
@@ -685,9 +691,12 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         prm.swarm_bc[4] == BC.periodic,
     )
     rsh = (sdz, sdy, sdx)
-    sa_t = _slab_tables(glob_cells(coefs.sigma_a), rsh, origins, K_reg, f32, per)
-    ss_t = _slab_tables(glob_cells(coefs.sigma_s), rsh, origins, K_reg, f32, per)
-    ff_t = _slab_tables(glob_cells(coefs.fleck), rsh, origins, K_reg, f32, per)
+    # two derived tables cover every in-kernel coefficient use (sigma_t=ea+es):
+    #   ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a
+    ea_g = glob_cells(coefs.fleck * coefs.sigma_a)
+    es_g = glob_cells(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
+    ea_t = _slab_tables(ea_g, rsh, origins, K_reg, f32, per)
+    es_t = _slab_tables(es_g, rsh, origins, K_reg, f32, per)
     if prm.use_ddmc:
         fpx_t = _slab_tables(
             _faces_to_global(mesh, coefs.px, 0), (sdz, sdy, sdx + 1),
@@ -755,7 +764,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         + [part_spec] * 13
-        + [slab(K_reg * GREP)] * 3
+        + [slab(K_reg * GREP)] * 2
         + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)],
         out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
     )
@@ -773,7 +782,11 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         interpret=interpret,
     )
 
-    def round_body(carry):
+    def round_body_t(carry, tables):
+        # tables passed explicitly (not closed over) so the eager-diag jit below
+        # does not embed the multi-MB slab tables as HLO constants (the tunneled
+        # remote-compile endpoint rejects oversized request bodies).
+        ea_t, es_t, fpx_t, fpy_t, fpz_t = tables
         p, rounds, it_acc, ev_acc = carry
         unfinished = p.alive & (p.tau < 1.0)
 
@@ -820,7 +833,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         z0 = jnp.int32(0)
         intr = jnp.stack([seed, z0, z0, z0, z0, z0, z0, z0])
         outs = call(tile_regions, scal, intr, *bufs,
-                    sa_t, ss_t, ff_t, fpx_t, fpy_t, fpz_t)
+                    ea_t, es_t, fpx_t, fpy_t, fpz_t)
         (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
          balive, babsorbed, bface, ev, it) = outs
 
@@ -876,6 +889,11 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         p = dataclasses.replace(p, **upd)
         return p, rounds + 1, it_acc + it[0, 0], ev_acc + ev[0, 0]
 
+    tables = (ea_t, es_t, fpx_t, fpy_t, fpz_t)
+
+    def round_body(carry):
+        return round_body_t(carry, tables)
+
     def round_cond(carry):
         p, rounds, _, _ = carry
         return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(p.alive & (p.tau < 1.0))
@@ -886,14 +904,14 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         import time as _t
 
         carry = (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32))
-        rb = jax.jit(round_body)
+        rb = jax.jit(round_body_t)
         while int(carry[1]) < MAX_BUCKET_ROUNDS and bool(
             jnp.any(carry[0].alive & (carry[0].tau < 1.0))
         ):
             u = int((carry[0].alive & (carry[0].tau < 1.0)).sum())
             it0 = int(carry[2])
             t0 = _t.perf_counter()
-            carry = rb(carry)
+            carry = rb(carry, tables)
             jax.block_until_ready(carry[0].x)
             print(
                 f"round {int(carry[1])-1}: unfinished {u} "

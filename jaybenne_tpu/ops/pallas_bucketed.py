@@ -57,8 +57,11 @@ from .pallas_transport import (
     _n_tchunks,
 )
 
-BSUB = 64                  # sublane groups per bucketed tile (wide: amortizes the
-#                            fixed per-iteration while_loop cost over 8192 lanes)
+BSUB = 16                  # sublane groups per bucketed tile. Trades lane
+#   occupancy against fixed per-iteration cost: regions hold ~1e3 particles at
+#   production densities, so 8192-lane tiles ran mostly empty; 2048-lane tiles
+#   pack ~4x denser and per-iteration cost scales with tile size (same tuning
+#   as ops/pallas_grid.py, measured there on v5e).
 BTILE = BSUB * LANES       # particles per tile
 REGION_CELLS_IMC = 8192    # target cells per region slab (IMC: 1 gathered table)
 REGION_CELLS_DDMC = 2048   # smaller for DDMC: 3 cell + 3 face tables per event
@@ -195,7 +198,9 @@ def _bucketed_kernel(
     seed_ref,     # SMEM i32[1]
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
     blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
-    sa_ref, ss_ref, ff_ref,       # region slabs (blocked by index_map)
+    ea_ref, es_ref,               # region slabs (blocked by index_map):
+    #   ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a; every coefficient
+    #   use derives from these two (sigma_t = ea + es) -> 2 gathered tables
     fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs
     bdx_ref, bdy_ref, bdz_ref,    # fully resident block geometry (chunked)
     box_ref, boy_ref, boz_ref,
@@ -270,13 +275,11 @@ def _bucketed_kernel(
         dzb = _gather(bdz_ref, blk, nb_chunks)
         dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
         cell = blk_rel * ncpb + (ck * ny + cj) * nx + ci
-        ss = _gather(ss_ref, cell, K_reg)
+        es = _gather(es_ref, cell, K_reg)
         if has_absorption:
-            sa = _gather(sa_ref, cell, K_reg)
-            ff = _gather(ff_ref, cell, K_reg)
+            ea = _gather(ea_ref, cell, K_reg)
         else:
-            sa = jnp.zeros(shape)
-            ff = jnp.ones(shape)
+            ea = jnp.zeros(shape)
 
         fi = ci.astype(jnp.float32)
         fj = cj.astype(jnp.float32)
@@ -286,18 +289,18 @@ def _bucketed_kernel(
         zl, zu = fk * dzb, (fk + 1.0) * dzb
 
         if use_ddmc:
-            is_ddmc = active & (dmin * (sa + ss) > jnp.float32(tau_ddmc))
+            is_ddmc = active & (dmin * (ea + es) > jnp.float32(tau_ddmc))
             act_imc = active & ~is_ddmc
         else:
             is_ddmc = jnp.zeros(shape, bool)
             act_imc = active
 
         if has_absorption:
-            d_abs = expdraw(it, 0) / (ff * sa + tiny)
-            d_sc = expdraw(it, 1) / (ss + (1.0 - ff) * sa + tiny)
+            d_abs = expdraw(it, 0) / (ea + tiny)
+            d_sc = expdraw(it, 1) / (es + tiny)
         else:
             d_abs = jnp.full(shape, BIG)
-            d_sc = expdraw(it, 1) / (ss + tiny)
+            d_sc = expdraw(it, 1) / (es + tiny)
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -352,7 +355,7 @@ def _bucketed_kernel(
 
         # ================= DDMC branch (face-flag albedo + ptcl_ddmc_step) ====
         if use_ddmc:
-            sig_t = sa + ss
+            sig_t = ea + es
             sel = [
                 is_ddmc & (face == 1),
                 is_ddmc & (face == -1),
@@ -430,7 +433,7 @@ def _bucketed_kernel(
             lk = (fp_xl / dxb, fp_xu / dxb, fp_yl / dyb, fp_yu / dyb,
                   fp_zl / dzb, fp_zu / dzb)
             leak_tot = lk[0] + lk[1] + lk[2] + lk[3] + lk[4] + lk[5]
-            cdf = ff * sa + leak_tot + tiny
+            cdf = ea + leak_tot + tiny
             dt_ev = (-jnp.log(jnp.maximum(uniform(it, 7), tiny))) / (c * cdf)
             dt_rem = dt * (1.0 - tau)
             is_event = dt_ev < dt_rem
@@ -438,8 +441,8 @@ def _bucketed_kernel(
 
             dd_tau = jnp.where(is_event, tau + dt_ev / dt, 1.0)
             xi = cdf * uniform(it, 8)
-            dd_absorbed = do_step & is_event & (xi < ff * sa)
-            xim = xi - ff * sa
+            dd_absorbed = do_step & is_event & (xi < ea)
+            xim = xi - ea
             cum = jnp.zeros(shape)
             leak_sel = []
             leak_any = jnp.zeros(shape, bool)
@@ -706,10 +709,12 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     region_of2 = jnp.asarray(region_of_np)  # [2, B]: base / half-shifted parity
     perm2 = jnp.asarray(perm_np)            # [2, R, maxbpr]
 
-    # region-sliced coefficient slabs, built once per step, one per parity
-    sa_t2 = _parity_tables(lambda pm: _region_tables(coefs.sigma_a, pm, ncpb, K_reg, f32), perm2)
-    ss_t2 = _parity_tables(lambda pm: _region_tables(coefs.sigma_s, pm, ncpb, K_reg, f32), perm2)
-    ff_t2 = _parity_tables(lambda pm: _region_tables(coefs.fleck, pm, ncpb, K_reg, f32), perm2)
+    # region-sliced coefficient slabs, built once per step, one per parity;
+    # two derived tables cover every in-kernel coefficient use (sigma_t=ea+es)
+    ea_vec = coefs.fleck * coefs.sigma_a
+    es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
+    ea_t2 = _parity_tables(lambda pm: _region_tables(ea_vec, pm, ncpb, K_reg, f32), perm2)
+    es_t2 = _parity_tables(lambda pm: _region_tables(es_vec, pm, ncpb, K_reg, f32), perm2)
     if prm.use_ddmc:
         fpx_t2 = _parity_tables(
             lambda pm: _region_tables(coefs.px.reshape(-1), pm, fpb[0], Kf_reg[0], f32), perm2)
@@ -776,7 +781,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         + [part_spec] * 14
-        + [slab(K_reg * GREP)] * 3
+        + [slab(K_reg * GREP)] * 2
         + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)]
         + [
             resident_spec(t)
@@ -804,12 +809,16 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     FNAMES = ("x", "y", "z", "vx", "vy", "vz", "tau")
     INAMES = ("block", "i", "j", "k")
 
-    def round_body(carry):
+    def round_body_t(carry, tables):
+        # tables passed explicitly (not closed over) so the eager-diag jit below
+        # does not embed the multi-MB slabs as HLO constants (the tunneled
+        # remote-compile endpoint rejects oversized request bodies)
+        ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2 = tables
         p, rounds, it_acc, ev_acc = carry
         # alternate the base / half-shifted region grids: a particle that paused
         # random-walking at one parity's face is interior to the other parity
         parity = rounds & 1
-        sa_t, ss_t, ff_t = sa_t2[parity], ss_t2[parity], ff_t2[parity]
+        ea_t, es_t = ea_t2[parity], es_t2[parity]
         fpx_t, fpy_t, fpz_t = fpx_t2[parity], fpy_t2[parity], fpz_t2[parity]
         reg_t, slot_t = reg_t2[parity], slot_t2[parity]
         unfinished = p.alive & (p.tau < 1.0)
@@ -847,7 +856,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         # golden-ratio increment 0x9E3779B9 as a signed int32
         seed = (seed0 + rounds * jnp.int32(-1640531527))[None]
         outs = call(tile_regions, scal, seed, *bufs,
-                    sa_t, ss_t, ff_t, fpx_t, fpy_t, fpz_t,
+                    ea_t, es_t, fpx_t, fpy_t, fpz_t,
                     bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, reg_t, slot_t)
         (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
          balive, babsorbed, bface, ev, it) = outs
@@ -864,6 +873,11 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         p = dataclasses.replace(p, **back)
         return p, rounds + 1, it_acc + it[0, 0], ev_acc + ev[0, 0]
 
+    tables = (ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2)
+
+    def round_body(carry):
+        return round_body_t(carry, tables)
+
     def round_cond(carry):
         p, rounds, _, _ = carry
         return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(p.alive & (p.tau < 1.0))
@@ -874,14 +888,14 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         import time as _t
 
         carry = (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32))
-        rb = jax.jit(round_body)
+        rb = jax.jit(round_body_t)
         while int(carry[1]) < MAX_BUCKET_ROUNDS and bool(
             jnp.any(carry[0].alive & (carry[0].tau < 1.0))
         ):
             u = int((carry[0].alive & (carry[0].tau < 1.0)).sum())
             it0 = int(carry[2])
             t0 = _t.perf_counter()
-            carry = rb(carry)
+            carry = rb(carry, tables)
             jax.block_until_ready(carry[0].x)
             print(
                 f"round {int(carry[1])-1}: unfinished {u} "

@@ -812,11 +812,19 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)
         dest_sorted = offs[keyv_sorted] + rank_sorted  # in [0, bufcap)
 
+        # Apply the permutation with GATHERS, not scatters: TPU lowers an
+        # arbitrary-index scatter far slower than the equivalent gather, and the
+        # old path did one scatter per field each way (26 per round). Two index
+        # scatters build both directions of the slot map; every field then moves
+        # by gather.
+        src_of_slot = jnp.full((bufcap,), cap, i32).at[dest_sorted].set(order)
+        dest_of_src = jnp.zeros((cap,), i32).at[order].set(dest_sorted)
+
         def to_buf(arr, dtype):
-            buf = jnp.zeros((bufcap,), dtype)
-            return buf.at[dest_sorted].set(arr[order].astype(dtype)).reshape(
-                bufcap // LANES, LANES
+            ext = jnp.concatenate(
+                [arr.astype(dtype), jnp.zeros((1,), dtype)]
             )
+            return ext[src_of_slot].reshape(bufcap // LANES, LANES)
 
         bufs = (
             [to_buf(a, f32) for a in (gx, gy, gz, p.vx, p.vy, p.vz, p.tau)]
@@ -838,7 +846,8 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
          balive, babsorbed, bface, ev, it) = outs
 
         def from_buf(buf, dtype):
-            return buf.reshape(bufcap)[dest_sorted].astype(dtype)
+            # directly in ledger order (slot of ledger index i = dest_of_src[i])
+            return buf.reshape(bufcap)[dest_of_src].astype(dtype)
 
         gi_n = from_buf(bgi, i32)
         gj_n = from_buf(bgj, i32)
@@ -880,10 +889,8 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
             "absorbed": from_buf(babsorbed, jnp.bool_),
             "face": from_buf(bface, i32),
         }
-        # dest_sorted maps SORTED position -> buffer slot; invert through `order`
         upd = {
-            name: jnp.zeros_like(getattr(p, name)).at[order].set(
-                vals.astype(getattr(p, name).dtype))
+            name: vals.astype(getattr(p, name).dtype)
             for name, vals in back.items()
         }
         p = dataclasses.replace(p, **upd)

@@ -29,10 +29,14 @@ census ``while_loop`` over many particles.
 
 Physics is the same event body as the full-residency kernel: IMC
 (``ptcl_transport_step``, reference ``transport_utils.hpp:111-160``) plus the
-DDMC branch with the face-flag albedo test. Scope: uniform (single-level)
-meshes for DDMC — the coarse->fine subface resample needs remote face probs, so
-SMR+DDMC stays with the full-residency kernel or the XLA loop; SMR with pure
-IMC is fine (transitions are geometric).
+DDMC branch with the face-flag albedo test. Scope: uniform AND refined (SMR)
+meshes, IMC and DDMC alike. A DDMC leak into a FINER block needs the
+destination's fine-face probabilities (reference ``SampleDDMCBlockFace``,
+``sample_ddmc_bface.cpp:81-427``), which may live in another region's slab, so
+the kernel records a pending-leak code (±(axis+1), the XLA path's encoding),
+PAUSES the particle, and the host applies
+``ops/transport.py::_ddmc_subface_resample`` between rounds — the same
+post-communication fixup pass the spatial decomposition uses.
 """
 
 from __future__ import annotations
@@ -163,10 +167,8 @@ def _face_chunks(mesh, maxbpr):
 
 def supports(mesh, prm) -> bool:
     """Bucketed coverage: any mesh whose BLOCK-level tables fit the chunked-lane
-    budget; cell tables are unbounded (region-sliced from HBM). DDMC only on
-    single-level meshes (see module doc)."""
-    if prm.use_ddmc and mesh.max_level > 0:
-        return False
+    budget; cell tables are unbounded (region-sliced from HBM). SMR+DDMC is
+    handled via the pending-leak pause + host subface resample (module doc)."""
     maxbpr, R, K_reg = _region_layout(mesh, prm.use_ddmc)
     Kf, _ = _face_chunks(mesh, maxbpr)
     return (
@@ -198,6 +200,7 @@ def _bucketed_kernel(
     seed_ref,     # SMEM i32[1]
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
     blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
+    leak_ref,                     # pending coarse->fine DDMC leak code
     ea_ref, es_ref,               # region slabs (blocked by index_map):
     #   ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a; every coefficient
     #   use derives from these two (sigma_t = ea + es) -> 2 gathered tables
@@ -206,15 +209,17 @@ def _bucketed_kernel(
     box_ref, boy_ref, boz_ref,
     lut_ref,
     reg_ref, slot_ref,            # block -> region id / slab slot (chunked)
+    blv_ref,                      # block refinement level (chunked)
     ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
     oblk_ref, oci_ref, ocj_ref, ock_ref, oalive_ref, oabsorbed_ref, oface_ref,
+    oleak_ref,
     ev_ref, it_ref,
     *,
     prm_static,
 ):
     (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
      has_absorption, interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc,
-     maxbpr, K_reg, Kf_reg, fpb, nb_chunks, nt_chunks) = prm_static
+     maxbpr, K_reg, Kf_reg, fpb, nb_chunks, nt_chunks, has_smr) = prm_static
     multi_d = ndim >= 2
     three_d = ndim == 3
     dt = scal_ref[0]
@@ -266,7 +271,7 @@ def _bucketed_kernel(
 
     def body(carry):
         (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
-         paused, it, ev) = carry
+         leak, paused, it, ev) = carry
         active = (alive != 0) & (tau < 1.0) & (paused == 0)
         blk_rel = jnp.clip(_gather(slot_ref, blk, nb_chunks), 0, maxbpr - 1)
 
@@ -469,6 +474,7 @@ def _bucketed_kernel(
             dd_si = jnp.zeros(shape, jnp.int32)
             dd_sj = jnp.zeros(shape, jnp.int32)
             dd_sk = jnp.zeros(shape, jnp.int32)
+            dd_leak = jnp.zeros(shape, jnp.int32)  # ±(axis+1), XLA-path encoding
             cx_, cy_, cz_ = xl + 0.5 * dxb, yl + 0.5 * dyb, zl + 0.5 * dzb
             eps_d = jnp.float32(eps_ddmc)
             for m, axis, lower in (
@@ -502,6 +508,7 @@ def _bucketed_kernel(
                     dd_vx = jnp.where(m, v2, dd_vx)
                     dd_vy = jnp.where(m, v3, dd_vy)
                     dd_sk = jnp.where(m, -1 if lower else 1, dd_sk)
+                dd_leak = jnp.where(m, (-1 if lower else 1) * (axis + 1), dd_leak)
 
             dd_census = do_step & ~is_event
             dd_x = jnp.where(dd_census, xl + uniform(it, 11) * dxb, dd_x)
@@ -524,6 +531,7 @@ def _bucketed_kernel(
             dd_sj = jnp.where(rejected, rj_sj, dd_sj)
             dd_sk = jnp.where(rejected, rj_sk, dd_sk)
             dd_tau = jnp.where(rejected, tau, dd_tau)
+            dd_leak = jnp.where(rejected, 0, dd_leak)
 
             nx_ = jnp.where(is_ddmc, dd_x, nx_)
             ny_ = jnp.where(is_ddmc, dd_y, ny_)
@@ -538,6 +546,9 @@ def _bucketed_kernel(
             nalive = jnp.where(dd_absorbed, 0, nalive)
             nabsorbed = jnp.where(dd_absorbed, 1, nabsorbed)
             nface = jnp.where(is_ddmc, 0, nface)
+            nleak = jnp.where(is_ddmc, dd_leak, 0)
+        else:
+            nleak = jnp.zeros(shape, jnp.int32)
 
         # ---- block transition / domain BCs ------------------------------
         out_lo_x, out_hi_x = nci < 0, nci >= nx
@@ -627,14 +638,29 @@ def _bucketed_kernel(
         ncj = jnp.where(out, rj, jnp.clip(ncj, 0, ny - 1))
         nck = jnp.where(out, rk, jnp.clip(nck, 0, nz - 1))
 
+        # A DDMC leak into a FINER block must choose among the destination's
+        # refined subfaces with probability ~ its fine-face probs, which may be
+        # in another region's slab: record the pending code and PAUSE — the host
+        # resamples between rounds (reference's post-comms SampleDDMCBlockFace).
+        if use_ddmc and has_smr and multi_d:
+            lvl_old = _gather(blv_ref, blk, nb_chunks)
+            lvl_new = _gather(blv_ref, b_new, nb_chunks)
+            refine = out & (nalive != 0) & (nleak != 0) & (lvl_new > lvl_old)
+            nleak_f = jnp.where(refine, nleak, 0)
+        else:
+            refine = jnp.zeros(shape, bool)
+            nleak_f = jnp.zeros(shape, jnp.int32)
+
         # pause particles whose new block left the tile's region (re-bucketed by
-        # the next outer round — the reference's off-block break, transport.cpp:151);
-        # int32 mask: Mosaic can't select between i1 vectors at this tile shape
+        # the next outer round — the reference's off-block break, transport.cpp:151)
+        # or who carry a pending subface resample; int32 mask: Mosaic can't
+        # select between i1 vectors at this tile shape
         npaused = jnp.maximum(
             paused,
-            (out & (nalive != 0) & (_gather(reg_ref, nblk, nb_chunks) != tr)).astype(
-                jnp.int32
-            ),
+            (
+                (out & (nalive != 0) & (_gather(reg_ref, nblk, nb_chunks) != tr))
+                | refine
+            ).astype(jnp.int32),
         )
 
         def sel_act(new, old):
@@ -651,13 +677,14 @@ def _bucketed_kernel(
             jnp.where(active, nalive, alive),
             jnp.where(active, nabsorbed, absorbed),
             jnp.where(active, nface, face),
+            jnp.where(active, nleak_f, leak),
             jnp.where(active, npaused, paused),
             it + 1,
             ev + jnp.sum(active.astype(jnp.int32)),
         )
 
     def cond(carry):
-        tau, alive, paused, it = carry[6], carry[11], carry[14], carry[15]
+        tau, alive, paused, it = carry[6], carry[11], carry[15], carry[16]
         return (it < max_iters) & jnp.any(
             (alive != 0) & (tau < 1.0) & (paused == 0)
         )
@@ -669,16 +696,18 @@ def _bucketed_kernel(
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
         blk0, ci_ref[:], cj_ref[:], ck_ref[:],
         alive_ref[:], absorbed_ref[:], face_ref[:],
+        leak_ref[:],
         paused0,
         jnp.int32(0), jnp.int32(0),
     )
-    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, _p, it,
-     ev) = jax.lax.while_loop(cond, body, init)
+    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, leak,
+     _p, it, ev) = jax.lax.while_loop(cond, body, init)
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau
     oblk_ref[:], oci_ref[:], ocj_ref[:], ock_ref[:] = blk, ci, cj, ck
     oalive_ref[:], oabsorbed_ref[:], oface_ref[:] = alive, absorbed, face
+    oleak_ref[:] = leak
 
     @pl.when(pl.program_id(0) == 0)
     def _init_stats():
@@ -736,6 +765,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     boy_t = _chunk_table(mesh.block_origin[:, 1], f32, Kb)
     boz_t = _chunk_table(mesh.block_origin[:, 2], f32, Kb)
     lut_t = _chunk_table(mesh.lookup.reshape(-1), i32, Kt)
+    blv_t = _chunk_table(mesh.block_level, i32, Kb)
     reg_t2 = jnp.stack([_chunk_table(region_of2[pi], i32, Kb) for pi in (0, 1)])
     slot_t2 = jnp.stack(
         [_chunk_table(jnp.asarray(slot_np[pi]), i32, Kb) for pi in (0, 1)]
@@ -750,7 +780,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
         mesh.tile_shape, mesh.finest, prm.has_absorption, interpret,
         prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
-        maxbpr, K_reg, Kf_reg, fpb, Kb, Kt,
+        maxbpr, K_reg, Kf_reg, fpb, Kb, Kt, mesh.max_level > 0,
     )
     kernel = functools.partial(_bucketed_kernel, prm_static=prm_static)
 
@@ -780,21 +810,21 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        + [part_spec] * 14
+        + [part_spec] * 15
         + [slab(K_reg * GREP)] * 2
         + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)]
         + [
             resident_spec(t)
             for t in (
                 bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, reg_t2[0],
-                slot_t2[0],
+                slot_t2[0], blv_t,
             )
         ],
-        out_specs=tuple([part_spec] * 14 + [stat_spec] * 2),
+        out_specs=tuple([part_spec] * 15 + [stat_spec] * 2),
     )
     out_shapes = tuple(
         [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
-        + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 7
+        + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 8
         + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
     )
 
@@ -802,7 +832,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases={i + 3: i for i in range(14)},
+        input_output_aliases={i + 3: i for i in range(15)},
         interpret=interpret,
     )
 
@@ -850,7 +880,8 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         bufs = (
             [to_buf(getattr(p, n), f32) for n in FNAMES]
             + [to_buf(getattr(p, n), i32) for n in INAMES]
-            + [to_buf(p.alive, i32), to_buf(p.absorbed, i32), to_buf(p.face, i32)]
+            + [to_buf(p.alive, i32), to_buf(p.absorbed, i32), to_buf(p.face, i32),
+               to_buf(p.leak, i32)]
         )
         # region id per tile (dead/padding tiles index the zero slab R)
         tile_starts = jnp.arange(grid, dtype=i32) * BTILE
@@ -862,19 +893,48 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         seed = (seed0 + rounds * jnp.int32(-1640531527))[None]
         outs = call(tile_regions, scal, seed, *bufs,
                     ea_t, es_t, fpx_t, fpy_t, fpz_t,
-                    bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, reg_t, slot_t)
+                    bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, reg_t,
+                    slot_t, blv_t)
         (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
-         balive, babsorbed, bface, ev, it) = outs
+         balive, babsorbed, bface, bleak, ev, it) = outs
 
         back = {}
         flats = dict(zip(FNAMES, (bx, by, bz, bvx, bvy, bvz, btau)))
         flats.update(dict(zip(INAMES, (bblk, bci, bcj, bck))))
-        flats.update(dict(alive=balive, absorbed=babsorbed, face=bface))
+        flats.update(dict(alive=balive, absorbed=babsorbed, face=bface,
+                          leak=bleak))
         for name, buf in flats.items():
             ref = getattr(p, name)
             # gather directly in ledger order (slot of index i = dest_of_src[i])
             back[name] = buf.reshape(bufcap)[dest_of_src].astype(ref.dtype)
         p = dataclasses.replace(p, **back)
+        if prm.use_ddmc and mesh.max_level > 0 and prm.ndim >= 2:
+            # host half of the coarse->fine DDMC leak: subface resample for
+            # paused pending-leak particles (reference SampleDDMCBlockFace;
+            # same helper the XLA/spatial paths use). Full face-prob arrays are
+            # host-resident in this mode, so any destination is resolvable.
+            from . import transport as transport_ops
+
+            need = p.alive & (p.leak != 0)
+            rkey = jax.random.fold_in(key, 0x5F3759) 
+            U = jax.random.uniform(
+                jax.random.fold_in(rkey, rounds), (5,) + p.x.shape, f32
+            )
+            mu = jnp.sqrt(U[3])
+            nu = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+            phi = (2.0 * jnp.pi) * U[4]
+            draws = (U[0], U[1], U[2], mu, nu * jnp.cos(phi), nu * jnp.sin(phi))
+            lx, ly, lz, vx, vy, vz, ii, jj, kk = (
+                transport_ops._ddmc_subface_resample(
+                    mesh, coefs, prm, draws, need, p.leak, p.block,
+                    mesh.block_dx[p.block],
+                    p.x, p.y, p.z, p.vx, p.vy, p.vz, p.i, p.j, p.k,
+                )
+            )
+            p = dataclasses.replace(
+                p, x=lx, y=ly, z=lz, vx=vx, vy=vy, vz=vz, i=ii, j=jj, k=kk,
+                leak=jnp.where(need, 0, p.leak),
+            )
         return p, rounds + 1, it_acc + it[0, 0], ev_acc + ev[0, 0]
 
     tables = (ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2)

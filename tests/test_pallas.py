@@ -482,3 +482,94 @@ def test_bucketed_interpret_ddmc():
     gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
     gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
     assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+
+
+def test_bucketed_interpret_smr_ddmc():
+    """Big SMR mesh + DDMC through the BUCKETED kernel: coarse->fine DDMC leaks
+    record a pending-leak code in-kernel, pause, and are subface-resampled by the
+    host between rounds (reference SampleDDMCBlockFace, sample_ddmc_bface.cpp) —
+    the same split the spatial decomposition uses. Census completes, energy is
+    conserved, and statistics match the XLA event loop."""
+    from jaybenne_tpu.ops import fleck as F
+    from jaybenne_tpu.ops import pallas_bucketed as pb
+    from jaybenne_tpu.ops import pallas_transport as pt
+    from jaybenne_tpu.ops.pallas_bucketed import transport_bucketed
+
+    pb.REGION_CELLS_IMC = 1024
+    pb.REGION_CELLS_DDMC = 1024
+
+    deck = Deck.from_file(os.path.join(_ROOT, "inputs/stepdiff_smr_ddmc.in")).update(
+        {
+            "parthenon/mesh/nx1": 96,
+            "parthenon/mesh/nx2": 48,
+            "parthenon/meshblock/nx1": 8,
+            "parthenon/meshblock/nx2": 8,
+            "jaybenne/num_particles": 4000,
+            "jaybenne/dt": "3.e-12",
+            "parthenon/time/tlim": "3.e-12",
+        }
+    )
+    cfg = cm.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    assert prm.use_ddmc and mesh.max_level > 0
+    assert not pt.supports(mesh, prm)  # past VMEM residency
+    assert pb.supports(mesh, prm)      # bucketed covers SMR+DDMC now
+
+    n = 4000
+    B = mesh.n_blocks
+    key = jr.PRNGKey(4)
+    ks = jr.split(key, 6)
+    blocks = jr.randint(ks[0], (n,), 0, B)
+    ci = jr.randint(ks[1], (n,), 0, mesh.nx)
+    cj = jr.randint(ks[2], (n,), 0, mesh.ny)
+    dxb = mesh.block_dx[blocks]
+    c = 2.99792458e10
+    mu = 1.0 - 2.0 * jr.uniform(ks[3], (n,))
+    phi = 2.0 * jnp.pi * jr.uniform(ks[4], (n,))
+    st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+    p = empty_ledger(pb.BTILE * ((n + pb.BTILE - 1) // pb.BTILE))
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set((ci + 0.5) * dxb[:, 0]),
+        y=p.y.at[:n].set((cj + 0.5) * dxb[:, 1]),
+        vx=p.vx.at[:n].set(c * st * jnp.cos(phi)),
+        vy=p.vy.at[:n].set(c * st * jnp.sin(phi)),
+        vz=p.vz.at[:n].set(c * mu),
+        block=p.block.at[:n].set(blocks),
+        i=p.i.at[:n].set(ci),
+        j=p.j.at[:n].set(cj),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    NC = mesh.total_cells
+    sigma_s = 1.0e3
+    sig = jnp.full((B, 1, mesh.ny, mesh.nx), sigma_s)
+    px, py, pz = F.ddmc_face_probs(
+        mesh, sig, cfg.jaybenne.tau_ddmc, cfg.mesh.periodic_flags, jnp.float32
+    )
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)),
+        sigma_s=jnp.full((NC,), sigma_s),
+        fleck=jnp.ones((NC,)),
+        px=px, py=py, pz=pz,
+    )
+    dt = jnp.float32(3.0e-12)
+    pp, it_p, ev_p = transport_bucketed(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, it_x, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+
+    for out, name in ((pp, "bucketed"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name  # pure scattering: nobody dies
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+        assert not np.asarray(out.leak)[alive].any(), name  # all leaks resolved
+        assert (np.asarray(out.i)[alive] >= 0).all() and (
+            np.asarray(out.i)[alive] < mesh.nx
+        ).all(), name
+        assert (np.asarray(out.j)[alive] >= 0).all() and (
+            np.asarray(out.j)[alive] < mesh.ny
+        ).all(), name
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 5e-3
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.1

@@ -221,7 +221,7 @@ def _grid_kernel(
 ):
     (ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY, cell_dx,
      max_iters, bcs, bounds, has_absorption, interpret, use_ddmc, tau_ddmc,
-     eps_imc, eps_ddmc, K_reg, Kf_reg) = prm_static
+     eps_imc, eps_ddmc, K_reg, Kf_reg, wrap_axes) = prm_static
     sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz  # slab dims
     multi_d = ndim >= 2
     three_d = ndim == 3
@@ -562,12 +562,21 @@ def _grid_kernel(
         # the host re-wraps cells/positions after the round. A wrapped index
         # would jump the particle out of any halo and turn the periodic face
         # into an unshiftable pause line (measured: ~0.92/round straggler tail).
-        def apply_bc(g, v, ci, N, lo, hi, bc_lo, bc_hi, al, fc):
+        def apply_bc(g, v, ci, N, lo, hi, bc_lo, bc_hi, al, fc, wrap):
             L = jnp.float32(hi - lo)
             lo = jnp.float32(lo)
             hi = jnp.float32(hi)
             hit_lo = ci < 0
             hit_hi = ci >= N
+            if wrap:
+                # unsplit periodic axis: the slab spans the whole axis, so wrap
+                # in-kernel (a seam-crosser would otherwise leave the halo box
+                # and pause EVERY round — measured ~0.93/round straggler
+                # survival on a single-region periodic mesh). Crossings move
+                # one cell per event, so out-of-range is exactly -1 / N.
+                g = jnp.where(hit_lo, g + L, jnp.where(hit_hi, g - L, g))
+                ci = jnp.where(hit_lo, ci + N, jnp.where(hit_hi, ci - N, ci))
+                return g, v, ci, al, fc
             if bc_lo == BC.reflecting:
                 g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
                 v = jnp.where(hit_lo, -v, v)
@@ -587,17 +596,20 @@ def _grid_kernel(
             return g, v, ci, al, fc
 
         nx_, nvx, ngi, nalive, nface = apply_bc(
-            nx_, nvx, ngi, NX, x1min, x1max, bcs[0], bcs[1], nalive, nface
+            nx_, nvx, ngi, NX, x1min, x1max, bcs[0], bcs[1], nalive, nface,
+            wrap_axes[0],
         )
         if multi_d:
             ny_, nvy, ngj, nalive, nface = apply_bc(
-                ny_, nvy, ngj, NY, x2min, x2max, bcs[2], bcs[3], nalive, nface
+                ny_, nvy, ngj, NY, x2min, x2max, bcs[2], bcs[3], nalive, nface,
+                wrap_axes[1],
             )
         else:
             ngj = jnp.clip(ngj, 0, NY - 1)
         if three_d:
             nz_, nvz, ngk, nalive, nface = apply_bc(
-                nz_, nvz, ngk, NZ, x3min, x3max, bcs[4], bcs[5], nalive, nface
+                nz_, nvz, ngk, NZ, x3min, x3max, bcs[4], bcs[5], nalive, nface,
+                wrap_axes[2],
             )
         else:
             ngk = jnp.clip(ngk, 0, NZ - 1)
@@ -730,13 +742,19 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     bufcap = -(-bufcap // BTILE) * BTILE
     grid = bufcap // BTILE
 
+    # unsplit periodic axes wrap IN-KERNEL (slab spans the axis; see apply_bc)
+    wrap_axes = (
+        per[0] and NGX == 1,
+        per[1] and NGY == 1,
+        per[2] and NGZ == 1,
+    )
     prm_static = (
         prm.ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY,
         tuple(float(v) for v in bdx0),
         prm.max_iters, tuple(prm.swarm_bc),
         tuple(float(b) for b in mesh.bounds),
         prm.has_absorption, interpret, prm.use_ddmc, prm.tau_ddmc,
-        prm.eps_imc, prm.eps_ddmc, K_reg, Kf_reg,
+        prm.eps_imc, prm.eps_ddmc, K_reg, Kf_reg, wrap_axes,
     )
     kernel = functools.partial(_grid_kernel, prm_static=prm_static)
 
@@ -840,8 +858,13 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         seed = seed0 + rounds * jnp.int32(-1640531527)
         z0 = jnp.int32(0)
         intr = jnp.stack([seed, z0, z0, z0, z0, z0, z0, z0])
-        outs = call(tile_regions, scal, intr, *bufs,
-                    ea_t, es_t, fpx_t, fpy_t, fpz_t)
+        import os as _os_sk
+        if _os_sk.environ.get("JB_SKIP_KERNEL"):
+            outs = tuple(bufs) + (
+                jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32))
+        else:
+            outs = call(tile_regions, scal, intr, *bufs,
+                        ea_t, es_t, fpx_t, fpy_t, fpz_t)
         (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
          balive, babsorbed, bface, ev, it) = outs
 

@@ -573,3 +573,82 @@ def test_bucketed_interpret_smr_ddmc():
     gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
     assert abs(gx_p.mean() - gx_x.mean()) < 5e-3
     assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.1
+
+
+def test_grid_unsplit_periodic_axis_wraps_in_kernel():
+    """A periodic axis the region grid does not split is wrapped IN-KERNEL (the
+    slab spans the axis): seam-crossers must complete census in the kernel
+    rather than pausing at the seam every round, and wrapped cells/positions
+    must stay consistent."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    deck = Deck.parse(DECK).update(
+        {
+            "parthenon/mesh/nx1": 32,
+            "parthenon/mesh/x1min": 0.0,
+            "parthenon/mesh/x1max": 1.0,
+            "parthenon/mesh/ix1_bc": "periodic",
+            "parthenon/mesh/ox1_bc": "periodic",
+            "parthenon/mesh/nx2": 8,
+            "parthenon/mesh/x2min": 0.0,
+            "parthenon/mesh/x2max": 0.25,
+            "parthenon/mesh/ix2_bc": "periodic",
+            "parthenon/mesh/ox2_bc": "periodic",
+            "parthenon/meshblock/nx1": 8,
+            "parthenon/meshblock/nx2": 8,
+            "jaybenne/dt": "1.0e-10",  # c*dt = 3 domain lengths: several wraps
+            "parthenon/time/tlim": "1.0e-10",
+            "mcblock/scattering_constant_value": 1.0e-1,
+        }
+    )
+    cfg = cm.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    rn, ng, halo, _, _ = pg._grid_layout(mesh, prm.use_ddmc)
+    assert ng == (1, 1, 1)  # single region: both periodic axes unsplit
+
+    n = 256
+    c = 2.99792458e10
+    p = empty_ledger(pg.BTILE)
+    dxb = np.float32(mesh.block_dx[0, 0])
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set(jnp.full((n,), 7.5 * dxb)),  # near block 3's +x face
+        y=p.y.at[:n].set(
+            jnp.linspace(0.01, float(mesh.block_dx[0, 1]) * 7.9, n, dtype=jnp.float32)
+        ),
+        vx=p.vx.at[:n].set(c * 0.8),
+        vy=p.vy.at[:n].set(c * 0.6),
+        block=p.block.at[:n].set(3),  # rightmost block in x
+        i=p.i.at[:n].set(7),
+        j=p.j.at[:n].set(jnp.arange(n, dtype=jnp.int32) % 8),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    NC = mesh.total_cells
+    B = mesh.n_blocks
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)),
+        sigma_s=jnp.full((NC,), 1.0e-1),
+        fleck=jnp.ones((NC,)),
+        px=jnp.zeros((B, 1, 8, 9)),
+        py=jnp.zeros((B, 1, 9, 8)),
+        pz=jnp.zeros((B, 2, 8, 8)),
+    )
+    pp, iters, events = pg.transport_grid(
+        p, coefs, mesh, jr.PRNGKey(11), prm, jnp.float32(1.0e-10), interpret=True
+    )
+    alive = np.asarray(pp.alive)
+    assert int(alive.sum()) == n
+    assert not (np.asarray(pp.tau)[alive] < 1.0).any()
+    # wrapped cells stay in range and consistent with block-local positions
+    ii = np.asarray(pp.i)[alive]
+    jj = np.asarray(pp.j)[alive]
+    assert (ii >= 0).all() and (ii < mesh.nx).all()
+    assert (jj >= 0).all() and (jj < mesh.ny).all()
+    gx = np.asarray(pp.global_position(mesh)[0])[alive]
+    assert (gx >= 0.0).all() and (gx <= 1.0).all()
+    # everything resolved in ONE bucketing round: iters == per-round max, which
+    # is bounded by the ballistic event count (~3 domains * 32 cells + margin),
+    # far below what seam-pause round accumulation would produce
+    assert int(iters) < 250, int(iters)

@@ -151,6 +151,29 @@ def main():
     werr = (np.abs(sol - tally) / np.abs((sol + tally) / 2) * sol).sum() / sol.sum()
     ok = bool(werr <= 0.05)
 
+    # DDMC row: the stepdiff_ddmc acceptance problem at full size through the
+    # VMEM-resident kernel's DDMC branch (never fatal)
+    ddmc = None
+    try:
+        ddmc_deck = Deck.from_file(
+            os.path.join(here, "inputs/stepdiff_ddmc.in")
+        ).update(
+            {
+                "parthenon/mesh/nx1": NX,
+                "parthenon/meshblock/nx1": NX,
+                "jaybenne/num_particles": N_PARTICLES,
+            }
+        )
+        ddmc_sim = Simulation(cfg_mod.from_deck(ddmc_deck), quiet=True)
+        ddmc_rate, ddmc_events, _, ddmc_elapsed = _run_steps(ddmc_sim, dt, N_STEPS)
+        ddmc = {
+            "events_per_sec": float(f"{ddmc_rate:.4g}"),
+            "events_total": ddmc_events,
+            "elapsed_s": round(ddmc_elapsed, 3),
+        }
+    except Exception as exc:  # pragma: no cover - defensive
+        ddmc = {"error": f"{type(exc).__name__}: {exc}"}
+
     # big-mesh row: 64^3 cells via the bucketed region kernel (never fatal)
     big = None
     try:
@@ -198,6 +221,7 @@ def main():
             "cpu_anchor_events_per_sec": float(f"{anchor:.4g}"),
             "cpu_anchor_measured": anchor_measured,
             "cpu_cores": os.cpu_count(),
+            "ddmc": ddmc,
             "big_mesh": big,
         },
     }

@@ -860,7 +860,9 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         )
         padded = -(-counts // BTILE) * BTILE
         offs = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)[:-1]])
-        order = jnp.argsort(keyv, stable=True).astype(i32)
+        from .pallas_grid import _stable_order
+
+        order = _stable_order(keyv, R + 1)
         keyv_sorted = keyv[order]
         first = jnp.searchsorted(keyv_sorted, jnp.arange(R + 1, dtype=keyv_sorted.dtype))
         rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)

@@ -652,3 +652,15 @@ def test_grid_unsplit_periodic_axis_wraps_in_kernel():
     # is bounded by the ballistic event count (~3 domains * 32 cells + margin),
     # far below what seam-pause round accumulation would produce
     assert int(iters) < 250, int(iters)
+
+
+def test_stable_order_matches_argsort():
+    """Radix stable argsort (bucketing permutation backend) == jnp.argsort for
+    random small-domain keys, including stability of ties."""
+    from jaybenne_tpu.ops.pallas_grid import _stable_order
+
+    for n, r, seed in ((4096, 257, 0), (10000, 33, 1), (8192, 2049, 2), (129, 5, 3)):
+        keys = jr.randint(jr.PRNGKey(seed), (n,), 0, r, dtype=jnp.int32)
+        got = np.asarray(_stable_order(keys, r))
+        want = np.asarray(jnp.argsort(keys, stable=True))
+        np.testing.assert_array_equal(got, want)

@@ -897,6 +897,10 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         seed = seed0 + rounds * jnp.int32(-1640531527)
         z0 = jnp.int32(0)
         intr = jnp.stack([seed, z0, z0, z0, z0, z0, z0, z0])
+        # JB_SKIP_KERNEL (diagnostic, trace-time): pass buffers through
+        # unchanged instead of running the kernel — isolates the host-side
+        # bucketing cost of a round. Pair with a MAX_BUCKET_ROUNDS override
+        # (rounds cannot converge without transport).
         import os as _os_sk
         if _os_sk.environ.get("JB_SKIP_KERNEL"):
             outs = tuple(bufs) + (

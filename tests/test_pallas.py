@@ -657,8 +657,18 @@ def test_grid_unsplit_periodic_axis_wraps_in_kernel():
 def test_stable_order_matches_argsort():
     """Radix stable argsort (bucketing permutation backend) == jnp.argsort for
     random small-domain keys, including stability of ties."""
+    from jaybenne_tpu.ops import pallas_grid as pg
     from jaybenne_tpu.ops.pallas_grid import _stable_order
 
+    old = pg.BUCKET_SORT
+    pg.BUCKET_SORT = "radix"  # force the radix path (default may be lax)
+    try:
+        _run_stable_order_cases(_stable_order)
+    finally:
+        pg.BUCKET_SORT = old
+
+
+def _run_stable_order_cases(_stable_order):
     for n, r, seed in ((4096, 257, 0), (10000, 33, 1), (8192, 2049, 2), (129, 5, 3)):
         keys = jr.randint(jr.PRNGKey(seed), (n,), 0, r, dtype=jnp.int32)
         got = np.asarray(_stable_order(keys, r))

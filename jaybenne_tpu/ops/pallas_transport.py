@@ -46,7 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BC
 
-SUBLANES = 256
+SUBLANES = 64            # tile width swept on v5e (stepdiff headline, events/s):
+#   16: 1.88e9, 32: 2.19e9, 64: 2.23e9, 128: 2.21e9, 256: 2.03e9.
+#   64 balances lane occupancy of the straggler tail (tiles iterate to their
+#   own census) against per-op overhead amortization.
 LANES = 128
 GREP = 8                 # sublane rows per stored table chunk (one f32 vreg)
 TILE = SUBLANES * LANES  # particles per grid tile

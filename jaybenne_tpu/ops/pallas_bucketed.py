@@ -875,16 +875,19 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         src_of_slot = jnp.full((bufcap,), cap, i32).at[dest_sorted].set(order)
         dest_of_src = jnp.zeros((cap,), i32).at[order].set(dest_sorted)
 
-        def to_buf(arr, dtype):
-            ext = jnp.concatenate([arr.astype(dtype), jnp.zeros((1,), dtype)])
-            return ext[src_of_slot].reshape(bufcap // LANES, LANES)
+        from .pallas_grid import _permute_pack, _permute_unpack
 
-        bufs = (
-            [to_buf(getattr(p, n), f32) for n in FNAMES]
-            + [to_buf(getattr(p, n), i32) for n in INAMES]
-            + [to_buf(p.alive, i32), to_buf(p.absorbed, i32), to_buf(p.face, i32),
-               to_buf(p.leak, i32)]
+        cols = (
+            [getattr(p, n).astype(f32) for n in FNAMES]
+            + [getattr(p, n) for n in INAMES]
+            + [p.alive.astype(i32), p.absorbed.astype(i32), p.face, p.leak]
         )
+        rows_in = _permute_pack(cols, src_of_slot)
+        bufs = [
+            (jax.lax.bitcast_convert_type(rows_in[:, c], f32) if c < 7
+             else rows_in[:, c]).reshape(bufcap // LANES, LANES)
+            for c in range(15)
+        ]
         # region id per tile (dead/padding tiles index the zero slab R)
         tile_starts = jnp.arange(grid, dtype=i32) * BTILE
         ends = offs + counts
@@ -900,15 +903,18 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
          balive, babsorbed, bface, bleak, ev, it) = outs
 
-        back = {}
-        flats = dict(zip(FNAMES, (bx, by, bz, bvx, bvy, bvz, btau)))
-        flats.update(dict(zip(INAMES, (bblk, bci, bcj, bck))))
-        flats.update(dict(alive=balive, absorbed=babsorbed, face=bface,
-                          leak=bleak))
-        for name, buf in flats.items():
-            ref = getattr(p, name)
-            # gather directly in ledger order (slot of index i = dest_of_src[i])
-            back[name] = buf.reshape(bufcap)[dest_of_src].astype(ref.dtype)
+        # one row gather back, directly in ledger order
+        rows_out = _permute_pack(
+            [b.reshape(bufcap) for b in
+             (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
+              balive, babsorbed, bface, bleak)],
+            dest_of_src, n_extra_zero_rows=0,
+        )
+        names = list(FNAMES) + list(INAMES) + ["alive", "absorbed", "face", "leak"]
+        back = {
+            name: _permute_unpack(rows_out, c, getattr(p, name).dtype)
+            for c, name in enumerate(names)
+        }
         p = dataclasses.replace(p, **back)
         if prm.use_ddmc and mesh.max_level > 0 and prm.ndim >= 2:
             # host half of the coarse->fine DDMC leak: subface resample for

@@ -46,10 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BC
 
-SUBLANES = 64            # tile width swept on v5e (stepdiff headline, events/s):
+SUBLANES = 128           # tile width swept on v5e (stepdiff headline, events/s):
 #   16: 1.88e9, 32: 2.19e9, 64: 2.23e9, 128: 2.21e9, 256: 2.03e9.
-#   64 balances lane occupancy of the straggler tail (tiles iterate to their
-#   own census) against per-op overhead amortization.
+#   Narrower tiles confine the census straggler tail (each tile iterates to
+#   its own completion); 64 and 128 are within 1% of each other, but Mosaic
+#   compiled the 64-wide kernel 3-9x slower across the acceptance matrix
+#   (stepdiff 628 s vs 73 s; smr 1240 s wall) so 128 is the default.
 LANES = 128
 GREP = 8                 # sublane rows per stored table chunk (one f32 vreg)
 TILE = SUBLANES * LANES  # particles per grid tile

@@ -91,16 +91,25 @@ def migrate(p, offset, blocks_per_shard, n_shards, K, axis_name):
     ok_sorted = (sdest < n_shards) & (rank_sorted < K)
     slot_sorted = jnp.where(ok_sorted, sdest * K + rank_sorted, n_shards * K)
 
-    def pack(arr):
-        buf = jnp.zeros((n_shards * K,), dtype=arr.dtype)
-        return buf.at[slot_sorted].set(arr[order], mode="drop").reshape(n_shards, K)
+    # Pack all fields through the permutation with ONE row gather (see
+    # ops/pallas_grid._permute_pack: separate per-field gathers lower ~4x
+    # slower on TPU). One small index scatter builds slot -> source; unfilled
+    # slots read the appended zero row (valid=False).
+    from ..ops.pallas_grid import _permute_pack, _permute_unpack
 
-    buffers = {name: pack(getattr(p, name)) for name in _MIGRATE_FIELDS}
-    valid_buf = (
-        jnp.zeros((n_shards * K,), dtype=bool)
+    src_of_slot = (
+        jnp.full((n_shards * K,), cap, jnp.int32)
         .at[slot_sorted]
-        .set(in_transit[order], mode="drop")
-        .reshape(n_shards, K)
+        .set(order, mode="drop")
+    )
+    cols = [getattr(p, n) for n in _MIGRATE_FIELDS] + [in_transit]
+    rows = _permute_pack(cols, src_of_slot)
+    buffers = {
+        name: _permute_unpack(rows, c, getattr(p, name).dtype).reshape(n_shards, K)
+        for c, name in enumerate(_MIGRATE_FIELDS)
+    }
+    valid_buf = _permute_unpack(rows, len(_MIGRATE_FIELDS), jnp.bool_).reshape(
+        n_shards, K
     )
 
     # mark shipped particles dead locally

@@ -202,17 +202,28 @@ class Simulation:
         return path
 
     # ------------------------------------------------------------------ run loop
-    def run(self) -> None:
+    def run(self, wall_limit_s=None, nlim=None) -> None:
+        """Evolve to ``tlim``. ``wall_limit_s`` stops cleanly (final dumps still
+        written) when the wall clock is exceeded — the reference driver's ``-t``
+        walltime limit; ``nlim`` caps the number of cycles (``-n``)."""
         cfg = self.cfg
         dt = cfg.jaybenne.dt
         tlim = cfg.time.tlim
         n_cycles = max(1, int(round(tlim / dt)))
+        if nlim is not None:
+            n_cycles = min(n_cycles, max(0, int(nlim)))
         self._maybe_dump()  # initial conditions
 
         wall0 = _time.time()
         for n in range(n_cycles):
             step_dt = min(dt, tlim - self.t)
             if step_dt <= 0:
+                break
+            if wall_limit_s is not None and _time.time() - wall0 >= wall_limit_s:
+                print(
+                    f"walltime limit reached after {self.cycle} cycles; stopping",
+                    file=sys.stderr,
+                )
                 break
             if self.cfg.jaybenne.do_emission:
                 self._ensure_headroom()
@@ -289,7 +300,8 @@ class Simulation:
 
 
 def run_file(
-    input_path, outdir=".", modified_inputs=None, quiet=False, restart=None
+    input_path, outdir=".", modified_inputs=None, quiet=False, restart=None,
+    wall_limit_s=None, nlim=None,
 ) -> Simulation:
     from .utils.deck import Deck
 
@@ -297,8 +309,17 @@ def run_file(
     cfg = config_mod.from_deck(deck)
     os.makedirs(outdir, exist_ok=True)
     sim = Simulation(cfg, outdir=outdir, quiet=quiet, restart=restart)
-    sim.run()
+    sim.run(wall_limit_s=wall_limit_s, nlim=nlim)
     return sim
+
+
+def _parse_walltime(text):
+    """'HH:MM:SS' / 'MM:SS' / plain seconds -> seconds (reference -t flag)."""
+    parts = [float(x) for x in str(text).split(":")]
+    secs = 0.0
+    for v in parts:
+        secs = secs * 60.0 + v
+    return secs
 
 
 def main(argv=None):
@@ -312,7 +333,26 @@ def main(argv=None):
         default=None,
         help="capture a jax.profiler trace of the run into this directory",
     )
+    ap.add_argument(
+        "-t", "--walltime", default=None, metavar="HH:MM:SS",
+        help="wall-clock limit; stop cleanly (with final dumps) when exceeded",
+    )
+    ap.add_argument(
+        "-n", "--nlim", type=int, default=None, help="max number of cycles"
+    )
+    ap.add_argument(
+        "overrides", nargs="*", metavar="block/key=value",
+        help="input-deck overrides applied after parsing, e.g. "
+        "jaybenne/num_particles=1000 (the reference's ParameterInput CLI "
+        "override syntax)",
+    )
     args = ap.parse_args(argv)
+    mods = {}
+    for ov in args.overrides:
+        if "=" not in ov or "/" not in ov.split("=", 1)[0]:
+            ap.error(f"override must look like block/key=value, got: {ov!r}")
+        k, v = ov.split("=", 1)
+        mods[k] = v
     if args.profile_dir:
         import contextlib
 
@@ -324,7 +364,12 @@ def main(argv=None):
 
         ctx = contextlib.nullcontext()
     with ctx:
-        run_file(args.input, outdir=args.outdir, quiet=args.quiet, restart=args.restart)
+        run_file(
+            args.input, outdir=args.outdir, modified_inputs=mods,
+            quiet=args.quiet, restart=args.restart,
+            wall_limit_s=_parse_walltime(args.walltime) if args.walltime else None,
+            nlim=args.nlim,
+        )
     return 0
 
 

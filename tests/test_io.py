@@ -106,3 +106,27 @@ def test_checkpoint_restart_bitwise(tmp_path):
     assert np.array_equal(
         np.asarray(sim_a.state.particles.x), np.asarray(sim_c.state.particles.x)
     )
+
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_driver_cli_overrides_and_limits(tmp_path):
+    """Reference CLI parity: positional block/key=value deck overrides, -n cycle
+    cap, and -t walltime parsing (mcblock/Parthenon's ParameterInput CLI)."""
+    from jaybenne_tpu import driver as drv
+
+    assert drv._parse_walltime("01:02:03") == 3723.0
+    assert drv._parse_walltime("90") == 90.0
+    assert drv._parse_walltime("2:30") == 150.0
+    rc = drv.main(
+        [
+            "-i", os.path.join(_ROOT, "inputs/inf.in"),
+            "-d", str(tmp_path), "-q", "-n", "1",
+            "jaybenne/num_particles=200",
+            "parthenon/time/tlim=4.e-12",
+        ]
+    )
+    assert rc == 0
+    dumps = [f for f in os.listdir(tmp_path) if f.endswith(".phdf")]
+    assert dumps  # ran one cycle and wrote output

@@ -54,7 +54,6 @@ from ..config import BC
 from .pallas_transport import (
     GREP,
     LANES,
-    MAX_BLOCK_CHUNKS,
     _chunk_table,
     _gather,
     _n_bchunks,
@@ -70,6 +69,14 @@ BTILE = BSUB * LANES       # particles per tile
 REGION_CELLS_IMC = 8192    # target cells per region slab (IMC: 1 gathered table)
 REGION_CELLS_DDMC = 2048   # smaller for DDMC: 3 cell + 3 face tables per event
 MAX_REGION_CHUNKS = 64     # slab gather cost cap (range-selects per table read)
+# Block-table budget for THIS kernel (block geometry / lookup / region-map
+# chunks, resident in VMEM and scanned on block transitions). The VMEM
+# mega-kernel keeps MAX_BLOCK_CHUNKS=4 — it must also hold every CELL table —
+# but here cell data is region-sliced, so a wider block budget only adds
+# ~3 vector ops per chunk to the transition gathers while keeping meshes of
+# up to ~2048 blocks / lookup tiles on the kernel path instead of falling
+# back to the ~100x-slower XLA loop.
+MAX_BLOCK_CHUNKS_BUCKETED = 16
 MAX_BUCKET_ROUNDS = 256    # outer re-bucketing rounds (hang backstop)
 
 
@@ -174,8 +181,8 @@ def supports(mesh, prm) -> bool:
     return (
         K_reg <= MAX_REGION_CHUNKS
         and max(Kf) <= MAX_REGION_CHUNKS * 2
-        and _n_bchunks(mesh) <= MAX_BLOCK_CHUNKS
-        and _n_tchunks(mesh) <= MAX_BLOCK_CHUNKS
+        and _n_bchunks(mesh) <= MAX_BLOCK_CHUNKS_BUCKETED
+        and _n_tchunks(mesh) <= MAX_BLOCK_CHUNKS_BUCKETED
     )
 
 

@@ -674,3 +674,28 @@ def _run_stable_order_cases(_stable_order):
         got = np.asarray(_stable_order(keys, r))
         want = np.asarray(jnp.argsort(keys, stable=True))
         np.testing.assert_array_equal(got, want)
+
+
+def test_bucketed_supports_large_block_counts():
+    """The bucketed kernel's block-table budget admits refined meshes of
+    hundreds of blocks / >512 lookup tiles (its own cap, wider than the VMEM
+    kernel's), so they stay on the kernel path instead of the XLA loop."""
+    from jaybenne_tpu.ops import pallas_bucketed as pb
+    from jaybenne_tpu.ops import pallas_transport as pt
+
+    deck = Deck.from_file(os.path.join(_ROOT, "inputs/stepdiff_smr_ddmc.in")).update(
+        {
+            "parthenon/mesh/nx1": 192,
+            "parthenon/mesh/nx2": 96,
+            "parthenon/meshblock/nx1": 8,
+            "parthenon/meshblock/nx2": 8,
+        }
+    )
+    cfg = cm.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    from jaybenne_tpu.ops.pallas_transport import _n_tchunks
+
+    assert _n_tchunks(mesh) > 4  # past the VMEM kernel's block budget
+    assert not pt.supports(mesh, prm)
+    assert pb.supports(mesh, prm)

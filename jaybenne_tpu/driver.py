@@ -314,8 +314,14 @@ def run_file(
 
 
 def _parse_walltime(text):
-    """'HH:MM:SS' / 'MM:SS' / plain seconds -> seconds (reference -t flag)."""
-    parts = [float(x) for x in str(text).split(":")]
+    """'HH:MM:SS' / 'MM:SS' / plain seconds -> seconds (reference -t flag).
+
+    Raises ValueError on malformed input (non-numeric fields or more than three
+    colon-separated fields); main() turns that into an argparse error."""
+    fields = str(text).split(":")
+    if len(fields) > 3:
+        raise ValueError(f"walltime {text!r} has more than 3 ':' fields")
+    parts = [float(x) for x in fields]
     secs = 0.0
     for v in parts:
         secs = secs * 60.0 + v
@@ -347,6 +353,15 @@ def main(argv=None):
         "override syntax)",
     )
     args = ap.parse_args(argv)
+    wall_limit_s = None
+    if args.walltime:
+        try:
+            wall_limit_s = _parse_walltime(args.walltime)
+        except ValueError:
+            ap.error(
+                f"invalid -t/--walltime {args.walltime!r}: expected seconds, "
+                "MM:SS, or HH:MM:SS"
+            )
     mods = {}
     for ov in args.overrides:
         if "=" not in ov or "/" not in ov.split("=", 1)[0]:
@@ -367,7 +382,7 @@ def main(argv=None):
         run_file(
             args.input, outdir=args.outdir, modified_inputs=mods,
             quiet=args.quiet, restart=args.restart,
-            wall_limit_s=_parse_walltime(args.walltime) if args.walltime else None,
+            wall_limit_s=wall_limit_s,
             nlim=args.nlim,
         )
     return 0

@@ -229,6 +229,43 @@ def _permute_unpack(rows, col, dtype):
     return v.astype(dtype)
 
 
+def _pack_cols(cols, idx, n_extra_zero_rows=1):
+    """Dtype-preserving variant of ``_permute_pack``: 64-bit columns (f64/i64,
+    possible under ``jaybenne/precision = f64``) are bitcast to TWO i32 lanes
+    instead of truncated by ``astype(int32)``. Returns ``(rows, offsets)``
+    where input column ``c`` starts at lane ``offsets[c]`` of the row matrix;
+    unpack with ``_unpack_col(rows, offsets[c], cols[c].dtype)``."""
+    i32 = jnp.int32
+    packed = []
+    offsets = []
+    for c in cols:
+        offsets.append(len(packed))
+        if np.dtype(c.dtype).itemsize == 8:
+            two = jax.lax.bitcast_convert_type(c, i32)  # [n, 2]
+            packed.append(two[:, 0])
+            packed.append(two[:, 1])
+        elif c.dtype == jnp.float32:
+            packed.append(jax.lax.bitcast_convert_type(c, i32))
+        else:
+            packed.append(c.astype(i32))
+    mat = jnp.stack(packed, axis=1)
+    if n_extra_zero_rows:
+        mat = jnp.concatenate(
+            [mat, jnp.zeros((n_extra_zero_rows, mat.shape[1]), i32)]
+        )
+    return mat[idx], tuple(offsets)
+
+
+def _unpack_col(rows, off, dtype):
+    """Inverse of ``_pack_cols`` for the column starting at lane ``off``."""
+    if np.dtype(dtype).itemsize == 8:
+        return jax.lax.bitcast_convert_type(rows[:, off : off + 2], dtype)
+    v = rows[:, off]
+    if dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(v, dtype)
+    return v.astype(dtype)
+
+
 def _slab_tables(
     glob, rshape, origins, K, dtype, periodic=(False, False, False), wrap=None
 ):

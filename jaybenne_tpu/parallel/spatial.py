@@ -94,8 +94,9 @@ def migrate(p, offset, blocks_per_shard, n_shards, K, axis_name):
     # Pack all fields through the permutation with ONE row gather (see
     # ops/pallas_grid._permute_pack: separate per-field gathers lower ~4x
     # slower on TPU). One small index scatter builds slot -> source; unfilled
-    # slots read the appended zero row (valid=False).
-    from ..ops.pallas_grid import _permute_pack, _permute_unpack
+    # slots read the appended zero row (valid=False). The dtype-preserving
+    # pack carries 64-bit fields (precision = f64) as two i32 lanes.
+    from ..ops.pallas_grid import _pack_cols, _unpack_col
 
     src_of_slot = (
         jnp.full((n_shards * K,), cap, jnp.int32)
@@ -103,12 +104,12 @@ def migrate(p, offset, blocks_per_shard, n_shards, K, axis_name):
         .set(order, mode="drop")
     )
     cols = [getattr(p, n) for n in _MIGRATE_FIELDS] + [in_transit]
-    rows = _permute_pack(cols, src_of_slot)
+    rows, offs = _pack_cols(cols, src_of_slot)
     buffers = {
-        name: _permute_unpack(rows, c, getattr(p, name).dtype).reshape(n_shards, K)
+        name: _unpack_col(rows, offs[c], getattr(p, name).dtype).reshape(n_shards, K)
         for c, name in enumerate(_MIGRATE_FIELDS)
     }
-    valid_buf = _permute_unpack(rows, len(_MIGRATE_FIELDS), jnp.bool_).reshape(
+    valid_buf = _unpack_col(rows, offs[len(_MIGRATE_FIELDS)], jnp.bool_).reshape(
         n_shards, K
     )
 
@@ -268,7 +269,11 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
                 p = _fixup_subface_arrivals(
                     p, coefs_local, mesh, prm, offset, Bl, rng.fold(k_fix, rounds)
                 )
-            local_unfinished = jnp.sum((p.alive & (p.tau < 1.0)).astype(jnp.int32))
+            # dtype pinned: under jax_enable_x64 an unpinned int32 sum upcasts
+            # to int64 and breaks the while_loop carry
+            local_unfinished = jnp.sum(
+                (p.alive & (p.tau < 1.0)).astype(jnp.int32), dtype=jnp.int32
+            )
             unfinished = jax.lax.psum(local_unfinished, axis_name)
             return (
                 p, rounds + 1, iters_acc + iters, ev_acc + ev,

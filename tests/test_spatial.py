@@ -115,6 +115,34 @@ def test_spatial_eight_devices_matches_single():
     assert err < 0.05, err
 
 
+def test_spatial_f64_migration_preserves_dtype():
+    """ADVICE r2 (high): the row-packed migration buffers must carry 64-bit
+    fields losslessly — ``precision = f64`` bitcasts each f64 field to two i32
+    lanes; the old ``astype(int32)`` pack truncated every migrated position and
+    weight to a whole number."""
+    try:
+        cfg = cfg_mod.from_deck(
+            Deck.parse(DECK).update({"jaybenne/precision": "f64"})
+        )
+        sim = Simulation(cfg, quiet=True)  # enables jax_enable_x64
+        p0 = sim.state.particles
+        p0_w = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+        sim.run()
+        p = sim.state.particles
+        alive = np.asarray(p.alive)
+        assert np.asarray(p.x).dtype == np.float64
+        assert int(alive.sum()) > 0
+        # migration must have happened for the test to prove anything
+        blocks = np.asarray(p.block)[alive]
+        assert (blocks < 1).any() and (blocks >= 1).any()
+        xs = np.asarray(p.x)[alive]
+        assert not np.all(xs == np.trunc(xs)), "positions truncated to integers"
+        w = float(np.asarray(p.weight)[alive].sum())
+        assert np.isclose(w, p0_w, rtol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_spatial_fields_are_sharded_per_device():
     """VERDICT #4 contract: the spatial decomposition actually shards field memory —
     each device holds a [B/N, ...] block slice, so per-device field bytes scale

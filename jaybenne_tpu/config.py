@@ -147,6 +147,14 @@ class JaybenneConfig:
     # Pallas census-loop mega-kernel: "auto" (on TPU when the config is supported),
     # "on" (force), "off"
     use_pallas: str = "auto"
+    # spatial decomposition: cap on census migration rounds per step (the
+    # migration-loop analog of max_transport_iterations; the reference's
+    # iterative task list is bounded the same way, jaybenne.cpp:195-197)
+    max_migration_rounds: int = 128
+    # spatial decomposition: per-destination-shard migration buffer size
+    # (particles per all_to_all slot); 0 = auto (capacity / (2 * n_shards)).
+    # Overflowing sends are lossless — they ride the next round.
+    migration_buffer_k: int = 0
     # per-cycle host-side invariant validation (PARTHENON_DEBUG_REQUIRE analog)
     debug_checks: bool = False
 
@@ -335,6 +343,10 @@ def from_deck(deck: Deck) -> RunConfig:
         n_devices=deck.get_or_add_int("jaybenne", "n_devices", 1),
         decomposition=deck.get_or_add_str("jaybenne", "decomposition", "particle"),
         use_pallas=deck.get_or_add_str("jaybenne", "use_pallas", "auto"),
+        max_migration_rounds=deck.get_or_add_int(
+            "jaybenne", "max_migration_rounds", 128
+        ),
+        migration_buffer_k=deck.get_or_add_int("jaybenne", "migration_buffer_k", 0),
         debug_checks=deck.get_or_add_bool("jaybenne", "debug_checks", False),
     )
 

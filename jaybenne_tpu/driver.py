@@ -233,6 +233,8 @@ class Simulation:
             ev = int(stats.events)
             self.total_events += ev
             self.total_iters += int(stats.iterations)
+            mig_rounds = int(stats.migration_rounds)
+            migrated = int(stats.migrated)
             self.history.append(
                 {
                     "cycle": self.cycle,
@@ -242,14 +244,26 @@ class Simulation:
                     "events": ev,
                     "alive": int(stats.n_alive),
                     "dropped": int(stats.dropped),
+                    "migration_rounds": mig_rounds,
+                    "migrated": migrated,
                 }
             )
             if not self.quiet:
+                mig = (
+                    f" mig_rounds={mig_rounds} migrated={migrated}"
+                    if mig_rounds else ""
+                )
                 print(
                     f"cycle={self.cycle} time={self.t:.6e} dt={step_dt:.6e} "
                     f"iters={int(stats.iterations)} events={ev} "
-                    f"alive={int(stats.n_alive)}",
+                    f"alive={int(stats.n_alive)}" + mig,
                     flush=True,
+                )
+            if mig_rounds >= self.cfg.jaybenne.max_migration_rounds:
+                print(
+                    "WARNING: census hit max_migration_rounds "
+                    f"({mig_rounds}); census incomplete this cycle",
+                    file=sys.stderr,
                 )
             if int(stats.dropped) > 0:
                 print(
@@ -261,11 +275,15 @@ class Simulation:
                 from .utils.debug import validate_state
 
                 validate_state(self.state, self.mesh, self.cfg)
-            if int(stats.iterations) >= self.cfg.jaybenne.max_transport_iterations:
-                # the reference's hang backstop (jaybenne.cpp:195-197): the census
+            if int(stats.cap_hits) > 0:
+                # the reference's hang backstop (jaybenne.cpp:195-197): a census
                 # loop was cut off; some particles did not reach end-of-step
+                # (checked per transport call — in spatial mode ``iterations``
+                # accumulates over migration rounds and cannot be compared to
+                # the per-call cap)
                 print(
-                    "WARNING: transport hit max_transport_iterations "
+                    f"WARNING: {int(stats.cap_hits)} transport call(s) hit "
+                    f"max_transport_iterations "
                     f"({self.cfg.jaybenne.max_transport_iterations}); census "
                     "incomplete this cycle",
                     file=sys.stderr,

@@ -97,7 +97,10 @@ def make_sharded_step(mesh, cfg: RunConfig, dmesh: DeviceMesh):
 
     def run(state, dt):
         specs = state_specs(state)
-        stats_spec = StepStats(iterations=P(), events=P(), n_alive=P(), dropped=P())
+        stats_spec = StepStats(
+            iterations=P(), events=P(), n_alive=P(), dropped=P(),
+            migration_rounds=P(), migrated=P(), cap_hits=P(),
+        )
         fn = jax.shard_map(
             core,
             mesh=dmesh,

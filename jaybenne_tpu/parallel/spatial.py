@@ -61,8 +61,8 @@ _MIGRATE_FIELDS = (
     "x", "y", "z", "vx", "vy", "vz", "tau", "weight", "energy",
     "block", "i", "j", "k", "face", "leak",
 )
-
-MAX_MIGRATION_ROUNDS = 128
+# the migration-round cap and per-pair buffer size are deck-configurable:
+# jaybenne/max_migration_rounds, jaybenne/migration_buffer_k (config.py)
 
 
 def _pad_blocks(arr, n_pad, fill=0.0):
@@ -76,7 +76,7 @@ def migrate(p, offset, blocks_per_shard, n_shards, K, axis_name):
     """One round of all_to_all particle migration. Particles flagged in transit
     (block outside the local range) are grouped by destination shard via a stable
     sort, packed into fixed ``[n_shards, K]`` buffers, exchanged, and inserted into
-    the receiver's free slots. Returns (particles, n_received_dropped)."""
+    the receiver's free slots. Returns (particles, n_received_dropped, n_sent)."""
     cap = p.capacity
     in_transit = p.alive & (
         (p.block < offset) | (p.block >= offset + blocks_per_shard)
@@ -127,7 +127,8 @@ def migrate(p, offset, blocks_per_shard, n_shards, K, axis_name):
     p, dropped = insert_particles(
         p, {name: arr.reshape(-1) for name, arr in recv.items()}, recv_valid.reshape(-1)
     )
-    return p, dropped
+    n_sent = jnp.sum(sent.astype(jnp.int32), dtype=jnp.int32)
+    return p, dropped, n_sent
 
 
 def pad_field_blocks(fields, mesh, n_shards):
@@ -256,15 +257,17 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
         coefs_local = transport_ops.precompute_coefs(
             f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
         )
-        K = max(64, p.capacity // (2 * n_shards))
+        K = jb.migration_buffer_k or max(64, p.capacity // (2 * n_shards))
+        max_rounds = jb.max_migration_rounds
 
         def round_body(carry):
-            p, rounds, iters_acc, ev_acc, drop_acc, _ = carry
+            p, rounds, iters_acc, ev_acc, drop_acc, sent_acc, hit_acc, _ = carry
             p, iters, ev = transport_ops.transport(
                 p, coefs_local, mesh, rng.fold(k_tr, rounds), prm, dt,
                 block_offset=offset,
             )
-            p, mig_dropped = migrate(p, offset, Bl, n_shards, K, axis_name)
+            hit_acc = hit_acc + (iters >= prm.max_iters).astype(jnp.int32)
+            p, mig_dropped, n_sent = migrate(p, offset, Bl, n_shards, K, axis_name)
             if smr_ddmc:
                 p = _fixup_subface_arrivals(
                     p, coefs_local, mesh, prm, offset, Bl, rng.fold(k_fix, rounds)
@@ -277,17 +280,19 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             unfinished = jax.lax.psum(local_unfinished, axis_name)
             return (
                 p, rounds + 1, iters_acc + iters, ev_acc + ev,
-                drop_acc + mig_dropped.astype(jnp.int32), unfinished,
+                drop_acc + mig_dropped.astype(jnp.int32), sent_acc + n_sent,
+                hit_acc, unfinished,
             )
 
         def round_cond(carry):
-            _, rounds, _, _, _, unfinished = carry
-            return (rounds < MAX_MIGRATION_ROUNDS) & (unfinished > 0)
+            _, rounds, _, _, _, _, _, unfinished = carry
+            return (rounds < max_rounds) & (unfinished > 0)
 
-        p, rounds, iters, events, mig_drop, _ = jax.lax.while_loop(
+        p, rounds, iters, events, mig_drop, n_sent, cap_hits, _ = jax.lax.while_loop(
             round_cond,
             round_body,
             (p, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
              jnp.ones((), jnp.int32)),
         )
@@ -316,6 +321,9 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             events=jax.lax.psum(events, axis_name),
             n_alive=jax.lax.psum(p.num_alive(), axis_name),
             dropped=jax.lax.psum(dropped, axis_name),
+            migration_rounds=jax.lax.pmax(rounds, axis_name),
+            migrated=jax.lax.psum(n_sent, axis_name),
+            cap_hits=jax.lax.psum(cap_hits, axis_name),
         )
         return new_state, stats
 
@@ -328,7 +336,10 @@ def make_spatial_step(mesh, cfg: RunConfig, dmesh):
 
     def run(state, dt):
         specs = state_specs(state, shard_fields=True)
-        stats_spec = StepStats(iterations=P(), events=P(), n_alive=P(), dropped=P())
+        stats_spec = StepStats(
+            iterations=P(), events=P(), n_alive=P(), dropped=P(),
+            migration_rounds=P(), migrated=P(), cap_hits=P(),
+        )
         fn = jax.shard_map(
             core, mesh=dmesh,
             in_specs=(specs, P()), out_specs=(specs, stats_spec),

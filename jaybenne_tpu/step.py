@@ -36,6 +36,14 @@ class StepStats:
     events: jnp.ndarray      # particle events this step
     n_alive: jnp.ndarray     # live particles after the step
     dropped: jnp.ndarray     # sourced particles dropped (ledger overflow)
+    # spatial (block-sharded) decomposition only, zero elsewhere: census
+    # migration rounds this step and total particles shipped between shards
+    migration_rounds: jnp.ndarray = 0
+    migrated: jnp.ndarray = 0
+    # transport calls that hit the max_transport_iterations hang backstop (in
+    # spatial mode iterations accumulates over migration rounds, so the cap
+    # must be checked per call, not against the total)
+    cap_hits: jnp.ndarray = 0
 
 
 def make_transport_params(cfg: RunConfig, dtype) -> transport_ops.TransportParams:
@@ -223,6 +231,9 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
             events=events,
             n_alive=n_alive,
             dropped=dropped,
+            migration_rounds=jnp.zeros((), jnp.int32),
+            migrated=jnp.zeros((), jnp.int32),
+            cap_hits=(iters >= prm.max_iters).astype(jnp.int32),
         )
         return new_state, stats
 

@@ -84,6 +84,10 @@ def test_spatial_two_devices_conserves_and_migrates():
     t = np.asarray(sim.state.fields.energy_tally)
     dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
     assert np.isclose((t * dv).sum(), p0_w, rtol=1e-4)
+    # migration observability (VERDICT r2 #7): rounds + shipped counts recorded
+    h = sim.history[-1]
+    assert h["migration_rounds"] >= 1
+    assert h["migrated"] > 0
 
 
 @pytest.mark.slow

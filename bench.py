@@ -203,6 +203,39 @@ def main():
     except Exception as exc:  # pragma: no cover - defensive
         big = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # spatial-decomposition row: the same 64^3 mesh through the block-sharded
+    # step (1-device shard_map: sharded-field census rounds + kernel + trivial
+    # all_to_all — VERDICT r2 #1's "kernel speed inside the spatial mode")
+    big_sp = None
+    try:
+        sp_deck = Deck.from_file(os.path.join(here, "inputs/stepdiff.in")).update(
+            {
+                "parthenon/mesh/nx1": BIG_NX,
+                "parthenon/mesh/nx2": BIG_NX,
+                "parthenon/mesh/nx3": BIG_NX,
+                "parthenon/mesh/ix2_bc": "periodic",
+                "parthenon/mesh/ox2_bc": "periodic",
+                "parthenon/mesh/ix3_bc": "periodic",
+                "parthenon/mesh/ox3_bc": "periodic",
+                "parthenon/meshblock/nx1": BIG_BLOCK,
+                "parthenon/meshblock/nx2": BIG_BLOCK,
+                "parthenon/meshblock/nx3": BIG_BLOCK,
+                "jaybenne/num_particles": BIG_PARTICLES,
+                "jaybenne/decomposition": "spatial",
+                "jaybenne/n_devices": 1,
+            }
+        )
+        sp_sim = Simulation(cfg_mod.from_deck(sp_deck), quiet=True)
+        sp_rate, sp_events, sp_state, sp_elapsed = _run_steps(sp_sim, dt, BIG_STEPS)
+        big_sp = {
+            "cells": BIG_NX**3,
+            "events_per_sec": float(f"{sp_rate:.4g}"),
+            "events_total": sp_events,
+            "elapsed_s": round(sp_elapsed, 3),
+        }
+    except Exception as exc:  # pragma: no cover - defensive
+        big_sp = {"error": f"{type(exc).__name__}: {exc}"}
+
     anchor, anchor_measured = _measure_cpu_anchor()
 
     result = {
@@ -223,6 +256,7 @@ def main():
             "cpu_cores": os.cpu_count(),
             "ddmc": ddmc,
             "big_mesh": big,
+            "big_mesh_spatial": big_sp,
         },
     }
     print(json.dumps(result))

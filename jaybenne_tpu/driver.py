@@ -46,8 +46,12 @@ class Simulation:
         self.dtype = jb.dtype
         self.mesh = build_mesh(cfg.mesh, dtype=self.dtype)
         self.n_devices = jb.n_devices if jb.n_devices != 0 else len(jax.devices())
+        # the spatial decomposition always runs through shard_map (a 1-device
+        # mesh is valid), so a single chip exercises the same sharded-field +
+        # migration-round code path it scales with
+        self._distributed = self.n_devices > 1 or jb.decomposition == "spatial"
         capacity = self._capacity()
-        if self.n_devices > 1:
+        if self._distributed:
             from .parallel import sharding
 
             self.dmesh = sharding.device_mesh(self.n_devices)
@@ -62,7 +66,7 @@ class Simulation:
             rng_key=self.state.rng_key,
             overflow=self.state.overflow,
         )
-        if self.n_devices > 1:
+        if self._distributed:
             from .parallel import sharding
 
             if jb.decomposition == "spatial":

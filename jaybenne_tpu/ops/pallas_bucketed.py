@@ -94,7 +94,7 @@ def _pack_regions(rid, B):
     return region_of.astype(np.int32), slot, sorted_r, ranks, order, R, maxbpr
 
 
-def _build_regions(mesh, target_cells):
+def _build_regions(mesh, target_cells, ids=None):
     """Static region decomposition: partition blocks into compact axis-aligned
     boxes of <= ``target_cells`` cells by bisecting the domain (longest axis
     first, never finer than the block-lookup grid), assigning each block by its
@@ -106,12 +106,22 @@ def _build_regions(mesh, target_cells):
     re-cross O(sqrt(events)) times, pausing each time) sits deep inside a
     shifted-grid region on the next round and runs to census.
 
+    ``ids``: optional array of block ids to partition (spatial decomposition —
+    each shard's owned blocks); region_of/slot entries and perm values are then
+    POSITIONS into ``ids`` (pad = len(ids)), which for a contiguous shard range
+    are exactly the shard-local block indices.
+
     Returns ``(region_of[2, B], slot[2, B], perm[2, R, maxbpr], R, maxbpr)``
     with region ids dense per parity (pad perm entries = B)."""
-    B = mesh.n_blocks
+    if ids is None:
+        B = mesh.n_blocks
+        sel = np.arange(B, dtype=np.int64)
+    else:
+        sel = np.asarray(ids, dtype=np.int64)
+        B = len(sel)
     ncpb = mesh.ncells_per_block
-    org = np.asarray(mesh.block_origin, np.float64)
-    bdx = np.asarray(mesh.block_dx, np.float64)
+    org = np.asarray(mesh.block_origin, np.float64)[sel]
+    bdx = np.asarray(mesh.block_dx, np.float64)[sel]
     ctr = org + 0.5 * bdx * np.array([mesh.nx, mesh.ny, mesh.nz], np.float64)
     x1min, x1max, x2min, x2max, x3min, x3max = mesh.bounds
     lo = np.array([x1min, x2min, x3min], np.float64)
@@ -725,6 +735,149 @@ def _bucketed_kernel(
     it_ref[0, 0] = jnp.maximum(it_ref[0, 0], it)
 
 
+def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, fpb, cap, interpret):
+    """Build the pallas_call for a bucketed census round (shared between the
+    single-shard ``transport_bucketed`` loop and the spatial-decomposition round).
+    Returns ``(call, prm_static, bufcap, grid)``; callers pass the region id cap
+    ``R`` whose (R+1)-th slab is the zero slab for dead/padding tiles."""
+    f32, i32 = jnp.float32, jnp.int32
+    Kb = _n_bchunks(mesh)
+    Kt = _n_tchunks(mesh)
+    bufcap = cap + (R + 1) * BTILE
+    bufcap = -(-bufcap // BTILE) * BTILE
+    grid = bufcap // BTILE
+
+    prm_static = (
+        prm.ndim, mesh.nx, mesh.ny, mesh.nz, prm.max_iters,
+        tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
+        mesh.tile_shape, mesh.finest, prm.has_absorption, interpret,
+        prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
+        maxbpr, K_reg, Kf_reg, fpb, Kb, Kt, mesh.max_level > 0,
+    )
+    kernel = functools.partial(_bucketed_kernel, prm_static=prm_static)
+
+    part_spec = pl.BlockSpec(
+        (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
+    )
+    slab = lambda rows: pl.BlockSpec(
+        (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R), 0),
+        memory_space=pltpu.VMEM,
+    )
+    resident = lambda Kc: pl.BlockSpec(
+        (Kc * GREP, LANES), lambda g, rr: (0, 0), memory_space=pltpu.VMEM
+    )
+    stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        + [part_spec] * 15
+        + [slab(K_reg * GREP)] * 2
+        + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)]
+        + [resident(Kb)] * 6   # bdx, bdy, bdz, box, boy, boz
+        + [resident(Kt)]       # lookup
+        + [resident(Kb)] * 3,  # region-of, slot, level
+        out_specs=tuple([part_spec] * 15 + [stat_spec] * 2),
+    )
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
+        + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 8
+        + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={i + 3: i for i in range(15)},
+        interpret=interpret,
+    )
+    return call, bufcap, grid
+
+
+def _geometry_tables(mesh):
+    """Fully VMEM-resident chunked block-geometry tables (shared by both modes)."""
+    f32, i32 = jnp.float32, jnp.int32
+    Kb = _n_bchunks(mesh)
+    Kt = _n_tchunks(mesh)
+    return (
+        _chunk_table(mesh.block_dx[:, 0], f32, Kb),
+        _chunk_table(mesh.block_dx[:, 1], f32, Kb),
+        _chunk_table(mesh.block_dx[:, 2], f32, Kb),
+        _chunk_table(mesh.block_origin[:, 0], f32, Kb),
+        _chunk_table(mesh.block_origin[:, 1], f32, Kb),
+        _chunk_table(mesh.block_origin[:, 2], f32, Kb),
+        _chunk_table(mesh.lookup.reshape(-1), i32, Kt),
+        _chunk_table(mesh.block_level, i32, Kb),
+    )
+
+
+def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
+                    geom_tables, reg_t, slot_t):
+    """One bucketed census round: bucket unfinished particles by ``regb[p.block]``
+    into the tile-aligned buffer, run the kernel grid, permute results back to
+    ledger order. Returns ``(p, iters, events)`` (per-tile max / summed)."""
+    f32, i32 = jnp.float32, jnp.int32
+    cap = p.capacity
+    unfinished = p.alive & (p.tau < 1.0)
+    keyv = jnp.where(unfinished, regb[p.block], R).astype(i32)
+
+    counts = jax.ops.segment_sum(jnp.ones((cap,), i32), keyv, num_segments=R + 1)
+    padded = -(-counts // BTILE) * BTILE
+    offs = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)[:-1]])
+    from .pallas_grid import _stable_order, _permute_pack, _permute_unpack
+
+    order = _stable_order(keyv, R + 1)
+    keyv_sorted = keyv[order]
+    first = jnp.searchsorted(keyv_sorted, jnp.arange(R + 1, dtype=keyv_sorted.dtype))
+    rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)
+    dest_sorted = offs[keyv_sorted] + rank_sorted  # in [0, bufcap)
+
+    # permutation applied by GATHERS (see transport_bucketed for rationale)
+    src_of_slot = jnp.full((bufcap,), cap, i32).at[dest_sorted].set(order)
+    dest_of_src = jnp.zeros((cap,), i32).at[order].set(dest_sorted)
+
+    FNAMES = ("x", "y", "z", "vx", "vy", "vz", "tau")
+    INAMES = ("block", "i", "j", "k")
+    cols = (
+        [getattr(p, n).astype(f32) for n in FNAMES]
+        + [getattr(p, n) for n in INAMES]
+        + [p.alive.astype(i32), p.absorbed.astype(i32), p.face, p.leak]
+    )
+    rows_in = _permute_pack(cols, src_of_slot)
+    bufs = [
+        (jax.lax.bitcast_convert_type(rows_in[:, c], f32) if c < 7
+         else rows_in[:, c]).reshape(bufcap // LANES, LANES)
+        for c in range(15)
+    ]
+    tile_starts = jnp.arange(grid, dtype=i32) * BTILE
+    ends = offs + counts
+    tile_regions = jnp.searchsorted(ends, tile_starts, side="right").astype(i32)
+    tile_regions = jnp.minimum(tile_regions, R)
+
+    outs = call(tile_regions, scal, seed, *bufs, *slab_tables, *geom_tables[:7],
+                reg_t, slot_t, geom_tables[7])
+    (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
+     balive, babsorbed, bface, bleak, ev, it) = outs
+
+    rows_out = _permute_pack(
+        [b.reshape(bufcap) for b in
+         (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
+          balive, babsorbed, bface, bleak)],
+        dest_of_src, n_extra_zero_rows=0,
+    )
+    names = list(FNAMES) + list(INAMES) + ["alive", "absorbed", "face", "leak"]
+    back = {
+        name: _permute_unpack(rows_out, c, getattr(p, name).dtype)
+        for c, name in enumerate(names)
+    }
+    return dataclasses.replace(p, **back), it[0, 0], ev[0, 0]
+
+
 def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     """Census transport via region bucketing. Returns (particles, iters, events).
 
@@ -763,33 +916,16 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         fpy_t2 = fpz_t2 = fpx_t2
         Kf_reg = (1, 1, 1)
 
+    geom = _geometry_tables(mesh)
     Kb = _n_bchunks(mesh)
-    Kt = _n_tchunks(mesh)
-    bdx_t = _chunk_table(mesh.block_dx[:, 0], f32, Kb)
-    bdy_t = _chunk_table(mesh.block_dx[:, 1], f32, Kb)
-    bdz_t = _chunk_table(mesh.block_dx[:, 2], f32, Kb)
-    box_t = _chunk_table(mesh.block_origin[:, 0], f32, Kb)
-    boy_t = _chunk_table(mesh.block_origin[:, 1], f32, Kb)
-    boz_t = _chunk_table(mesh.block_origin[:, 2], f32, Kb)
-    lut_t = _chunk_table(mesh.lookup.reshape(-1), i32, Kt)
-    blv_t = _chunk_table(mesh.block_level, i32, Kb)
     reg_t2 = jnp.stack([_chunk_table(region_of2[pi], i32, Kb) for pi in (0, 1)])
     slot_t2 = jnp.stack(
         [_chunk_table(jnp.asarray(slot_np[pi]), i32, Kb) for pi in (0, 1)]
     )
 
-    bufcap = cap + (R + 1) * BTILE
-    bufcap = -(-bufcap // BTILE) * BTILE
-    grid = bufcap // BTILE
-
-    prm_static = (
-        prm.ndim, mesh.nx, mesh.ny, mesh.nz, prm.max_iters,
-        tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
-        mesh.tile_shape, mesh.finest, prm.has_absorption, interpret,
-        prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
-        maxbpr, K_reg, Kf_reg, fpb, Kb, Kt, mesh.max_level > 0,
+    call, bufcap, grid = _make_bucketed_call(
+        mesh, prm, R, maxbpr, K_reg, Kf_reg, fpb, cap, interpret
     )
-    kernel = functools.partial(_bucketed_kernel, prm_static=prm_static)
 
     scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
     try:
@@ -797,54 +933,6 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     except (TypeError, AttributeError):
         kd = key
     seed0 = kd.reshape(-1)[-1].astype(i32)
-
-    part_spec = pl.BlockSpec(
-        (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
-    )
-    slab = lambda rows: pl.BlockSpec(
-        (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R), 0),
-        memory_space=pltpu.VMEM,
-    )
-    resident_spec = lambda arr: pl.BlockSpec(
-        arr.shape, lambda g, rr: (0, 0), memory_space=pltpu.VMEM
-    )
-    stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ]
-        + [part_spec] * 15
-        + [slab(K_reg * GREP)] * 2
-        + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)]
-        + [
-            resident_spec(t)
-            for t in (
-                bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, reg_t2[0],
-                slot_t2[0], blv_t,
-            )
-        ],
-        out_specs=tuple([part_spec] * 15 + [stat_spec] * 2),
-    )
-    out_shapes = tuple(
-        [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
-        + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 8
-        + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
-    )
-
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        input_output_aliases={i + 3: i for i in range(15)},
-        interpret=interpret,
-    )
-
-    FNAMES = ("x", "y", "z", "vx", "vy", "vz", "tau")
-    INAMES = ("block", "i", "j", "k")
 
     def round_body_t(carry, tables):
         # tables passed explicitly (not closed over) so the eager-diag jit below
@@ -855,74 +943,14 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         # alternate the base / half-shifted region grids: a particle that paused
         # random-walking at one parity's face is interior to the other parity
         parity = rounds & 1
-        ea_t, es_t = ea_t2[parity], es_t2[parity]
-        fpx_t, fpy_t, fpz_t = fpx_t2[parity], fpy_t2[parity], fpz_t2[parity]
-        reg_t, slot_t = reg_t2[parity], slot_t2[parity]
-        unfinished = p.alive & (p.tau < 1.0)
-        region = region_of2[parity, p.block]
-        keyv = jnp.where(unfinished, region, R).astype(i32)
-
-        counts = jax.ops.segment_sum(
-            jnp.ones((cap,), i32), keyv, num_segments=R + 1
-        )
-        padded = -(-counts // BTILE) * BTILE
-        offs = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)[:-1]])
-        from .pallas_grid import _stable_order
-
-        order = _stable_order(keyv, R + 1)
-        keyv_sorted = keyv[order]
-        first = jnp.searchsorted(keyv_sorted, jnp.arange(R + 1, dtype=keyv_sorted.dtype))
-        rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)
-        dest_sorted = offs[keyv_sorted] + rank_sorted  # in [0, bufcap)
-
-        # Apply the permutation with GATHERS, not scatters: TPU lowers an
-        # arbitrary-index scatter far slower than the equivalent gather (the old
-        # path scattered every field both ways, 28 scatters per round). Two index
-        # scatters build both directions of the slot map; fields move by gather.
-        src_of_slot = jnp.full((bufcap,), cap, i32).at[dest_sorted].set(order)
-        dest_of_src = jnp.zeros((cap,), i32).at[order].set(dest_sorted)
-
-        from .pallas_grid import _permute_pack, _permute_unpack
-
-        cols = (
-            [getattr(p, n).astype(f32) for n in FNAMES]
-            + [getattr(p, n) for n in INAMES]
-            + [p.alive.astype(i32), p.absorbed.astype(i32), p.face, p.leak]
-        )
-        rows_in = _permute_pack(cols, src_of_slot)
-        bufs = [
-            (jax.lax.bitcast_convert_type(rows_in[:, c], f32) if c < 7
-             else rows_in[:, c]).reshape(bufcap // LANES, LANES)
-            for c in range(15)
-        ]
-        # region id per tile (dead/padding tiles index the zero slab R)
-        tile_starts = jnp.arange(grid, dtype=i32) * BTILE
-        ends = offs + counts
-        tile_regions = jnp.searchsorted(ends, tile_starts, side="right").astype(i32)
-        tile_regions = jnp.minimum(tile_regions, R)
-
+        slabs = (ea_t2[parity], es_t2[parity],
+                 fpx_t2[parity], fpy_t2[parity], fpz_t2[parity])
         # golden-ratio increment 0x9E3779B9 as a signed int32
         seed = (seed0 + rounds * jnp.int32(-1640531527))[None]
-        outs = call(tile_regions, scal, seed, *bufs,
-                    ea_t, es_t, fpx_t, fpy_t, fpz_t,
-                    bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, reg_t,
-                    slot_t, blv_t)
-        (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
-         balive, babsorbed, bface, bleak, ev, it) = outs
-
-        # one row gather back, directly in ledger order
-        rows_out = _permute_pack(
-            [b.reshape(bufcap) for b in
-             (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
-              balive, babsorbed, bface, bleak)],
-            dest_of_src, n_extra_zero_rows=0,
+        p, it, ev = _bucket_and_run(
+            p, call, R, bufcap, grid, region_of2[parity], scal, seed, slabs,
+            geom, reg_t2[parity], slot_t2[parity],
         )
-        names = list(FNAMES) + list(INAMES) + ["alive", "absorbed", "face", "leak"]
-        back = {
-            name: _permute_unpack(rows_out, c, getattr(p, name).dtype)
-            for c, name in enumerate(names)
-        }
-        p = dataclasses.replace(p, **back)
         if prm.use_ddmc and mesh.max_level > 0 and prm.ndim >= 2:
             # host half of the coarse->fine DDMC leak: subface resample for
             # paused pending-leak particles (reference SampleDDMCBlockFace;
@@ -950,7 +978,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
                 p, x=lx, y=ly, z=lz, vx=vx, vy=vy, vz=vz, i=ii, j=jj, k=kk,
                 leak=jnp.where(need, 0, p.leak),
             )
-        return p, rounds + 1, it_acc + it[0, 0], ev_acc + ev[0, 0]
+        return p, rounds + 1, it_acc + it, ev_acc + ev
 
     tables = (ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2)
 
@@ -990,3 +1018,162 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32)),
     )
     return p, iters, events
+
+
+# --------------------------------------------------------------------- spatial
+# Kernel-backed census rounds for the spatial (block-sharded) decomposition
+# (VERDICT r2 #1). Each shard statically partitions ITS OWNED blocks into
+# regions (two parities, as above); the stacked per-shard maps are selected by
+# the traced shard index inside shard_map. The kernel itself is unchanged: a
+# particle that walks into a block owned by ANOTHER shard sees the pause
+# sentinel (region id R+1, matching no tile) and pauses exactly like a local
+# region exit — the caller's migration round then ships it (the reference's
+# off-rank break + swarm send, transport.cpp:151-155 / jaybenne.cpp:121-123).
+# Coefficient slabs are built from the shard's LOCAL field slab only — no
+# cross-shard field communication is added by the kernel path.
+
+def _spatial_layout(mesh, n_shards, use_ddmc):
+    """Per-shard static region decompositions, stacked. Returns ``None`` when a
+    shard would own no blocks (fall back to the XLA loop), else
+    ``(reg_buck, reg_kern, slot, perm_loc, R, maxbpr)`` where
+
+      * ``reg_buck[n_shards, 2, B]``: bucketing key per GLOBAL block — dense
+        local region id for owned blocks, R (the dead-bucket id) otherwise;
+      * ``reg_kern[n_shards, 2, B]``: the kernel's region-of table — same but
+        non-owned blocks get R+1, which matches no tile's region, so arrivals
+        there PAUSE (the migration trigger);
+      * ``slot[n_shards, 2, B]``: slab slot of each owned block in its region;
+      * ``perm_loc[n_shards, 2, R, maxbpr]``: slab build permutation in LOCAL
+        block indices (global - shard*Bl), pad = Bl (the zero row of the local
+        coefficient matrix)."""
+    B = mesh.n_blocks
+    Bl = -(-B // n_shards)
+    target = max(
+        REGION_CELLS_DDMC if use_ddmc else REGION_CELLS_IMC, mesh.ncells_per_block
+    )
+    shards = []
+    for s in range(n_shards):
+        lo, hi = s * Bl, min((s + 1) * Bl, B)
+        if hi <= lo:
+            return None
+        ids = np.arange(lo, hi, dtype=np.int64)
+        shards.append((lo, hi) + _build_regions(mesh, target, ids))
+    R = max(sh[5] for sh in shards)
+    maxbpr = max(sh[6] for sh in shards)
+    reg_buck = np.full((n_shards, 2, B), R, np.int32)
+    reg_kern = np.full((n_shards, 2, B), R + 1, np.int32)
+    slot_all = np.zeros((n_shards, 2, B), np.int32)
+    perm_loc = np.full((n_shards, 2, R, maxbpr), Bl, np.int32)
+    for s, (lo, hi, region_of, slot, perm, R_s, maxbpr_s) in enumerate(shards):
+        nloc = hi - lo
+        for pi in range(2):
+            reg_buck[s, pi, lo:hi] = region_of[pi]
+            reg_kern[s, pi, lo:hi] = region_of[pi]
+            slot_all[s, pi, lo:hi] = slot[pi]
+            # perm entries are positions into the shard's contiguous id range,
+            # i.e. already local block indices; remap the pad nloc -> Bl
+            pm = perm[pi]
+            perm_loc[s, pi, :R_s, :maxbpr_s] = np.where(pm >= nloc, Bl, pm)
+    return reg_buck, reg_kern, slot_all, perm_loc, R, maxbpr
+
+
+def supports_spatial(mesh, prm, n_shards) -> bool:
+    """Whether the bucketed kernel can run the spatial decomposition's census
+    rounds for this mesh/shard count (same chunk budgets as ``supports``)."""
+    lay = _spatial_layout(mesh, n_shards, prm.use_ddmc)
+    if lay is None:
+        return False
+    maxbpr = lay[5]
+    K_reg = -(-(maxbpr * mesh.ncells_per_block) // LANES)
+    Kf, _ = _face_chunks(mesh, maxbpr)
+    return (
+        K_reg <= MAX_REGION_CHUNKS
+        and max(Kf) <= MAX_REGION_CHUNKS * 2
+        and _n_bchunks(mesh) <= MAX_BLOCK_CHUNKS_BUCKETED
+        and _n_tchunks(mesh) <= MAX_BLOCK_CHUNKS_BUCKETED
+    )
+
+
+def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False):
+    """Build the kernel-backed census round for ``parallel.spatial``.
+
+    Returns ``(build_tables, round_fn)``:
+
+      * ``build_tables(coefs_local, shard) -> tables`` — once per step, from the
+        shard's LOCAL coefficient slab (length ``Bl * ncells_per_block``);
+      * ``round_fn(p, tables, key, rounds) -> (p, iters, events)`` — one
+        bucketed kernel round over the shard's local ledger slice. Paused
+        particles whose block left the shard are picked up by the caller's
+        ``migrate``; pending coarse->fine DDMC leak codes are resolved by the
+        caller's subface fixup (the kernel records them and pauses).
+    """
+    f32, i32 = jnp.float32, jnp.int32
+    ncpb = mesh.ncells_per_block
+    lay = _spatial_layout(mesh, n_shards, prm.use_ddmc)
+    reg_buck_np, reg_kern_np, slot_np, perm_np, R, maxbpr = lay
+    K_reg = -(-(maxbpr * ncpb) // LANES)
+    Kf_reg, fpb = _face_chunks(mesh, maxbpr)
+    if not prm.use_ddmc:
+        Kf_reg = (1, 1, 1)
+
+    reg_buck = jnp.asarray(reg_buck_np)  # [n, 2, B]
+    reg_kern = jnp.asarray(reg_kern_np)
+    slot_all = jnp.asarray(slot_np)
+    perm_all = jnp.asarray(perm_np)      # [n, 2, R, maxbpr]
+
+    geom = _geometry_tables(mesh)
+    Kb = _n_bchunks(mesh)
+    call, bufcap, grid = _make_bucketed_call(
+        mesh, prm, R, maxbpr, K_reg, Kf_reg, fpb, cap, interpret
+    )
+
+    def build_tables(coefs, shard):
+        perm2 = perm_all[shard]  # [2, R, maxbpr] — traced shard index
+        ea_vec = coefs.fleck * coefs.sigma_a
+        es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
+        ea_t2 = _parity_tables(
+            lambda pm: _region_tables(ea_vec, pm, ncpb, K_reg, f32), perm2)
+        es_t2 = _parity_tables(
+            lambda pm: _region_tables(es_vec, pm, ncpb, K_reg, f32), perm2)
+        if prm.use_ddmc:
+            fpx_t2 = _parity_tables(
+                lambda pm: _region_tables(
+                    coefs.px.reshape(-1), pm, fpb[0], Kf_reg[0], f32), perm2)
+            fpy_t2 = _parity_tables(
+                lambda pm: _region_tables(
+                    coefs.py.reshape(-1), pm, fpb[1], Kf_reg[1], f32), perm2)
+            fpz_t2 = _parity_tables(
+                lambda pm: _region_tables(
+                    coefs.pz.reshape(-1), pm, fpb[2], Kf_reg[2], f32), perm2)
+        else:
+            fpx_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), f32)
+            fpy_t2 = fpz_t2 = fpx_t2
+        reg_t2 = jnp.stack(
+            [_chunk_table(reg_kern[shard, pi], i32, Kb) for pi in (0, 1)]
+        )
+        slot_t2 = jnp.stack(
+            [_chunk_table(slot_all[shard, pi], i32, Kb) for pi in (0, 1)]
+        )
+        regb2 = reg_buck[shard]  # [2, B]
+        return (ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2, reg_t2, slot_t2, regb2)
+
+    def round_fn(p, tables, key, rounds, dt):
+        (ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2, reg_t2, slot_t2, regb2) = tables
+        parity = rounds & 1
+        slabs = (ea_t2[parity], es_t2[parity],
+                 fpx_t2[parity], fpy_t2[parity], fpz_t2[parity])
+        try:
+            kd = jax.random.key_data(key)
+        except (TypeError, AttributeError):
+            kd = key
+        seed = kd.reshape(-1)[-1].astype(i32)[None]
+        scal = jnp.stack(
+            [jnp.asarray(dt, f32), jnp.asarray(prm.c, f32)]
+            + [jnp.zeros((), f32)] * 6
+        )
+        return _bucket_and_run(
+            p, call, R, bufcap, grid, regb2[parity], scal, seed, slabs,
+            geom, reg_t2[parity], slot_t2[parity],
+        )
+
+    return build_tables, round_fn

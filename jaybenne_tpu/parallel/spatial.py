@@ -21,9 +21,11 @@ per-device field bytes scale ~1/N — the regime this decomposition exists for
 METADATA (origins, sizes, levels, lookup grid — a few KB) stays replicated, which is
 what lets a shard compute the full block transition for an outgoing particle before
 shipping it. The one cross-shard field communication is the DDMC face-probability
-construction: each face samples tau on BOTH sides, so the per-cell ``sigma_t`` array
-(one array of the ~11-array field state) is transiently ``all_gather``-ed — the
-analog of the reference's ghost exchange on ``ddmc_reg`` (``jaybenne.cpp:108-110``).
+construction: each face samples tau on BOTH sides, and every cross-block sample
+lands in the neighbor block's first cell layer, so only the blocks' boundary-
+SURFACE ``sigma_t`` values are ``all_gather``-ed (O(B * surface) bytes — the
+ghost-face-only exchange of the reference's ``ddmc_reg`` pass,
+``jaybenne.cpp:108-110``).
 
 Migration uses fixed-size per-pair buffers: overflowing SENT particles stay in
 transit and ride the next iteration (lossless); RECEIVED particles that find no free
@@ -219,13 +221,7 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
 
     B = mesh.n_blocks
     Bl = -(-B // n_shards)  # blocks per shard (last shard may own padding)
-    n_pad = n_shards * Bl - B
     smr_ddmc = jb.use_ddmc and mesh.max_level > 0
-
-    def slice_local(arr4, shard_idx, fill):
-        """Take this shard's [Bl, ...] block slice of a replicated [B, ...] array."""
-        padded = _pad_blocks(arr4, n_pad, fill)
-        return jax.lax.dynamic_slice_in_dim(padded, shard_idx * Bl, Bl, axis=0)
 
     def step(state, dt):
         f = state.fields  # this shard's LOCAL [Bl, ...] block slice
@@ -237,9 +233,11 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
         k_src, k_tr, k_fix = jax.random.split(key, 3)
 
         # 1. derived fields: the Fleck factor is pointwise on local blocks; the
-        # DDMC face probabilities need tau on BOTH sides of every local face, so
-        # the one per-cell sigma_t array is transiently all_gathered (the ghost
-        # exchange of jaybenne.cpp:108-110)
+        # DDMC face probabilities need tau on BOTH sides of every local face.
+        # Every cross-block sample point lands in the neighbor block's first
+        # cell layer, so only each block's boundary-SURFACE sigma_t is
+        # exchanged — O(B * surface) instead of the full O(B * volume) array
+        # (the ghost-face-only exchange of jaybenne.cpp:108-110).
         f = dataclasses.replace(
             f, fleck=fleck_ops.fleck_factor(f.rho, f.sie, eos, opacity, dt, dtype)
         )
@@ -250,16 +248,14 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
                 + scattering.total_scattering_coefficient(f.rho, temp)
             )
             sig_t = jnp.broadcast_to(jnp.asarray(sig_t, dtype), f.rho.shape)
-            sig_glob = jax.lax.all_gather(sig_t, axis_name, axis=0, tiled=True)[:B]
-            px, py, pz = fleck_ops.ddmc_face_probs(
-                mesh, sig_glob, jb.tau_ddmc, periodic, dtype
+            surf_local = fleck_ops.pack_boundary_surface(mesh, sig_t)
+            surf_glob = jax.lax.all_gather(
+                surf_local, axis_name, axis=0, tiled=True
             )
-            f = dataclasses.replace(
-                f,
-                ddmc_px=slice_local(px, shard, 0.0),
-                ddmc_py=slice_local(py, shard, 0.0),
-                ddmc_pz=slice_local(pz, shard, 0.0),
+            px, py, pz = fleck_ops.ddmc_face_probs_spatial(
+                mesh, sig_t, surf_glob, offset, jb.tau_ddmc, periodic, dtype
             )
+            f = dataclasses.replace(f, ddmc_px=px, ddmc_py=py, ddmc_pz=pz)
 
         # 2. emission sourcing into local blocks (disjoint ownership — no psum)
         dropped = jnp.zeros((), jnp.int32)

@@ -272,13 +272,15 @@ def test_xla_3d_isotropic_diffusion():
 def test_xla_3d_ddmc_six_face_leak():
     """3D DDMC (thick cells): all six leakage faces fire and the walk spreads
     isotropically; energy (weight) is conserved without absorption."""
-    cfg = _cfg({"jaybenne/use_ddmc": "true", "jaybenne/dt": "4.e-12",
-                "mcblock/scattering_constant_value": "1.0e5"})
+    # sigma*dx = 125 >> tau_ddmc (DDMC everywhere) with c*dt*leak_opacity ~ 0.6
+    # expected leaks per particle — enough that every face fires
+    cfg = _cfg({"jaybenne/use_ddmc": "true", "jaybenne/dt": "4.e-11",
+                "mcblock/scattering_constant_value": "2.0e3"})
     mesh = build_mesh(cfg.mesh)
     prm = make_transport_params(cfg, jnp.float32)
     n = 4000
     p = _center_particles(mesh, n, jr.PRNGKey(5))
-    coefs = _coefs(mesh, 1.0e5, prm, cfg.jaybenne.tau_ddmc)
+    coefs = _coefs(mesh, 2.0e3, prm, cfg.jaybenne.tau_ddmc)
     dt = jnp.float32(cfg.jaybenne.dt)
     out, iters, ev = T.transport(p, coefs, mesh, jr.PRNGKey(6), prm, dt)
     alive = np.asarray(out.alive)

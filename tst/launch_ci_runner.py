@@ -22,18 +22,23 @@ import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
-# (script, input, devices) — the reference CI matrix (ci.yml:122-140)
+# (script, input, devices, extra CLI args) — the reference CI matrix
+# (ci.yml:122-140) plus TPU-build extension rows
 MATRIX = [
-    ("stepdiff.py", "stepdiff.in", 1),
-    ("stepdiff.py", "stepdiff_ddmc.in", 1),
-    ("stepdiff_smr.py", "stepdiff_smr.in", 1),
-    ("stepdiff_smr.py", "stepdiff_smr.in", 8),
-    ("stepdiff_smr.py", "stepdiff_smr_ddmc.in", 1),
-    ("stepdiff_smr.py", "stepdiff_smr_ddmc.in", 8),
-    ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 1),
-    ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 8),
-    ("inf.py", "inf.in", 1),
-    ("inf_stiff.py", "inf_stiff.in", 1),
+    ("stepdiff.py", "stepdiff.in", 1, ()),
+    ("stepdiff.py", "stepdiff_ddmc.in", 1, ()),
+    ("stepdiff_smr.py", "stepdiff_smr.in", 1, ()),
+    ("stepdiff_smr.py", "stepdiff_smr.in", 8, ()),
+    ("stepdiff_smr.py", "stepdiff_smr_ddmc.in", 1, ()),
+    ("stepdiff_smr.py", "stepdiff_smr_ddmc.in", 8, ()),
+    ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 1, ()),
+    ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 8, ()),
+    ("inf.py", "inf.in", 1, ()),
+    ("inf_stiff.py", "inf_stiff.in", 1, ()),
+    # TPU-build extensions beyond the reference matrix: 3D SMR+DDMC proof and
+    # the spatial (block-sharded) decomposition end to end
+    ("stepdiff_3d.py", "stepdiff_3d_smr_ddmc.in", 1, ()),
+    ("stepdiff.py", "stepdiff.in", 8, ("--decomposition", "spatial")),
 ]
 
 
@@ -42,13 +47,14 @@ def run_matrix(backend: str, device_filter):
     env = dict(os.environ)
     if backend == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
-    for script, deck, ndev in MATRIX:
+    for script, deck, ndev, extra in MATRIX:
         if device_filter and ndev not in device_filter:
             continue
-        name = f"{deck}@{ndev}dev"
+        name = f"{deck}@{ndev}dev" + ("".join(extra) if extra else "")
         t0 = time.time()
         proc = subprocess.run(
-            [sys.executable, script, "--input", deck, "--n_devices", str(ndev)],
+            [sys.executable, script, "--input", deck, "--n_devices", str(ndev),
+             *extra],
             cwd=_HERE, env=env, capture_output=True, text=True,
         )
         ok = proc.returncode == 0

@@ -55,6 +55,11 @@ def get_default_parser():
     parser.add_argument("--visualize", action="store_true", default=False)
     parser.add_argument("--upgold", action="store_true", default=False)
     parser.add_argument("--precision", type=str, default=None, choices=[None, "f32", "f64"])
+    parser.add_argument(
+        "--decomposition", type=str, default=None,
+        choices=[None, "particle", "spatial"],
+        help="distribution strategy override (deck default otherwise)",
+    )
     return parser
 
 
@@ -71,7 +76,8 @@ def _force_cpu_devices(n):
         jax.config.update("jax_platforms", "cpu")
 
 
-def run_problem(input_file, modified_inputs, outdir, n_devices=1, precision=None):
+def run_problem(input_file, modified_inputs, outdir, n_devices=1, precision=None,
+                decomposition=None):
     _force_cpu_devices(n_devices)
     from jaybenne_tpu.driver import run_file
 
@@ -80,6 +86,8 @@ def run_problem(input_file, modified_inputs, outdir, n_devices=1, precision=None
         mods["jaybenne/precision"] = precision
     if n_devices != 1:
         mods["jaybenne/n_devices"] = n_devices
+    if decomposition:
+        mods["jaybenne/decomposition"] = decomposition
     sim = run_file(input_file, outdir=outdir, modified_inputs=mods, quiet=True)
     return sim
 
@@ -107,6 +115,7 @@ def analytic_comparison(args, variables, solutions, modified_inputs={}, toleranc
         sim = run_problem(
             input_file, modified_inputs, outdir,
             n_devices=args.n_devices, precision=args.precision,
+            decomposition=getattr(args, "decomposition", None),
         )
         dump = _load_last_dump(sim.cfg.problem_id, outdir)
         t = dump.Time
@@ -187,6 +196,7 @@ def gold_comparison(args, variables, modified_inputs={}, compression_factor=1, t
         sim = run_problem(
             input_file, modified_inputs, outdir,
             n_devices=args.n_devices, precision=args.precision,
+            decomposition=getattr(args, "decomposition", None),
         )
         dump = _load_last_dump(sim.cfg.problem_id, outdir)
         data = {}

@@ -112,6 +112,16 @@ class Simulation:
             # counters) — SURVEY §5 notes this as a cheap win over the reference,
             # whose restart path is inherited from Parthenon but never exercised
             self.state = io_mod.read_checkpoint(restart, self.state)
+            if self._distributed:
+                # re-place the restored host arrays on the device mesh (restart
+                # with the same device count resumes bitwise; a different count
+                # re-homes particles through the first migration round)
+                from .parallel import sharding
+
+                self.state = sharding.shard_state(
+                    self.state, self.dmesh,
+                    shard_fields=jb.decomposition == "spatial",
+                )
             import h5py
 
             with h5py.File(restart, "r") as h:

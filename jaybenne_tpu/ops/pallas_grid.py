@@ -121,8 +121,15 @@ def _grid_layout(mesh, use_ddmc=False):
 
     Returns (rn, ng, halo, K_reg, Kf_reg): core dims in cells (rx,ry,rz),
     region-grid dims (NGX,NGY,NGZ), per-axis halo, and slab chunk counts."""
-    NX, NY, NZ = _grid_dims(mesh)
-    dxc = np.asarray(mesh.block_dx, np.float64)[0]
+    return _grid_layout_dims(
+        _grid_dims(mesh), np.asarray(mesh.block_dx, np.float64)[0], use_ddmc
+    )
+
+
+def _grid_layout_dims(dims, dxc, use_ddmc=False):
+    """Region layout over an explicit (NX, NY, NZ) cell box (the spatial
+    decomposition partitions each shard's LOCAL z-slab independently)."""
+    NX, NY, NZ = dims
     target = max(REGION_CELLS_DDMC if use_ddmc else REGION_CELLS_IMC, LANES)
     ng = np.ones(3, np.int64)
     N = np.array([NX, NY, NZ], np.int64)
@@ -328,7 +335,7 @@ def _grid_kernel(
 ):
     (ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY, cell_dx,
      max_iters, bcs, bounds, has_absorption, interpret, use_ddmc, tau_ddmc,
-     eps_imc, eps_ddmc, K_reg, Kf_reg, wrap_axes) = prm_static
+     eps_imc, eps_ddmc, K_reg, Kf_reg, wrap_axes, z_split, KZ) = prm_static
     sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz  # slab dims
     multi_d = ndim >= 2
     three_d = ndim == 3
@@ -343,13 +350,16 @@ def _grid_kernel(
     shape = (BSUB, LANES)
     BIG = jnp.float32(3.0e38)
     tiny = jnp.float32(1.0e-37)
+    # spatial (z-slab sharded) mode: the region grid lives in SHARD-LOCAL z
+    # (z0 = shard * KZ, traced); particles keep GLOBAL gk for face/BC math
+    z0 = intr_ref[1]
     tr = regions_ref[pl.program_id(0)]
     rcx = tr % NGX
     rcy = (tr // NGX) % NGY
     rcz = tr // (NGX * NGY)
     box = rcx * rnx - hx  # slab cell-box origin (may be negative at edges)
     boy = rcy * rny - hy
-    boz = rcz * rnz - hz
+    boz = rcz * rnz - hz  # LOCAL z (== global when unsharded: z0 = 0)
 
     if not interpret:
         pltpu.prng_seed(intr_ref[0] + pl.program_id(0))
@@ -386,18 +396,24 @@ def _grid_kernel(
 
     def in_region(gi, gj, gk):
         # residency is the HALO box: bucketed by core, paused on leaving core+halo
-        li, lj, lk = gi - box, gj - boy, gk - boz
-        return (
+        gkl = gk - z0
+        li, lj, lk = gi - box, gj - boy, gkl - boz
+        ok = (
             (li >= 0) & (li < sdx) & (lj >= 0) & (lj < sdy)
             & (lk >= 0) & (lk < sdz)
         )
+        if z_split:
+            # the z halo never crosses a shard boundary (remote coefficients
+            # are not resident); leaving the shard's z range pauses -> migrate
+            ok = ok & (gkl >= 0) & (gkl < KZ)
+        return ok
 
     def body(carry):
         (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face,
          paused, it, ev) = carry
         active = (alive != 0) & (tau < 1.0) & (paused == 0)
 
-        li, lj, lk = gi - box, gj - boy, gk - boz
+        li, lj, lk = gi - box, gj - boy, (gk - z0) - boz
         cell = (lk * sdy + lj) * sdx + li
         es = _gather(es_ref, cell, K_reg)
         if has_absorption:
@@ -862,6 +878,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         tuple(float(b) for b in mesh.bounds),
         prm.has_absorption, interpret, prm.use_ddmc, prm.tau_ddmc,
         prm.eps_imc, prm.eps_ddmc, K_reg, Kf_reg, wrap_axes,
+        False, NZ,  # z_split, KZ (the spatial factory shards z)
     )
     kernel = functools.partial(_grid_kernel, prm_static=prm_static)
 
@@ -1080,3 +1097,269 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32)),
     )
     return p, iters, events
+
+
+# --------------------------------------------------------------------- spatial
+# Kernel-backed census rounds for the spatial decomposition on UNIFORM meshes.
+# Shards own contiguous block ranges; on a uniform mesh (lexicographic block
+# order) a whole number of z tile-planes per shard makes ownership a global
+# z-slab of cells, so the grid kernel's halo-slab design carries over: regions
+# partition each shard's LOCAL [NX, NY, KZ] box, slabs halo-wrap in x/y
+# (periodic seams interior, the straggler-tail fix) and CLIP at shard z
+# boundaries (remote coefficients are not resident — leaving the shard's z
+# range pauses the particle, which the caller's migration round then ships).
+# DDMC face tables are not built here (spatial + DDMC + uniform uses the
+# bucketed-kernel or XLA path); the bench regime this exists for is the huge
+# uniform IMC mesh.
+
+
+def supports_spatial(mesh, prm, n_shards) -> bool:
+    if mesh.max_level > 0 or prm.use_ddmc:
+        return False
+    ntz, nty, ntx = mesh.tile_shape
+    B = mesh.n_blocks
+    if B % n_shards or (B // n_shards) % (ntx * nty):
+        return False  # shard ownership must be whole z tile-planes
+    if not np.array_equal(
+        np.asarray(mesh.lookup).reshape(-1), np.arange(B, dtype=np.int64)
+    ):
+        return False  # uniform meshes are lexicographic by construction
+    NX, NY, _ = _grid_dims(mesh)
+    KZ = (B // n_shards) // (ntx * nty) * mesh.nz
+    dxc = np.asarray(mesh.block_dx, np.float64)[0]
+    _, _, _, K_reg, Kf = _grid_layout_dims((NX, NY, KZ), dxc, False)
+    return K_reg <= MAX_REGION_CHUNKS
+
+
+def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
+    """(build_tables, round_fn) with the same contract as
+    ``pallas_bucketed.make_spatial_transport``: per-step slab tables from the
+    shard's LOCAL coefficients, one kernel bucket-round per migration round."""
+    f32, i32 = jnp.float32, jnp.int32
+    NX, NY, NZ = _grid_dims(mesh)
+    ntz, nty, ntx = mesh.tile_shape
+    nxb, nyb, nzb = mesh.nx, mesh.ny, mesh.nz
+    B = mesh.n_blocks
+    Bl = B // n_shards
+    P = Bl // (ntx * nty)  # z tile-planes per shard
+    KZ = P * nzb
+    z_split = n_shards > 1
+    bdx0 = np.asarray(mesh.block_dx, np.float64)[0]
+    rn, ng, halo, K_reg, Kf_reg = _grid_layout_dims(
+        (NX, NY, KZ), bdx0, False
+    )
+    rnx, rny, rnz = rn
+    NGX, NGY, NGZ = ng
+    hx, hy, hz = halo
+    sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz
+    R_pad = NGX * NGY * NGZ
+
+    rc = jnp.arange(R_pad, dtype=i32)
+    rcx, rcy, rcz = rc % NGX, (rc // NGX) % NGY, rc // (NGX * NGY)
+    origins = jnp.stack([rcx * rnx - hx, rcy * rny - hy, rcz * rnz - hz], axis=1)
+
+    per_bc = (
+        prm.swarm_bc[0] == BC.periodic,
+        prm.swarm_bc[2] == BC.periodic,
+        prm.swarm_bc[4] == BC.periodic,
+    )
+    # slab-table wrap flags: z never wraps across shards
+    per_tab = (per_bc[0], per_bc[1], per_bc[2] and not z_split)
+    wrap_axes = (
+        per_bc[0] and NGX == 1,
+        per_bc[1] and NGY == 1,
+        per_bc[2] and not z_split and NGZ == 1,
+    )
+    x1min, x1max, x2min, x2max, x3min, x3max = mesh.bounds
+    orgx = jnp.asarray(np.asarray(mesh.block_origin, np.float64)[:, 0], f32)
+    orgy = jnp.asarray(np.asarray(mesh.block_origin, np.float64)[:, 1], f32)
+    orgz = jnp.asarray(np.asarray(mesh.block_origin, np.float64)[:, 2], f32)
+
+    bufcap = cap + (R_pad + 1) * BTILE
+    bufcap = -(-bufcap // BTILE) * BTILE
+    grid = bufcap // BTILE
+
+    prm_static = (
+        prm.ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY,
+        tuple(float(v) for v in bdx0),
+        prm.max_iters, tuple(prm.swarm_bc),
+        tuple(float(b) for b in mesh.bounds),
+        prm.has_absorption, interpret, False, prm.tau_ddmc,
+        prm.eps_imc, prm.eps_ddmc, K_reg, (1, 1, 1), wrap_axes,
+        z_split, KZ,
+    )
+    kernel = functools.partial(_grid_kernel, prm_static=prm_static)
+
+    part_spec = pl.BlockSpec(
+        (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
+    )
+    slab = lambda rows: pl.BlockSpec(
+        (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R_pad), 0),
+        memory_space=pltpu.VMEM,
+    )
+    stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        + [part_spec] * 13
+        + [slab(K_reg * GREP)] * 2
+        + [slab(GREP)] * 3,
+        out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
+    )
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
+        + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 6
+        + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={i + 3: i for i in range(13)},
+        interpret=interpret,
+    )
+
+    def _local_glob(vec):
+        """[Bl * ncpb] shard-local cell vector -> [KZ, NY, NX] local z-slab
+        (pure reshape — uniform-mesh block order is lexicographic)."""
+        a = vec.reshape(P, nty, ntx, nzb, nyb, nxb)
+        return a.transpose(0, 3, 1, 4, 2, 5).reshape(KZ, NY, NX)
+
+    rsh = (sdz, sdy, sdx)
+
+    def build_tables(coefs, shard):
+        ea_loc = _local_glob(coefs.fleck * coefs.sigma_a)
+        es_loc = _local_glob(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
+        ea_t = _slab_tables(ea_loc, rsh, origins, K_reg, f32, per_tab)
+        es_t = _slab_tables(es_loc, rsh, origins, K_reg, f32, per_tab)
+        zero = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
+        z0 = (shard * KZ).astype(i32) if hasattr(shard, "astype") else jnp.int32(
+            shard * KZ
+        )
+        return (ea_t, es_t, zero, zero, zero, z0)
+
+    def round_fn(p, tables, key, rounds, dt):
+        ea_t, es_t, fpx_t, fpy_t, fpz_t, z0 = tables
+        del rounds  # halo slabs make parity alternation unnecessary
+        # ledger -> global cells: integer tile arithmetic (exact), origin
+        # gathers for the float rebase (match transport_grid's convention)
+        b = p.block
+        tx = b % ntx
+        ty = (b // ntx) % nty
+        tz = b // (ntx * nty)
+        gi = tx * nxb + p.i
+        gj = ty * nyb + p.j
+        gk = tz * nzb + p.k
+        gx = p.x + orgx[b]
+        gy = p.y + orgy[b]
+        gz = p.z + orgz[b]
+        gkl = gk - z0
+        owned = (gkl >= 0) & (gkl < KZ)
+        unfinished = p.alive & (p.tau < 1.0) & owned
+        region = (gkl // rnz * NGY + gj // rny) * NGX + gi // rnx
+        keyv = jnp.where(unfinished, region, R_pad).astype(i32)
+
+        counts = jax.ops.segment_sum(
+            jnp.ones((cap,), i32), keyv, num_segments=R_pad + 1
+        )
+        padded = -(-counts // BTILE) * BTILE
+        offs = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)[:-1]])
+        order = _stable_order(keyv, R_pad + 1)
+        keyv_sorted = keyv[order]
+        first = jnp.searchsorted(
+            keyv_sorted, jnp.arange(R_pad + 1, dtype=keyv_sorted.dtype)
+        )
+        rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)
+        dest_sorted = offs[keyv_sorted] + rank_sorted
+
+        src_of_slot = jnp.full((bufcap,), cap, i32).at[dest_sorted].set(order)
+        dest_of_src = jnp.zeros((cap,), i32).at[order].set(dest_sorted)
+
+        cols = (gx, gy, gz, p.vx, p.vy, p.vz, p.tau.astype(f32),
+                gi, gj, gk, p.alive.astype(i32), p.absorbed.astype(i32), p.face)
+        rows_in = _permute_pack(cols, src_of_slot)
+        bufs = [
+            (jax.lax.bitcast_convert_type(rows_in[:, c], f32) if c < 7
+             else rows_in[:, c]).reshape(bufcap // LANES, LANES)
+            for c in range(13)
+        ]
+        tile_starts = jnp.arange(grid, dtype=i32) * BTILE
+        ends = offs + counts
+        tile_regions = jnp.searchsorted(ends, tile_starts, side="right").astype(i32)
+        tile_regions = jnp.minimum(tile_regions, R_pad)
+
+        try:
+            kd = jax.random.key_data(key)
+        except (TypeError, AttributeError):
+            kd = key
+        seed = kd.reshape(-1)[-1].astype(i32)
+        zero_i = jnp.zeros((), i32)
+        intr = jnp.stack([seed, z0, zero_i, zero_i, zero_i, zero_i, zero_i, zero_i])
+        scal = jnp.stack(
+            [jnp.asarray(dt, f32), jnp.asarray(prm.c, f32)]
+            + [jnp.zeros((), f32)] * 6
+        )
+        outs = call(tile_regions, scal, intr, *bufs, ea_t, es_t,
+                    fpx_t, fpy_t, fpz_t)
+        (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
+         balive, babsorbed, bface, ev, it) = outs
+
+        rows_out = _permute_pack(
+            [a.reshape(bufcap) for a in
+             (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
+              balive, babsorbed, bface)],
+            dest_of_src, n_extra_zero_rows=0,
+        )
+
+        def from_buf(c, dtype):
+            return _permute_unpack(rows_out, c, dtype)
+
+        gi_n = from_buf(7, i32)
+        gj_n = from_buf(8, i32)
+        gk_n = from_buf(9, i32)
+        gx_n = from_buf(0, f32)
+        gy_n = from_buf(1, f32)
+        gz_n = from_buf(2, f32)
+        # re-wrap the kernel's unwrapped coordinates on periodic axes (z only
+        # when the axis is not shard-split: split-z crossers pause in range)
+        if per_bc[0]:
+            w = gi_n // NX
+            gi_n = gi_n - w * NX
+            gx_n = gx_n - w.astype(f32) * jnp.float32(x1max - x1min)
+        if per_bc[1]:
+            w = gj_n // NY
+            gj_n = gj_n - w * NY
+            gy_n = gy_n - w.astype(f32) * jnp.float32(x2max - x2min)
+        if per_bc[2]:
+            w = gk_n // NZ
+            gk_n = gk_n - w * NZ
+            gz_n = gz_n - w.astype(f32) * jnp.float32(x3max - x3min)
+        # global -> ledger: integer tile arithmetic (no lookup gather)
+        txn = jnp.clip(gi_n // nxb, 0, ntx - 1)
+        tyn = jnp.clip(gj_n // nyb, 0, nty - 1)
+        tzn = jnp.clip(gk_n // nzb, 0, ntz - 1)
+        tb = (tzn * nty + tyn) * ntx + txn
+        upd = {
+            "block": tb,
+            "i": gi_n - txn * nxb,
+            "j": gj_n - tyn * nyb,
+            "k": gk_n - tzn * nzb,
+            "x": gx_n - orgx[tb],
+            "y": gy_n - orgy[tb],
+            "z": gz_n - orgz[tb],
+            "vx": from_buf(3, f32), "vy": from_buf(4, f32),
+            "vz": from_buf(5, f32), "tau": from_buf(6, f32),
+            "alive": from_buf(10, jnp.bool_),
+            "absorbed": from_buf(11, jnp.bool_),
+            "face": from_buf(12, i32),
+        }
+        p = dataclasses.replace(
+            p, **{k: v.astype(getattr(p, k).dtype) for k, v in upd.items()}
+        )
+        return p, it[0, 0], ev[0, 0]
+
+    return build_tables, round_fn

@@ -184,21 +184,27 @@ def _fixup_subface_arrivals(p, coefs_local, mesh, prm, offset, n_local, key):
 
 def _spatial_pallas_ok(jb, mesh, prm, n_shards, opacity, scattering):
     """Kernel gating for the spatial census rounds, mirroring
-    ``step.py::_pallas_ok``: returns the interpret flag (False = compiled,
-    True = Pallas interpreter for CPU CI) or None for the XLA event loop."""
+    ``step.py::_pallas_ok``: returns ``(kind, interpret)`` — kind "grid"
+    (uniform mesh, z-slab shard ownership, halo-slab straggler fix) or
+    "bucketed" (block-region slabs, any mesh) — or None for the XLA loop."""
     from ..ops import pallas_bucketed as pb
+    from ..ops import pallas_grid as pg
 
     gray = getattr(opacity, "is_gray", True) and getattr(
         scattering, "is_gray", True
     )
     if jb.use_pallas == "off" or jb.dtype != jnp.float32 or not gray:
         return None
-    if not pb.supports_spatial(mesh, prm, n_shards):
+    if pg.supports_spatial(mesh, prm, n_shards):
+        kind = "grid"
+    elif pb.supports_spatial(mesh, prm, n_shards):
+        kind = "bucketed"
+    else:
         return None
     on_tpu = jax.default_backend() == "tpu"
     if jb.use_pallas == "on":
-        return not on_tpu
-    return False if on_tpu else None
+        return kind, not on_tpu
+    return (kind, False) if on_tpu else None
 
 
 def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shard"):
@@ -215,7 +221,7 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
     dtype = jb.dtype
     prm = make_transport_params(cfg, dtype)
     periodic = cfg.mesh.periodic_flags
-    kernel_interpret = _spatial_pallas_ok(
+    kernel_mode = _spatial_pallas_ok(
         jb, mesh, prm, n_shards, opacity, scattering
     )
 
@@ -281,12 +287,20 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
         K = jb.migration_buffer_k or max(64, p.capacity // (2 * n_shards))
         max_rounds = jb.max_migration_rounds
 
-        if kernel_interpret is not None:
-            from ..ops import pallas_bucketed as pb
+        if kernel_mode is not None:
+            kind, interp = kernel_mode
+            if kind == "grid":
+                from ..ops import pallas_grid as pg
 
-            build_tables, kernel_round = pb.make_spatial_transport(
-                mesh, prm, n_shards, p.capacity, interpret=kernel_interpret
-            )
+                build_tables, kernel_round = pg.make_spatial_grid(
+                    mesh, prm, n_shards, p.capacity, interpret=interp
+                )
+            else:
+                from ..ops import pallas_bucketed as pb
+
+                build_tables, kernel_round = pb.make_spatial_transport(
+                    mesh, prm, n_shards, p.capacity, interpret=interp
+                )
             tables = build_tables(coefs_local, shard)
 
             def local_transport(p, rounds):

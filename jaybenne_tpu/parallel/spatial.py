@@ -319,7 +319,15 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             p, rounds, iters_acc, ev_acc, drop_acc, sent_acc, hit_acc, _ = carry
             p, iters, ev = local_transport(p, rounds)
             hit_acc = hit_acc + (iters >= prm.max_iters).astype(jnp.int32)
-            p, mig_dropped, n_sent = migrate(p, offset, Bl, n_shards, K, axis_name)
+            if n_shards > 1:
+                p, mig_dropped, n_sent = migrate(
+                    p, offset, Bl, n_shards, K, axis_name
+                )
+            else:
+                # one shard owns every block: nothing can be in transit, so the
+                # pack/exchange/insert machinery is pure per-round overhead
+                mig_dropped = jnp.zeros((), jnp.int32)
+                n_sent = jnp.zeros((), jnp.int32)
             if smr_ddmc:
                 p = _fixup_subface_arrivals(
                     p, coefs_local, mesh, prm, offset, Bl, rng.fold(k_fix, rounds)

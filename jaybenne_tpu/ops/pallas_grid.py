@@ -847,16 +847,14 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         fpy_t = fpz_t = fpx_t
         Kf_reg = (1, 1, 1)
 
-    # ledger (block, i, j, k) <-> global cells; static block coords via origins
+    # ledger <-> global cells; static block coords via origins. The block id
+    # is pure tile arithmetic (uniform meshes are lexicographic); the float
+    # origin rebase gathers real origins ONCE per step each way.
     borg = np.asarray(mesh.block_origin, np.float64)
     bdx0 = np.asarray(mesh.block_dx, np.float64)[0]
-    x1min, _, x2min, _, x3min, _ = mesh.bounds
-    bcx = jnp.asarray(
-        np.rint((borg[:, 0] - x1min) / (bdx0[0] * mesh.nx)).astype(np.int32))
-    bcy = jnp.asarray(
-        np.rint((borg[:, 1] - x2min) / (bdx0[1] * mesh.ny)).astype(np.int32))
-    bcz = jnp.asarray(
-        np.rint((borg[:, 2] - x3min) / (bdx0[2] * mesh.nz)).astype(np.int32))
+    x1min_, x1max_, x2min_, x2max_, x3min_, x3max_ = mesh.bounds
+    ntz, nty, ntx = mesh.tile_shape
+    nxb, nyb, nzb = mesh.nx, mesh.ny, mesh.nz
     orgx = jnp.asarray(borg[:, 0], f32)
     orgy = jnp.asarray(borg[:, 1], f32)
     orgz = jnp.asarray(borg[:, 2], f32)
@@ -924,24 +922,18 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         interpret=interpret,
     )
 
-    def round_body_t(carry, tables):
-        # tables passed explicitly (not closed over) so the eager-diag jit below
-        # does not embed the multi-MB slab tables as HLO constants (the tunneled
-        # remote-compile endpoint rejects oversized request bodies).
-        ea_t, es_t, fpx_t, fpy_t, fpz_t = tables
-        p, rounds, it_acc, ev_acc = carry
-        unfinished = p.alive & (p.tau < 1.0)
+    # ---- census rounds over a global-cell ledger-order carry ---------------
+    # The loop carry is the 13 particle columns in LEDGER order but GLOBAL-cell
+    # form: the ledger<->global conversion happens once per step, outside the
+    # loop. Each round buckets unfinished particles into the tile-aligned
+    # buffer (one row gather), runs the kernel grid, and gathers results back
+    # to ledger order (one row gather); finished particles ride along in the
+    # dead bucket, preserving their census state.
 
-        gi = bcx[p.block] * mesh.nx + p.i
-        gj = bcy[p.block] * mesh.ny + p.j
-        gk = bcz[p.block] * mesh.nz + p.k
-        gx = p.x + orgx[p.block]
-        gy = p.y + orgy[p.block]
-        gz = p.z + orgz[p.block]
+    def region_of(gi, gj, gk):
+        return (gk // rnz * NGY + gj // rny) * NGX + gi // rnx
 
-        region = (gk // rnz * NGY + gj // rny) * NGX + gi // rnx
-        keyv = jnp.where(unfinished, region, R_pad).astype(i32)
-
+    def bucket(keyv):
         counts = jax.ops.segment_sum(
             jnp.ones((cap,), i32), keyv, num_segments=R_pad + 1
         )
@@ -950,153 +942,143 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         order = _stable_order(keyv, R_pad + 1)
         keyv_sorted = keyv[order]
         first = jnp.searchsorted(
-            keyv_sorted, jnp.arange(R_pad + 1, dtype=keyv_sorted.dtype))
+            keyv_sorted, jnp.arange(R_pad + 1, dtype=keyv_sorted.dtype)
+        )
         rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)
         dest_sorted = offs[keyv_sorted] + rank_sorted  # in [0, bufcap)
-
-        # Apply the permutation with GATHERS, not scatters: TPU lowers an
-        # arbitrary-index scatter far slower than the equivalent gather, and the
-        # old path did one scatter per field each way (26 per round). Two index
-        # scatters build both directions of the slot map; every field then moves
-        # by gather.
         src_of_slot = jnp.full((bufcap,), cap, i32).at[dest_sorted].set(order)
         dest_of_src = jnp.zeros((cap,), i32).at[order].set(dest_sorted)
-
-        cols = (gx, gy, gz, p.vx, p.vy, p.vz, p.tau.astype(f32),
-                gi, gj, gk, p.alive.astype(i32), p.absorbed.astype(i32),
-                p.face)
-        rows_in = _permute_pack(cols, src_of_slot)
-
-        def to_buf(col, dtype):
-            return jax.lax.bitcast_convert_type(
-                rows_in[:, col], dtype
-            ).reshape(bufcap // LANES, LANES) if dtype == f32 else rows_in[
-                :, col
-            ].reshape(bufcap // LANES, LANES)
-
-        bufs = [to_buf(c, f32) for c in range(7)] + [
-            to_buf(c, i32) for c in range(7, 13)
-        ]
         tile_starts = jnp.arange(grid, dtype=i32) * BTILE
         ends = offs + counts
         tile_regions = jnp.searchsorted(ends, tile_starts, side="right").astype(i32)
-        tile_regions = jnp.minimum(tile_regions, R_pad)
+        return src_of_slot, dest_of_src, jnp.minimum(tile_regions, R_pad)
 
+    import os as _os_sk
+
+    _skip_kernel = bool(_os_sk.environ.get("JB_SKIP_KERNEL"))
+
+    def round_fn(cols, rounds):
+        """One bucket round over ledger-order global-cell cols."""
+        unfinished = (cols[10] != 0) & (cols[6] < 1.0)
+        keyv = jnp.where(
+            unfinished, region_of(cols[7], cols[8], cols[9]), R_pad
+        ).astype(i32)
+        src_of_slot, dest_of_src, tile_regions = bucket(keyv)
+        rows_in = _permute_pack(cols, src_of_slot)
+        bufs = [
+            (jax.lax.bitcast_convert_type(rows_in[:, c], f32) if c < 7
+             else rows_in[:, c]).reshape(bufcap // LANES, LANES)
+            for c in range(13)
+        ]
         # golden-ratio increment 0x9E3779B9 as a signed int32
         seed = seed0 + rounds * jnp.int32(-1640531527)
         z0 = jnp.int32(0)
         intr = jnp.stack([seed, z0, z0, z0, z0, z0, z0, z0])
         # JB_SKIP_KERNEL (diagnostic, trace-time): pass buffers through
-        # unchanged instead of running the kernel — isolates the host-side
-        # bucketing cost of a round. Pair with a MAX_BUCKET_ROUNDS override
-        # (rounds cannot converge without transport).
-        import os as _os_sk
-        if _os_sk.environ.get("JB_SKIP_KERNEL"):
-            outs = tuple(bufs) + (
-                jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32))
+        # unchanged — isolates the host-side bucketing cost of a round
+        if _skip_kernel:
+            outs = tuple(bufs) + (jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32))
         else:
             outs = call(tile_regions, scal, intr, *bufs,
                         ea_t, es_t, fpx_t, fpy_t, fpz_t)
-        (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
-         balive, babsorbed, bface, ev, it) = outs
-
-        # one row gather back, directly in ledger order
-        # (slot of ledger index i = dest_of_src[i])
         rows_out = _permute_pack(
-            [b.reshape(bufcap) for b in
-             (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
-              balive, babsorbed, bface)],
+            [outs[c].reshape(bufcap) for c in range(13)],
             dest_of_src, n_extra_zero_rows=0,
         )
-
-        def from_buf(col, dtype):
-            return _permute_unpack(rows_out, col, dtype)
-
-        gi_n = from_buf(7, i32)
-        gj_n = from_buf(8, i32)
-        gk_n = from_buf(9, i32)
-        gx_n = from_buf(0, f32)
-        gy_n = from_buf(1, f32)
-        gz_n = from_buf(2, f32)
+        new_cols = [
+            _permute_unpack(rows_out, c, f32 if c < 7 else i32)
+            for c in range(13)
+        ]
         # re-wrap the kernel's unwrapped coordinates on periodic axes
-        x1min_, x1max_, x2min_, x2max_, x3min_, x3max_ = mesh.bounds
-        if prm.swarm_bc[0] == BC.periodic:
-            w = gi_n // NX
-            gi_n = gi_n - w * NX
-            gx_n = gx_n - w.astype(f32) * jnp.float32(x1max_ - x1min_)
-        if prm.swarm_bc[2] == BC.periodic:
-            w = gj_n // NY
-            gj_n = gj_n - w * NY
-            gy_n = gy_n - w.astype(f32) * jnp.float32(x2max_ - x2min_)
-        if prm.swarm_bc[4] == BC.periodic:
-            w = gk_n // NZ
-            gk_n = gk_n - w * NZ
-            gz_n = gz_n - w.astype(f32) * jnp.float32(x3max_ - x3min_)
-        # global cell -> (block, local) through the lookup grid
-        tb = mesh.lookup[
-            jnp.clip(gk_n // mesh.nz, 0, mesh.tile_shape[0] - 1),
-            jnp.clip(gj_n // mesh.ny, 0, mesh.tile_shape[1] - 1),
-            jnp.clip(gi_n // mesh.nx, 0, mesh.tile_shape[2] - 1),
-        ].astype(i32)
-        back = {
-            "block": tb,
-            "i": gi_n - (gi_n // mesh.nx) * mesh.nx,
-            "j": gj_n - (gj_n // mesh.ny) * mesh.ny,
-            "k": gk_n - (gk_n // mesh.nz) * mesh.nz,
-            "x": gx_n - orgx[tb],
-            "y": gy_n - orgy[tb],
-            "z": gz_n - orgz[tb],
-            "vx": from_buf(3, f32), "vy": from_buf(4, f32),
-            "vz": from_buf(5, f32), "tau": from_buf(6, f32),
-            "alive": from_buf(10, jnp.bool_),
-            "absorbed": from_buf(11, jnp.bool_),
-            "face": from_buf(12, i32),
-        }
-        upd = {
-            name: vals.astype(getattr(p, name).dtype)
-            for name, vals in back.items()
-        }
-        p = dataclasses.replace(p, **upd)
-        return p, rounds + 1, it_acc + it[0, 0], ev_acc + ev[0, 0]
+        if per[0]:
+            w = new_cols[7] // NX
+            new_cols[7] = new_cols[7] - w * NX
+            new_cols[0] = new_cols[0] - w.astype(f32) * jnp.float32(x1max_ - x1min_)
+        if per[1]:
+            w = new_cols[8] // NY
+            new_cols[8] = new_cols[8] - w * NY
+            new_cols[1] = new_cols[1] - w.astype(f32) * jnp.float32(x2max_ - x2min_)
+        if per[2]:
+            w = new_cols[9] // NZ
+            new_cols[9] = new_cols[9] - w * NZ
+            new_cols[2] = new_cols[2] - w.astype(f32) * jnp.float32(x3max_ - x3min_)
+        # kernel stat outputs: [13] = events (summed), [14] = iterations (max)
+        return tuple(new_cols), outs[14][0, 0], outs[13][0, 0]
 
-    tables = (ea_t, es_t, fpx_t, fpy_t, fpz_t)
+    # ledger -> global-cell cols (once per step; tile ids are arithmetic)
+    b = p.block
+    tx = b % ntx
+    ty = (b // ntx) % nty
+    tz = b // (ntx * nty)
+    cols = (
+        p.x + orgx[b], p.y + orgy[b], p.z + orgz[b],
+        p.vx, p.vy, p.vz, p.tau.astype(f32),
+        tx * nxb + p.i, ty * nyb + p.j, tz * nzb + p.k,
+        p.alive.astype(i32), p.absorbed.astype(i32), p.face,
+    )
 
-    def round_body(carry):
-        return round_body_t(carry, tables)
+    def loop_body(carry):
+        cols, rounds, it_acc, ev_acc = carry
+        cols, it, ev = round_fn(cols, rounds)
+        return cols, rounds + 1, it_acc + it, ev_acc + ev
 
-    def round_cond(carry):
-        p, rounds, _, _ = carry
-        return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(p.alive & (p.tau < 1.0))
+    def loop_cond(carry):
+        cols, rounds, _, _ = carry
+        return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(
+            (cols[10] != 0) & (cols[6] < 1.0)
+        )
 
     import os as _os
     if _os.environ.get("JB_DIAG_ROUNDS"):  # eager per-round diagnostics
         import sys as _sys
         import time as _t
 
-        carry = (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32))
-        rb = jax.jit(round_body_t)
+        rb = jax.jit(loop_body)
+        carry = (cols, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32))
         while int(carry[1]) < MAX_BUCKET_ROUNDS and bool(
-            jnp.any(carry[0].alive & (carry[0].tau < 1.0))
+            jnp.any((carry[0][10] != 0) & (carry[0][6] < 1.0))
         ):
-            u = int((carry[0].alive & (carry[0].tau < 1.0)).sum())
-            it0 = int(carry[2])
+            u = int(((carry[0][10] != 0) & (carry[0][6] < 1.0)).sum())
             t0 = _t.perf_counter()
-            carry = rb(carry, tables)
-            jax.block_until_ready(carry[0].x)
+            carry = rb(carry)
+            jax.block_until_ready(carry[0][0])
             print(
                 f"round {int(carry[1])-1}: unfinished {u} "
-                f"iters {int(carry[2])-it0} took {_t.perf_counter()-t0:.3f}s",
+                f"took {_t.perf_counter()-t0:.3f}s",
                 file=_sys.stderr,
             )
-        p, rounds, iters, events = carry
-        return p, iters, events
+        cols, rounds, iters, events = carry
+    else:
+        cols, rounds, iters, events = jax.lax.while_loop(
+            loop_cond,
+            loop_body,
+            (cols, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32)),
+        )
 
-    p, rounds, iters, events = jax.lax.while_loop(
-        round_cond,
-        round_body,
-        (p, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32)),
+    # global-cell cols -> ledger (tile ids arithmetic; origins gathered once)
+    gi_n, gj_n, gk_n = cols[7], cols[8], cols[9]
+    txn = jnp.clip(gi_n // nxb, 0, ntx - 1)
+    tyn = jnp.clip(gj_n // nyb, 0, nty - 1)
+    tzn = jnp.clip(gk_n // nzb, 0, ntz - 1)
+    tb = (tzn * nty + tyn) * ntx + txn
+    back = {
+        "block": tb,
+        "i": gi_n - txn * nxb,
+        "j": gj_n - tyn * nyb,
+        "k": gk_n - tzn * nzb,
+        "x": cols[0] - orgx[tb],
+        "y": cols[1] - orgy[tb],
+        "z": cols[2] - orgz[tb],
+        "vx": cols[3], "vy": cols[4], "vz": cols[5], "tau": cols[6],
+        "alive": cols[10].astype(jnp.bool_),
+        "absorbed": cols[11].astype(jnp.bool_),
+        "face": cols[12],
+    }
+    p = dataclasses.replace(
+        p, **{k: v.astype(getattr(p, k).dtype) for k, v in back.items()}
     )
     return p, iters, events
+
 
 
 # --------------------------------------------------------------------- spatial

@@ -48,15 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import BC
 from .pallas_transport import GREP, LANES, _chunk_table, _gather
 
-BSUB = 16                  # sublane groups per tile. Tile size trades lane
-#   occupancy against fixed per-iteration cost: regions hold ~1e3 particles at
-#   production densities, so 8192-lane tiles ran ~20% full (measured r2: big-mesh
-#   step 16.5s); 2048-lane tiles pack ~4x denser and the per-iteration cost of
-#   the chunk-scan gathers + event body scales with BSUB.
+BSUB = 32                  # sublane groups per tile (4096-lane tiles).
+#   r3 v5e sweep at 64^3 (200k particles): the kernel cost is dominated by
+#   FIXED per-tile-iteration overhead x occupied tiles, and host bucketing by
+#   tile padding waste (~BTILE/2 per occupied region), so FEWER regions with
+#   BIGGER tiles wins despite longer chunk scans: (REGION 16384, BSUB 32)
+#   0.589 s/step vs (8192, 16) 0.712 under equal load. 4-cell region cores
+#   (REGION 2048 on 64^3) cause pause storms — keep cores >= 8 cells.
 BTILE = BSUB * LANES
-REGION_CELLS_IMC = 8192    # target cells per region slab (IMC: 1 gathered table)
+REGION_CELLS_IMC = 16384   # target cells per region slab (IMC: 1 gathered table)
 REGION_CELLS_DDMC = 2048   # smaller for DDMC: 3 cell + 3 face tables per event
-MAX_REGION_CHUNKS = 64     # slab gather cost cap (3 vector ops per chunk scanned)
+MAX_REGION_CHUNKS = 128    # slab gather cost cap (3 vector ops per chunk scanned)
 MAX_BUCKET_ROUNDS = 256    # outer re-bucketing rounds (hang backstop)
 
 

@@ -221,6 +221,38 @@ def test_spatial_matches_particle_mode_fast():
     assert np.isclose(ts.sum(), tp.sum(), rtol=1e-4)
 
 
+def test_bench_spatial_config_stays_on_grid_kernel():
+    """Routing guard: the 64^3 bench mesh must stay eligible for the spatial
+    GRID kernel at 1..8 shards (a support regression would silently drop the
+    spatial bench row ~10x to the bucketed/XLA paths)."""
+    import jax.numpy as jnp
+
+    from jaybenne_tpu.mesh import build_mesh
+    from jaybenne_tpu.ops import pallas_grid as pg
+    from jaybenne_tpu.step import make_transport_params
+
+    deck = Deck.parse(DECK).update(
+        {
+            "parthenon/mesh/nx1": 64, "parthenon/mesh/nx2": 64,
+            "parthenon/mesh/nx3": 64,
+            "parthenon/meshblock/nx1": 8, "parthenon/meshblock/nx2": 8,
+            "parthenon/meshblock/nx3": 8,
+        }
+    )
+    cfg = cfg_mod.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    for n in (1, 2, 4, 8):
+        assert pg.supports_spatial(mesh, prm, n), n
+    # 1D multi-shard ownership is not a z-slab: must be rejected, not wrong
+    deck1d = Deck.parse(DECK).update({"parthenon/mesh/nx1": 16, "parthenon/meshblock/nx1": 4})
+    cfg1 = cfg_mod.from_deck(deck1d)
+    mesh1 = build_mesh(cfg1.mesh)
+    prm1 = make_transport_params(cfg1, jnp.float32)
+    assert pg.supports_spatial(mesh1, prm1, 1)
+    assert not pg.supports_spatial(mesh1, prm1, 2)
+
+
 def test_boundary_surface_face_probs_bitwise():
     """VERDICT r2 #6: the spatial DDMC face-probability construction exchanges
     only each block's boundary-surface sigma_t (O(surface) per device), and its

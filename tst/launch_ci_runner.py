@@ -38,7 +38,11 @@ MATRIX = [
     # TPU-build extensions beyond the reference matrix: 3D SMR+DDMC proof and
     # the spatial (block-sharded) decomposition end to end
     ("stepdiff_3d.py", "stepdiff_3d_smr_ddmc.in", 1, ()),
-    ("stepdiff.py", "stepdiff.in", 8, ("--decomposition", "spatial")),
+    # spatial needs >= 1 block per shard (the stepdiff gate pins a single
+    # 128-cell block) and capacity headroom for the hot-side shards
+    ("stepdiff.py", "stepdiff.in", 8,
+     ("--decomposition", "spatial", "--override", "parthenon/meshblock/nx1=16",
+      "--override", "jaybenne/capacity_factor=4")),
 ]
 
 

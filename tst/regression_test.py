@@ -60,6 +60,11 @@ def get_default_parser():
         choices=[None, "particle", "spatial"],
         help="distribution strategy override (deck default otherwise)",
     )
+    parser.add_argument(
+        "--override", action="append", default=[], metavar="block/key=value",
+        help="extra deck overrides applied after the gate's pinned values "
+        "(the driver CLI's override syntax)",
+    )
     return parser
 
 
@@ -100,8 +105,17 @@ def _load_last_dump(problem_id, outdir):
     return jhdf.jhdf(latest_dump(problem_id, outdir))
 
 
+def _merge_overrides(args, modified_inputs):
+    mods = dict(modified_inputs or {})
+    for ov in getattr(args, "override", []) or []:
+        k, _, v = ov.partition("=")
+        mods[k] = v
+    return mods
+
+
 def analytic_comparison(args, variables, solutions, modified_inputs={}, tolerance=1.0e-10):
     input_file = os.path.join(_ROOT, "inputs", args.input)
+    modified_inputs = _merge_overrides(args, modified_inputs)
 
     print("\n=== ANALYTIC COMPARISON TEST PROBLEM ===")
     print(f"= input:        {args.input}")
@@ -189,6 +203,7 @@ def analytic_comparison(args, variables, solutions, modified_inputs={}, toleranc
 def gold_comparison(args, variables, modified_inputs={}, compression_factor=1, tolerance=0.2):
     """Compare against stored ``.gold`` arrays (regenerate with ``--upgold``)."""
     input_file = os.path.join(_ROOT, "inputs", args.input)
+    modified_inputs = _merge_overrides(args, modified_inputs)
     gold_name = os.path.join(_HERE, "goldfiles", os.path.splitext(args.input)[0] + ".gold.npz")
 
     outdir = tempfile.mkdtemp(prefix="jbtpu_gold_")

@@ -60,6 +60,9 @@ REGION_CELLS_IMC = 16384   # target cells per region slab (IMC: 1 gathered table
 REGION_CELLS_DDMC = 2048   # smaller for DDMC: 3 cell + 3 face tables per event
 MAX_REGION_CHUNKS = 128    # slab gather cost cap (3 vector ops per chunk scanned)
 MAX_BUCKET_ROUNDS = 256    # outer re-bucketing rounds (hang backstop)
+TAIL_DIV = 4               # tail-round buffer = bufcap/TAIL_DIV (tile-aligned):
+#   rounds >= 1 gather only still-unfinished rows (typically 10-25% after
+#   round 0) into this smaller buffer; overflow waits for the next round.
 
 
 def _grid_dims(mesh):
@@ -276,13 +279,58 @@ def _unpack_col(rows, off, dtype):
 
 
 def _slab_tables(
-    glob, rshape, origins, K, dtype, periodic=(False, False, False), wrap=None
+    glob, rshape, rn, ng, halo, K, dtype, periodic=(False, False, False),
+    wrap=None,
 ):
     """Slice a global [GZ, GY, GX] array into per-region slabs in chunked-lane
-    layout: [(R_pad+1) * K * GREP, LANES]. Out-of-domain halo entries WRAP on
+    layout: [(R_pad+1) * K * GREP, LANES]. Regions form the regular grid
+    ``ng`` of ``rn``-cell cores with per-axis ``halo``; the slab per-axis
+    index sets are SEPARABLE, so the extraction is three axis-aligned takes
+    with trace-time-constant indices (contiguous-slice gathers at HBM
+    bandwidth) instead of one flat arbitrary-index gather (~26 ns/element on
+    v5e — 13 ms/table at 64^3, measured). Out-of-domain halo entries WRAP on
     periodic axes (the kernel runs unwrapped coordinates there) and are 0 on
     physical axes. ``wrap`` overrides the wrap period per (x, y, z) axis — face
     arrays wrap modulo the CELL count (face N is face 0), not the array size."""
+    GZ, GY, GX = glob.shape
+    wx, wy, wz = wrap if wrap is not None else (GX, GY, GZ)
+    rz, ry, rx = rshape
+    (rnx, rny, rnz), (NGX, NGY, NGZ), (hx, hy, hz) = rn, ng, halo
+
+    def axis_idx(NG, rnd, h, rdim, G, w, per):
+        base = (
+            np.arange(NG)[:, None] * rnd - h + np.arange(rdim)[None, :]
+        ).reshape(-1)
+        oob = (base < 0) | (base >= G)
+        if per:
+            idx = np.where(oob, np.mod(base, w), base)
+            ok = np.ones_like(base, bool)
+        else:
+            idx = np.clip(base, 0, G - 1)
+            ok = ~oob
+        return jnp.asarray(idx, jnp.int32), jnp.asarray(ok)
+
+    ix, okx = axis_idx(NGX, rnx, hx, rx, GX, wx, periodic[0])
+    iy, oky = axis_idx(NGY, rny, hy, ry, GY, wy, periodic[1])
+    iz, okz = axis_idx(NGZ, rnz, hz, rz, GZ, wz, periodic[2])
+    a = jnp.take(glob, iz, axis=0)
+    a = jnp.take(a, iy, axis=1)
+    a = jnp.take(a, ix, axis=2)
+    mask = okz[:, None, None] & oky[None, :, None] & okx[None, None, :]
+    vals = jnp.where(mask, a, 0).astype(dtype)
+    vals = vals.reshape(NGZ, rz, NGY, ry, NGX, rx).transpose(0, 2, 4, 1, 3, 5)
+    slabs = vals.reshape(NGZ * NGY * NGX, rz * ry * rx)
+    tabs = jax.vmap(lambda s: _chunk_table(s, dtype, K))(slabs)
+    zero = jnp.zeros((1, K * GREP, LANES), dtype)
+    return jnp.concatenate([tabs, zero], axis=0).reshape(-1, LANES)
+
+
+def _slab_tables_gather(
+    glob, rshape, origins, K, dtype, periodic=(False, False, False), wrap=None
+):
+    """Flat-gather reference implementation of ``_slab_tables`` (kept as the
+    correctness oracle for tests: the separable build must match it bitwise
+    for regular-grid origins)."""
     GZ, GY, GX = glob.shape
     wx, wy, wz = wrap if wrap is not None else (GX, GY, GZ)
     rz, ry, rx = rshape
@@ -812,13 +860,6 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     NGX, NGY, NGZ = ng
     R_pad = NGX * NGY * NGZ
 
-    # slab origins = core origin - halo (negative at edges; zero-padded)
-    rc = jnp.arange(R_pad, dtype=i32)
-    rcx, rcy, rcz = rc % NGX, (rc // NGX) % NGY, rc // (NGX * NGY)
-    origins = jnp.stack(
-        [rcx * rnx - hx, rcy * rny - hy, rcz * rnz - hz], axis=1
-    )
-
     def glob_cells(vec):
         return _to_global(mesh, vec.reshape(mesh.n_blocks, mesh.nz, mesh.ny, mesh.nx))
 
@@ -832,18 +873,19 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     #   ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a
     ea_g = glob_cells(coefs.fleck * coefs.sigma_a)
     es_g = glob_cells(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
-    ea_t = _slab_tables(ea_g, rsh, origins, K_reg, f32, per)
-    es_t = _slab_tables(es_g, rsh, origins, K_reg, f32, per)
+    lay = dict(rn=rn, ng=ng, halo=halo)
+    ea_t = _slab_tables(ea_g, rsh, K=K_reg, dtype=f32, periodic=per, **lay)
+    es_t = _slab_tables(es_g, rsh, K=K_reg, dtype=f32, periodic=per, **lay)
     if prm.use_ddmc:
         fpx_t = _slab_tables(
             _faces_to_global(mesh, coefs.px, 0), (sdz, sdy, sdx + 1),
-            origins, Kf_reg[0], f32, per, wrap=(NX, NY, NZ))
+            K=Kf_reg[0], dtype=f32, periodic=per, wrap=(NX, NY, NZ), **lay)
         fpy_t = _slab_tables(
             _faces_to_global(mesh, coefs.py, 1), (sdz, sdy + 1, sdx),
-            origins, Kf_reg[1], f32, per, wrap=(NX, NY, NZ))
+            K=Kf_reg[1], dtype=f32, periodic=per, wrap=(NX, NY, NZ), **lay)
         fpz_t = _slab_tables(
             _faces_to_global(mesh, coefs.pz, 2), (sdz + 1, sdy, sdx),
-            origins, Kf_reg[2], f32, per, wrap=(NX, NY, NZ))
+            K=Kf_reg[2], dtype=f32, periodic=per, wrap=(NX, NY, NZ), **lay)
     else:
         fpx_t = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
         fpy_t = fpz_t = fpx_t
@@ -898,39 +940,54 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     )
     stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ]
-        + [part_spec] * 13
-        + [slab(K_reg * GREP)] * 2
-        + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)],
-        out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
-    )
-    out_shapes = tuple(
-        [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
-        + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 6
-        + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
-    )
+    def mk_call(g):
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
+            + [part_spec] * 13
+            + [slab(K_reg * GREP)] * 2
+            + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP),
+               slab(Kf_reg[2] * GREP)],
+            out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
+        )
+        shapes = tuple(
+            [jax.ShapeDtypeStruct((g * BTILE // LANES, LANES), f32)] * 7
+            + [jax.ShapeDtypeStruct((g * BTILE // LANES, LANES), i32)] * 6
+            + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=shapes,
+            input_output_aliases={i + 3: i for i in range(13)},
+            interpret=interpret,
+        )
 
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        input_output_aliases={i + 3: i for i in range(13)},
-        interpret=interpret,
-    )
+    call = mk_call(grid)
+    # tail rounds run over a quarter-size buffer: after round 0 only
+    # region-crossers remain unfinished (typically 10-25% of particles), so
+    # packing them densely shrinks both the per-round permutation gathers and
+    # the kernel grid (sparse tiles each replay their stragglers' full
+    # iteration tails — dense tiles don't).
+    tail_bufcap = min(bufcap, max(BTILE, (bufcap // TAIL_DIV) // BTILE * BTILE))
+    tail_grid = tail_bufcap // BTILE
+    tail_call = mk_call(tail_grid) if tail_grid < grid else call
 
-    # ---- census rounds over a global-cell ledger-order carry ---------------
-    # The loop carry is the 13 particle columns in LEDGER order but GLOBAL-cell
-    # form: the ledger<->global conversion happens once per step, outside the
-    # loop. Each round buckets unfinished particles into the tile-aligned
-    # buffer (one row gather), runs the kernel grid, and gathers results back
-    # to ledger order (one row gather); finished particles ride along in the
-    # dead bucket, preserving their census state.
+    # ---- census rounds over the bucketed buffer --------------------------
+    # Round 0 buckets the whole ledger into the tile-aligned buffer (one row
+    # gather) and runs the full kernel grid; the loop carry is that buffer as
+    # a packed (bufcap, 13) i32 row matrix. Later rounds gather ONLY the
+    # still-unfinished rows into the small tail buffer, run the tail grid,
+    # and scatter the rows back in place — finished particles never move
+    # again, and the ledger-order restore is a single row gather through
+    # round 0's slot map after the loop. Coordinates on periodic axes stay
+    # unwrapped inside the buffer (the kernel unwraps across seam slabs);
+    # tail re-bucketing wraps cells transiently for region keying and
+    # re-wraps the rows it hands to the kernel.
 
     def region_of(gi, gj, gk):
         return (gk // rnz * NGY + gj // rny) * NGX + gi // rnx
@@ -959,19 +1016,91 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
 
     _skip_kernel = bool(_os_sk.environ.get("JB_SKIP_KERNEL"))
 
-    def round_fn(cols, rounds):
-        """One bucket round over ledger-order global-cell cols."""
-        unfinished = (cols[10] != 0) & (cols[6] < 1.0)
-        keyv = jnp.where(
-            unfinished, region_of(cols[7], cols[8], cols[9]), R_pad
+    def bucket_tail(keyv):
+        """Bucket unfinished buffer slots into the tail buffer: the first
+        ``tail_bufcap`` unfinished rows in region-sorted order get slots
+        (overflow stays paused in place for the next round). Returns
+        (slot_src, tile_regions): the buffer row feeding each tail slot
+        (``bufcap`` = empty) and the region of each tail tile."""
+        counts = jax.ops.segment_sum(
+            jnp.ones((bufcap,), i32), keyv, num_segments=R_pad + 1
+        )
+        padded = -(-counts // BTILE) * BTILE
+        offs = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)[:-1]])
+        order = _stable_order(keyv, R_pad + 1)
+        keyv_sorted = keyv[order]
+        first = jnp.searchsorted(
+            keyv_sorted, jnp.arange(R_pad + 1, dtype=keyv_sorted.dtype)
+        )
+        rank_sorted = (
+            jnp.arange(bufcap, dtype=i32) - first[keyv_sorted].astype(i32)
+        )
+        dest_sorted = offs[keyv_sorted] + rank_sorted
+        sel = (keyv_sorted != R_pad) & (dest_sorted < tail_bufcap)
+        dest = jnp.where(sel, dest_sorted, tail_bufcap)
+        slot_src = (
+            jnp.full((tail_bufcap + 1,), bufcap, i32).at[dest].set(order)
+        )[:tail_bufcap]
+        tile_starts = jnp.arange(tail_grid, dtype=i32) * BTILE
+        ends = offs + counts
+        tile_regions = jnp.searchsorted(
+            ends, tile_starts, side="right"
         ).astype(i32)
-        src_of_slot, dest_of_src, tile_regions = bucket(keyv)
-        rows_in = _permute_pack(cols, src_of_slot)
-        bufs = [
-            (jax.lax.bitcast_convert_type(rows_in[:, c], f32) if c < 7
-             else rows_in[:, c]).reshape(bufcap // LANES, LANES)
+        return slot_src, jnp.minimum(tile_regions, R_pad)
+
+    def rewrap_cols(cols_):
+        """Re-wrap kernel-unwrapped coordinates on periodic axes (13 columns;
+        positions f32, cells i32)."""
+        cols_ = list(cols_)
+        if per[0]:
+            w = cols_[7] // NX
+            cols_[7] = cols_[7] - w * NX
+            cols_[0] = cols_[0] - w.astype(f32) * jnp.float32(x1max_ - x1min_)
+        if per[1]:
+            w = cols_[8] // NY
+            cols_[8] = cols_[8] - w * NY
+            cols_[1] = cols_[1] - w.astype(f32) * jnp.float32(x2max_ - x2min_)
+        if per[2]:
+            w = cols_[9] // NZ
+            cols_[9] = cols_[9] - w * NZ
+            cols_[2] = cols_[2] - w.astype(f32) * jnp.float32(x3max_ - x3min_)
+        return cols_
+
+    def rows_to_cols(rows):
+        return [
+            (jax.lax.bitcast_convert_type(rows[:, c], f32) if c < 7
+             else rows[:, c])
             for c in range(13)
         ]
+
+    def cols_to_rows(cols_):
+        return jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(c_, i32) if c < 7
+                else c_.astype(i32)
+                for c, c_ in enumerate(cols_)
+            ],
+            axis=1,
+        )
+
+    def rows_to_bufs(rows, n):
+        return [
+            (jax.lax.bitcast_convert_type(rows[:, c], f32) if c < 7
+             else rows[:, c]).reshape(n // LANES, LANES)
+            for c in range(13)
+        ]
+
+    def outs_to_rows(outs, n):
+        return jnp.stack(
+            [
+                (jax.lax.bitcast_convert_type(outs[c], i32) if c < 7
+                 else outs[c]).reshape(n)
+                for c in range(13)
+            ],
+            axis=1,
+        )
+
+    def run_kernel(callee, tile_regions, rounds, bufs):
         # golden-ratio increment 0x9E3779B9 as a signed int32
         seed = seed0 + rounds * jnp.int32(-1640531527)
         z0 = jnp.int32(0)
@@ -979,33 +1108,63 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         # JB_SKIP_KERNEL (diagnostic, trace-time): pass buffers through
         # unchanged — isolates the host-side bucketing cost of a round
         if _skip_kernel:
-            outs = tuple(bufs) + (jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32))
-        else:
-            outs = call(tile_regions, scal, intr, *bufs,
-                        ea_t, es_t, fpx_t, fpy_t, fpz_t)
-        rows_out = _permute_pack(
-            [outs[c].reshape(bufcap) for c in range(13)],
-            dest_of_src, n_extra_zero_rows=0,
+            return tuple(bufs) + (
+                jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32)
+            )
+        return callee(tile_regions, scal, intr, *bufs,
+                      ea_t, es_t, fpx_t, fpy_t, fpz_t)
+
+    def buf_unfinished(Bm):
+        tau = jax.lax.bitcast_convert_type(Bm[:, 6], f32)
+        return (Bm[:, 10] != 0) & (tau < 1.0)
+
+    def full_round(Bm):
+        """Round 0: bucket the whole ledger (rows [:cap] of Bm) into the
+        tile-aligned buffer, run the full kernel grid. Returns the buffer
+        row matrix and the ledger->slot map for the final restore."""
+        M = Bm[:cap]
+        tau = jax.lax.bitcast_convert_type(M[:, 6], f32)
+        unfinished = (M[:, 10] != 0) & (tau < 1.0)
+        keyv = jnp.where(
+            unfinished, region_of(M[:, 7], M[:, 8], M[:, 9]), R_pad
+        ).astype(i32)
+        src_of_slot, dest_of_src, tile_regions = bucket(keyv)
+        rows_in = jnp.concatenate([M, jnp.zeros((1, 13), i32)])[src_of_slot]
+        outs = run_kernel(
+            call, tile_regions, jnp.int32(0), rows_to_bufs(rows_in, bufcap)
         )
-        new_cols = [
-            _permute_unpack(rows_out, c, f32 if c < 7 else i32)
-            for c in range(13)
-        ]
-        # re-wrap the kernel's unwrapped coordinates on periodic axes
+        return (
+            outs_to_rows(outs, bufcap), dest_of_src,
+            outs[14][0, 0], outs[13][0, 0],
+        )
+
+    def tail_round(Bm, rounds):
+        """Rounds >= 1: gather only still-unfinished rows into the tail
+        buffer, run the tail grid, scatter the rows back in place. Buffer
+        coordinates stay unwrapped between rounds; region keying wraps
+        transiently and the rows handed to the kernel are re-wrapped."""
+        unfinished = buf_unfinished(Bm)
+        gi, gj, gk = Bm[:, 7], Bm[:, 8], Bm[:, 9]
         if per[0]:
-            w = new_cols[7] // NX
-            new_cols[7] = new_cols[7] - w * NX
-            new_cols[0] = new_cols[0] - w.astype(f32) * jnp.float32(x1max_ - x1min_)
+            gi = gi - gi // NX * NX
         if per[1]:
-            w = new_cols[8] // NY
-            new_cols[8] = new_cols[8] - w * NY
-            new_cols[1] = new_cols[1] - w.astype(f32) * jnp.float32(x2max_ - x2min_)
+            gj = gj - gj // NY * NY
         if per[2]:
-            w = new_cols[9] // NZ
-            new_cols[9] = new_cols[9] - w * NZ
-            new_cols[2] = new_cols[2] - w.astype(f32) * jnp.float32(x3max_ - x3min_)
-        # kernel stat outputs: [13] = events (summed), [14] = iterations (max)
-        return tuple(new_cols), outs[14][0, 0], outs[13][0, 0]
+            gk = gk - gk // NZ * NZ
+        keyv = jnp.where(unfinished, region_of(gi, gj, gk), R_pad).astype(i32)
+        slot_src, tile_regions = bucket_tail(keyv)
+        rows = jnp.concatenate([Bm, jnp.zeros((1, 13), i32)])[slot_src]
+        if per[0] or per[1] or per[2]:
+            rows = cols_to_rows(rewrap_cols(rows_to_cols(rows)))
+        outs = run_kernel(
+            tail_call, tile_regions, rounds, rows_to_bufs(rows, tail_bufcap)
+        )
+        rows_out = outs_to_rows(outs, tail_bufcap)
+        Bm_new = (
+            jnp.concatenate([Bm, jnp.zeros((1, 13), i32)])
+            .at[slot_src].set(rows_out)
+        )[:bufcap]
+        return Bm_new, outs[14][0, 0], outs[13][0, 0]
 
     # ledger -> global-cell cols (once per step; tile ids are arithmetic)
     b = p.block
@@ -1019,43 +1178,62 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         p.alive.astype(i32), p.absorbed.astype(i32), p.face,
     )
 
+    M0 = cols_to_rows(cols)
+    Bm0 = jnp.concatenate([M0, jnp.zeros((bufcap - cap, 13), i32)])
+
     def loop_body(carry):
-        cols, rounds, it_acc, ev_acc = carry
-        cols, it, ev = round_fn(cols, rounds)
-        return cols, rounds + 1, it_acc + it, ev_acc + ev
+        Bm, dest_of_src, rounds, it_acc, ev_acc = carry
+
+        def do_full(Bm_dos):
+            Bm, _ = Bm_dos
+            return full_round(Bm)
+
+        def do_tail(Bm_dos):
+            Bm, dos = Bm_dos
+            Bm, it, ev = tail_round(Bm, rounds)
+            return Bm, dos, it, ev
+
+        Bm, dest_of_src, it, ev = jax.lax.cond(
+            rounds == 0, do_full, do_tail, (Bm, dest_of_src)
+        )
+        return Bm, dest_of_src, rounds + 1, it_acc + it, ev_acc + ev
 
     def loop_cond(carry):
-        cols, rounds, _, _ = carry
-        return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(
-            (cols[10] != 0) & (cols[6] < 1.0)
-        )
+        Bm, _, rounds, _, _ = carry
+        return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(buf_unfinished(Bm))
 
+    carry0 = (
+        Bm0, jnp.arange(cap, dtype=i32), jnp.zeros((), i32),
+        jnp.zeros((), i32), jnp.zeros((), i32),
+    )
     import os as _os
     if _os.environ.get("JB_DIAG_ROUNDS"):  # eager per-round diagnostics
         import sys as _sys
         import time as _t
 
         rb = jax.jit(loop_body)
-        carry = (cols, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32))
-        while int(carry[1]) < MAX_BUCKET_ROUNDS and bool(
-            jnp.any((carry[0][10] != 0) & (carry[0][6] < 1.0))
+        carry = carry0
+        while int(carry[2]) < MAX_BUCKET_ROUNDS and bool(
+            jnp.any(buf_unfinished(carry[0]))
         ):
-            u = int(((carry[0][10] != 0) & (carry[0][6] < 1.0)).sum())
+            u = int(buf_unfinished(carry[0]).sum())
             t0 = _t.perf_counter()
             carry = rb(carry)
-            jax.block_until_ready(carry[0][0])
+            jax.block_until_ready(carry[0])
             print(
-                f"round {int(carry[1])-1}: unfinished {u} "
+                f"round {int(carry[2])-1}: unfinished {u} "
                 f"took {_t.perf_counter()-t0:.3f}s",
                 file=_sys.stderr,
             )
-        cols, rounds, iters, events = carry
     else:
-        cols, rounds, iters, events = jax.lax.while_loop(
-            loop_cond,
-            loop_body,
-            (cols, jnp.zeros((), i32), jnp.zeros((), i32), jnp.zeros((), i32)),
-        )
+        carry = jax.lax.while_loop(loop_cond, loop_body, carry0)
+    Bm, dest_of_src, rounds, iters, events = carry
+
+    # buffer -> ledger order: one row gather through round 0's slot map
+    # (tail rounds scatter in place, so the map stays valid), then a final
+    # periodic re-wrap (buffer coordinates stay unwrapped between rounds).
+    # If the loop never ran, dest_of_src is the identity and Bm[:cap] = M0.
+    cols = rewrap_cols(rows_to_cols(Bm[dest_of_src]))
 
     # global-cell cols -> ledger (tile ids arithmetic; origins gathered once)
     gi_n, gj_n, gk_n = cols[7], cols[8], cols[9]
@@ -1138,10 +1316,6 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
     sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz
     R_pad = NGX * NGY * NGZ
 
-    rc = jnp.arange(R_pad, dtype=i32)
-    rcx, rcy, rcz = rc % NGX, (rc // NGX) % NGY, rc // (NGX * NGY)
-    origins = jnp.stack([rcx * rnx - hx, rcy * rny - hy, rcz * rnz - hz], axis=1)
-
     per_bc = (
         prm.swarm_bc[0] == BC.periodic,
         prm.swarm_bc[2] == BC.periodic,
@@ -1218,8 +1392,12 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
     def build_tables(coefs, shard):
         ea_loc = _local_glob(coefs.fleck * coefs.sigma_a)
         es_loc = _local_glob(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
-        ea_t = _slab_tables(ea_loc, rsh, origins, K_reg, f32, per_tab)
-        es_t = _slab_tables(es_loc, rsh, origins, K_reg, f32, per_tab)
+        ea_t = _slab_tables(
+            ea_loc, rsh, rn, ng, halo, K_reg, f32, per_tab
+        )
+        es_t = _slab_tables(
+            es_loc, rsh, rn, ng, halo, K_reg, f32, per_tab
+        )
         zero = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
         z0 = (shard * KZ).astype(i32) if hasattr(shard, "astype") else jnp.int32(
             shard * KZ

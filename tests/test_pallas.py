@@ -817,3 +817,151 @@ def test_epbremss_per_event_in_kernel():
         abs(out["on"]["mean_E"] - out["off"]["mean_E"]) / out["off"]["mean_E"]
         < 0.3
     )
+
+
+def test_slab_tables_separable_matches_gather_oracle():
+    """The separable (three axis-take) slab-table build must reproduce the
+    flat-gather reference bitwise: cell tables and face tables (+1-sized axis,
+    modulo-cell wrap), periodic and physical axes, halo over/under-hang."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    rng = np.random.default_rng(7)
+    for dims, rn, ng, halo, per in [
+        ((12, 8, 6), (4, 4, 3), (3, 2, 2), (2, 2, 1), (True, False, True)),
+        ((16, 16, 1), (8, 4, 1), (2, 4, 1), (3, 2, 0), (False, True, False)),
+        ((10, 6, 8), (5, 6, 2), (2, 1, 4), (2, 0, 2), (True, True, True)),
+    ]:
+        NX, NY, NZ = dims
+        (rnx, rny, rnz), (NGX, NGY, NGZ) = rn, ng
+        hx, hy, hz = halo
+        sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz
+        R_pad = NGX * NGY * NGZ
+        rc = np.arange(R_pad)
+        origins = jnp.asarray(
+            np.stack(
+                [
+                    rc % NGX * rnx - hx,
+                    (rc // NGX) % NGY * rny - hy,
+                    rc // (NGX * NGY) * rnz - hz,
+                ],
+                axis=1,
+            ),
+            jnp.int32,
+        )
+        for rsh, wrap in [
+            ((sdz, sdy, sdx), None),              # cell table
+            ((sdz, sdy, sdx + 1), (NX, NY, NZ)),  # x-face table
+            ((sdz + 1, sdy, sdx), (NX, NY, NZ)),  # z-face table
+        ]:
+            glob = jnp.asarray(
+                rng.standard_normal(
+                    (NZ + (rsh[0] - sdz), NY + (rsh[1] - sdy), NX + (rsh[2] - sdx))
+                ),
+                jnp.float32,
+            )
+            K = -(-(rsh[0] * rsh[1] * rsh[2]) // pg.LANES)
+            want = pg._slab_tables_gather(
+                glob, rsh, origins, K, jnp.float32, per, wrap=wrap
+            )
+            got = pg._slab_tables(
+                glob, rsh, rn, ng, halo, K, jnp.float32, per, wrap=wrap
+            )
+            np.testing.assert_array_equal(
+                np.asarray(want), np.asarray(got), err_msg=f"{dims} {rsh} {wrap}"
+            )
+
+
+def test_grid_tail_rounds_periodic_split_overflow(monkeypatch):
+    """Tail rounds + periodic seam + tail-buffer overflow: with TAIL_DIV huge
+    the tail buffer is one tile and region-padded destinations overflow it, so
+    each round drains only the first occupied region — census must still
+    complete (overflowed particles wait in place), wrapped coordinates must
+    stay consistent, and statistics must match the XLA loop."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    monkeypatch.setattr(pg, "TAIL_DIV", 10**9)
+
+    deck = Deck.parse(DECK).update(
+        {
+            "parthenon/mesh/nx1": 256,
+            "parthenon/mesh/x1min": 0.0,
+            "parthenon/mesh/x1max": 1.0,
+            "parthenon/mesh/ix1_bc": "periodic",
+            "parthenon/mesh/ox1_bc": "periodic",
+            "parthenon/mesh/nx2": 8,
+            "parthenon/mesh/x2min": 0.0,
+            "parthenon/mesh/x2max": 0.03125,
+            "parthenon/meshblock/nx1": 32,
+            "parthenon/meshblock/nx2": 8,
+            "jaybenne/dt": "2.0e-11",  # c*dt = 0.6 domain widths
+            "parthenon/time/tlim": "2.0e-11",
+            "mcblock/scattering_constant_value": 2.0e2,
+        }
+    )
+    cfg = cm.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    rn, ng, halo, _, _ = pg._grid_layout(mesh, prm.use_ddmc)
+    assert ng[0] >= 4, ng  # periodic axis split: seam + region faces both hot
+
+    n = 2000
+    c = 2.99792458e10
+    key = jr.PRNGKey(3)
+    ks = jr.split(key, 4)
+    p = empty_ledger(pg.BTILE)
+    mu = 1.0 - 2.0 * jr.uniform(ks[0], (n,))
+    st = jnp.sqrt(1.0 - mu**2)
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set(jr.uniform(ks[1], (n,)) * float(mesh.block_dx[0, 0]) * 32),
+        y=p.y.at[:n].set(jr.uniform(ks[2], (n,)) * float(mesh.block_dx[0, 1]) * 8),
+        vx=p.vx.at[:n].set(c * mu),
+        vy=p.vy.at[:n].set(c * st),
+        block=p.block.at[:n].set(jr.randint(ks[3], (n,), 0, mesh.n_blocks)),
+        i=p.i.at[:n].set(0),
+        j=p.j.at[:n].set(0),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    # re-home cells from positions (block-local x in [0, 32*dx))
+    p = dataclasses.replace(
+        p,
+        i=p.i.at[:n].set(
+            jnp.clip((p.x[:n] / float(mesh.block_dx[0, 0])).astype(jnp.int32), 0, 31)
+        ),
+        j=p.j.at[:n].set(
+            jnp.clip((p.y[:n] / float(mesh.block_dx[0, 1])).astype(jnp.int32), 0, 7)
+        ),
+    )
+    nb = mesh.n_blocks
+    NC = mesh.total_cells
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)),
+        sigma_s=jnp.full((NC,), 2.0e2),
+        fleck=jnp.ones((NC,)),
+        px=jnp.zeros((nb, mesh.nz, mesh.ny, mesh.nx + 1)),
+        py=jnp.zeros((nb, mesh.nz, mesh.ny + 1, mesh.nx)),
+        pz=jnp.zeros((nb, mesh.nz + 1, mesh.ny, mesh.nx)),
+    )
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, it_p, ev_p = pg.transport_grid(
+        p, coefs, mesh, jr.PRNGKey(11), prm, dt, interpret=True
+    )
+    px_, it_x, ev_x = T.transport(p, coefs, mesh, jr.PRNGKey(12), prm, dt)
+
+    for out, name in ((pp, "grid"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+    # positions consistent with integer cells after wrapping
+    for out in (pp,):
+        al = np.asarray(out.alive)
+        gx = np.asarray(out.global_position(mesh)[0])[al]
+        assert (gx >= 0.0).all() and (gx <= 1.0 + 1e-5).all()
+        ii = np.asarray(out.i)[al]
+        assert (ii >= 0).all() and (ii < mesh.nx).all()
+    gy_p = np.asarray(pp.global_position(mesh)[1])[np.asarray(pp.alive)]
+    gy_x = np.asarray(px_.global_position(mesh)[1])[np.asarray(px_.alive)]
+    assert abs(gy_p.mean() - gy_x.mean()) < 2e-3
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05

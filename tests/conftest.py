@@ -17,3 +17,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _restore_region_tunables():
+    """Several kernel tests shrink the module-level region-size tunables so
+    interpret-mode compiles stay affordable; restore the production values
+    after every test so coverage is order-independent."""
+    from jaybenne_tpu.ops import pallas_bucketed as pb
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    saved = [
+        (m, k, getattr(m, k))
+        for m in (pb, pg)
+        for k in ("REGION_CELLS_IMC", "REGION_CELLS_DDMC", "TAIL_DIV")
+        if hasattr(m, k)
+    ]
+    yield
+    for m, k, v in saved:
+        setattr(m, k, v)

@@ -826,20 +826,11 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
     unfinished = p.alive & (p.tau < 1.0)
     keyv = jnp.where(unfinished, regb[p.block], R).astype(i32)
 
-    counts = jax.ops.segment_sum(jnp.ones((cap,), i32), keyv, num_segments=R + 1)
-    padded = -(-counts // BTILE) * BTILE
-    offs = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(padded)[:-1]])
-    from .pallas_grid import _stable_order, _permute_pack, _permute_unpack
+    from .pallas_grid import _bucket_plan, _permute_pack, _permute_unpack
 
-    order = _stable_order(keyv, R + 1)
-    keyv_sorted = keyv[order]
-    first = jnp.searchsorted(keyv_sorted, jnp.arange(R + 1, dtype=keyv_sorted.dtype))
-    rank_sorted = jnp.arange(cap, dtype=i32) - first[keyv_sorted].astype(i32)
-    dest_sorted = offs[keyv_sorted] + rank_sorted  # in [0, bufcap)
-
-    # permutation applied by GATHERS (see transport_bucketed for rationale)
-    src_of_slot = jnp.full((bufcap,), cap, i32).at[dest_sorted].set(order)
-    dest_of_src = jnp.zeros((cap,), i32).at[order].set(dest_sorted)
+    src_of_slot, tile_regions, dest_of_src = _bucket_plan(
+        keyv, R, grid, include_dump=True, want_dest_of_src=True, btile=BTILE
+    )
 
     FNAMES = ("x", "y", "z", "vx", "vy", "vz", "tau")
     INAMES = ("block", "i", "j", "k")
@@ -854,11 +845,6 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
          else rows_in[:, c]).reshape(bufcap // LANES, LANES)
         for c in range(15)
     ]
-    tile_starts = jnp.arange(grid, dtype=i32) * BTILE
-    ends = offs + counts
-    tile_regions = jnp.searchsorted(ends, tile_starts, side="right").astype(i32)
-    tile_regions = jnp.minimum(tile_regions, R)
-
     outs = call(tile_regions, scal, seed, *bufs, *slab_tables, *geom_tables[:7],
                 reg_t, slot_t, geom_tables[7])
     (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,

@@ -694,6 +694,46 @@ def _run_stable_order_cases(_stable_order):
         np.testing.assert_array_equal(got, want)
 
 
+def test_bucket_plan_invariants():
+    """The gather-only bucketing plan groups rows by key into BTILE-aligned
+    region blocks: every non-dump row gets exactly one slot (full-buffer
+    mode), slots within a region preserve source order (stability), tiles are
+    region-pure, dest_of_src inverts src_of_slot, and in tail mode (fewer
+    tiles, dump excluded) overflow rows are dropped rather than misplaced."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    R = 7
+    for n, seed in ((4096, 0), (30000, 1), (pg.BTILE - 3, 2)):
+        keyv = jr.randint(jr.PRNGKey(seed), (n,), 0, R + 1, dtype=jnp.int32)
+        bufcap = -(-(n + (R + 1) * pg.BTILE) // pg.BTILE) * pg.BTILE
+        grid = bufcap // pg.BTILE
+        src, treg, dest = pg._bucket_plan(
+            keyv, R, grid, include_dump=True, want_dest_of_src=True
+        )
+        src, treg, dest = np.asarray(src), np.asarray(treg), np.asarray(dest)
+        kv = np.asarray(keyv)
+        # every row got exactly one slot, and dest inverts src
+        assert sorted(src[src < n].tolist()) == list(range(n))
+        np.testing.assert_array_equal(src[dest], np.arange(n))
+        # tiles are region-pure and keys grouped ascending per slot
+        slot_region = np.repeat(treg, pg.BTILE)
+        occ = src < n
+        np.testing.assert_array_equal(kv[src[occ]], slot_region[occ])
+        # stability: source indices ascend within each region
+        for r in range(R + 1):
+            s = src[occ & (slot_region == r)]
+            assert (np.diff(s) > 0).all()
+        # tail mode: 2 tiles only, dump excluded, truncation not misplacement
+        src_t, treg_t, _ = pg._bucket_plan(
+            keyv, R, 2, include_dump=False, want_dest_of_src=False
+        )
+        src_t, treg_t = np.asarray(src_t), np.asarray(treg_t)
+        occ_t = src_t < n
+        assert (kv[src_t[occ_t]] == np.repeat(treg_t, pg.BTILE)[occ_t]).all()
+        assert (kv[src_t[occ_t]] < R + 1).all()
+        assert not (kv[src_t[occ_t]] == R).any() or (kv != R).sum() == 0
+
+
 def test_bucketed_supports_large_block_counts():
     """The bucketed kernel's block-table budget admits refined meshes of
     hundreds of blocks / >512 lookup tiles (its own cap, wider than the VMEM

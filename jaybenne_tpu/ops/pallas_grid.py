@@ -64,6 +64,19 @@ TAIL_DIV = 4               # tail-round buffer = bufcap/TAIL_DIV (tile-aligned):
 #   rounds >= 1 gather only still-unfinished rows (typically 10-25% after
 #   round 0) into this smaller buffer; overflow waits for the next round.
 
+# Coefficient-refresh cadence inside the kernel loop. The per-iteration cost
+# at big-region sizes is DOMINATED by the chunked slab lookups (K_reg ~ 108
+# chunks at 16384-cell regions x 3 vector ops per chunk x 2 tables, vs ~10x
+# fewer ops of event physics), but a particle's sigma only changes when its
+# CELL changes — every ~tau_cell events in the diffusive regime. So the
+# gathers run under a scalar lax.cond only on iterations where
+# it % SIGMA_REFRESH == 0; lanes whose cell changed since the last refresh
+# STALL (masked inactive, ~p_cross*R/2 extra iterations ~ 25%) until the next
+# one. Disabled (cadence 1) when the scan is at most SIGMA_SCAN_MIN_CHUNKS
+# chunks — there the stall costs more than the scan.
+SIGMA_REFRESH = 8
+SIGMA_SCAN_MIN_CHUNKS = 8
+
 
 def _grid_dims(mesh):
     ntz, nty, ntx = mesh.tile_shape
@@ -519,18 +532,56 @@ def _grid_kernel(
             ok = ok & (gkl >= 0) & (gkl < KZ)
         return ok
 
+    # sigma-refresh cadence: 1 disables the machinery (constant-folds away)
+    scan_chunks = K_reg + (sum(Kf_reg) if use_ddmc else 0)
+    R_ref = SIGMA_REFRESH if scan_chunks > SIGMA_SCAN_MIN_CHUNKS else 1
+    n_coef = (8 if use_ddmc else 2)  # es, ea[, 6 face probs] in the carry
+
     def body(carry):
-        (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face,
-         paused, it, ev) = carry
-        active = (alive != 0) & (tau < 1.0) & (paused == 0)
+        (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face) = \
+            carry[:13]
+        coef_c = carry[13:13 + n_coef]
+        stale, paused, it, ev = carry[-4], carry[-3], carry[-2], carry[-1]
 
         li, lj, lk = gi - box, gj - boy, (gk - z0) - boz
         cell = (lk * sdy + lj) * sdx + li
-        es = _gather(es_ref, cell, K_reg)
-        if has_absorption:
-            ea = _gather(ea_ref, cell, K_reg)
+
+        def gather_coefs(_):
+            es = _gather(es_ref, cell, K_reg)
+            if has_absorption:
+                ea = _gather(ea_ref, cell, K_reg)
+            else:
+                ea = jnp.zeros(shape)
+            if not use_ddmc:
+                return (es, ea)
+            fx_l = (lk * sdy + lj) * (sdx + 1) + li
+            fp_xl = _gather(fpx_ref, fx_l, Kf_reg[0])
+            fp_xu = _gather(fpx_ref, fx_l + 1, Kf_reg[0])
+            if multi_d:
+                fy_l = ((lk * (sdy + 1)) + lj) * sdx + li
+                fp_yl = _gather(fpy_ref, fy_l, Kf_reg[1])
+                fp_yu = _gather(fpy_ref, fy_l + sdx, Kf_reg[1])
+            else:
+                fp_yl = fp_yu = jnp.zeros(shape)
+            if three_d:
+                fz_l = ((lk * sdy) + lj) * sdx + li
+                fp_zl = _gather(fpz_ref, fz_l, Kf_reg[2])
+                fp_zu = _gather(fpz_ref, fz_l + sdy * sdx, Kf_reg[2])
+            else:
+                fp_zl = fp_zu = jnp.zeros(shape)
+            return (es, ea, fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu)
+
+        if R_ref == 1:
+            coefs = gather_coefs(None)
+            stale = jnp.zeros_like(stale)
         else:
-            ea = jnp.zeros(shape)
+            refresh = (it % jnp.int32(R_ref)) == 0
+            coefs = jax.lax.cond(
+                refresh, gather_coefs, lambda _: tuple(coef_c), None
+            )
+            stale = jnp.where(refresh, jnp.zeros_like(stale), stale)
+        es, ea = coefs[0], coefs[1]
+        active = (alive != 0) & (tau < 1.0) & (paused == 0) & (stale == 0)
 
         fi = gi.astype(jnp.float32)
         fj = gj.astype(jnp.float32)
@@ -665,21 +716,7 @@ def _grid_kernel(
                     rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzc, zu + eps_i * dzc), rj_z)
                     rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
 
-            fx_l = (lk * sdy + lj) * (sdx + 1) + li
-            fp_xl = _gather(fpx_ref, fx_l, Kf_reg[0])
-            fp_xu = _gather(fpx_ref, fx_l + 1, Kf_reg[0])
-            if multi_d:
-                fy_l = ((lk * (sdy + 1)) + lj) * sdx + li
-                fp_yl = _gather(fpy_ref, fy_l, Kf_reg[1])
-                fp_yu = _gather(fpy_ref, fy_l + sdx, Kf_reg[1])
-            else:
-                fp_yl = fp_yu = jnp.zeros(shape)
-            if three_d:
-                fz_l = ((lk * sdy) + lj) * sdx + li
-                fp_zl = _gather(fpz_ref, fz_l, Kf_reg[2])
-                fp_zu = _gather(fpz_ref, fz_l + sdy * sdx, Kf_reg[2])
-            else:
-                fp_zl = fp_zu = jnp.zeros(shape)
+            fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu = coefs[2:8]
 
             lk_ = (fp_xl / dxc, fp_xu / dxc, fp_yl / dyc, fp_yu / dyc,
                    fp_zl / dzc, fp_zu / dzc)
@@ -859,6 +896,14 @@ def _grid_kernel(
         def sel_act(new, old):
             return jnp.where(active, new, old)
 
+        # a cell change invalidates the carried coefficients until the next
+        # refresh iteration (the stalled lane is masked out of `active`)
+        if R_ref != 1:
+            changed = (ngi != gi) | (ngj != gj) | (ngk != gk)
+            nstale = jnp.where(active & changed, jnp.int32(1), stale)
+        else:
+            nstale = stale
+
         return (
             sel_act(nx_, x), sel_act(ny_, y), sel_act(nz_, z),
             sel_act(nvx, vx), sel_act(nvy, vy), sel_act(nvz, vz),
@@ -869,13 +914,16 @@ def _grid_kernel(
             jnp.where(active, nalive, alive),
             jnp.where(active, nabsorbed, absorbed),
             jnp.where(active, nface, face),
+        ) + tuple(coefs) + (
+            nstale,
             jnp.where(active, npaused, paused),
             it + 1,
             ev + jnp.sum(active.astype(jnp.int32)),
         )
 
     def cond(carry):
-        tau, alive, paused, it = carry[6], carry[10], carry[13], carry[14]
+        tau, alive = carry[6], carry[10]
+        paused, it = carry[-3], carry[-2]
         return (it < max_iters) & jnp.any(
             (alive != 0) & (tau < 1.0) & (paused == 0)
         )
@@ -887,11 +935,14 @@ def _grid_kernel(
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
         gi0, gj0, gk0,
         alive_ref[:], absorbed_ref[:], face_ref[:],
+    ) + tuple(jnp.zeros(shape) for _ in range(n_coef)) + (
+        jnp.zeros(shape, jnp.int32),  # stale (it=0 always refreshes)
         paused0,
         jnp.int32(0), jnp.int32(0),
     )
-    (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face, _p, it,
-     ev) = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, body, init)
+    (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face) = out[:13]
+    it, ev = out[-2], out[-1]
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau

@@ -465,6 +465,35 @@ def test_grid_interpret_matches_xla():
     assert (np.asarray(pp.i)[np.asarray(pp.alive)] < mesh.nx).all()
 
 
+def test_grid_sigma_refresh_matches_xla(monkeypatch):
+    """The sigma-refresh cadence (coefficient gathers under a scalar cond
+    every SIGMA_REFRESH iterations; cell-changed lanes stall until the next
+    refresh) must leave the census complete, nothing lost, and statistics
+    unchanged vs the XLA loop. Forced on here (test regions are small enough
+    that the cadence would normally be disabled)."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    monkeypatch.setattr(pg, "REGION_CELLS_DDMC", 1024)
+    monkeypatch.setattr(pg, "SIGMA_SCAN_MIN_CHUNKS", 0)
+    monkeypatch.setattr(pg, "SIGMA_REFRESH", 4)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big()
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, it_p, ev_p = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, it_x, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+
+    for out, name in ((pp, "grid"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.05
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+    assert (np.asarray(pp.i)[np.asarray(pp.alive)] >= 0).all()
+
+
 def test_grid_interpret_ddmc():
     """DDMC through the uniform-grid kernel (thick cells, cross-region leaks)."""
     from jaybenne_tpu.ops import pallas_grid as pg
@@ -473,6 +502,28 @@ def test_grid_interpret_ddmc():
     pg.REGION_CELLS_DDMC = 1024
     cfg, mesh, prm, p, coefs, key, n = _setup_big(sigma_s=1.0e6, use_ddmc=True)
     assert pg.supports(mesh, prm)
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, _ = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+
+
+def test_grid_sigma_refresh_ddmc(monkeypatch):
+    """Sigma-refresh + DDMC: the 6 face-prob tiles ride the refresh carry and
+    stalled lanes interleave correctly with leak/albedo events."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    monkeypatch.setattr(pg, "REGION_CELLS_DDMC", 1024)
+    monkeypatch.setattr(pg, "SIGMA_SCAN_MIN_CHUNKS", 0)
+    monkeypatch.setattr(pg, "SIGMA_REFRESH", 4)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big(sigma_s=1.0e6, use_ddmc=True)
     dt = jnp.float32(cfg.jaybenne.dt)
     pp, _, _ = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
     px_, _, _ = T.transport(p, coefs, mesh, key, prm, dt)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +75,7 @@ TAIL_DIV = 4               # tail-round buffer = bufcap/TAIL_DIV (tile-aligned):
 # STALL (masked inactive, ~p_cross*R/2 extra iterations ~ 25%) until the next
 # one. Disabled (cadence 1) when the scan is at most SIGMA_SCAN_MIN_CHUNKS
 # chunks — there the stall costs more than the scan.
-SIGMA_REFRESH = 8
+SIGMA_REFRESH = int(os.environ.get("JB_SIGMA_REFRESH", "8"))
 SIGMA_SCAN_MIN_CHUNKS = 8
 
 

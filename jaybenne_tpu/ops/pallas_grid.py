@@ -57,8 +57,11 @@ BSUB = 32                  # sublane groups per tile (4096-lane tiles).
 #   0.589 s/step vs (8192, 16) 0.712 under equal load. 4-cell region cores
 #   (REGION 2048 on 64^3) cause pause storms — keep cores >= 8 cells.
 BTILE = BSUB * LANES
-REGION_CELLS_IMC = 16384   # target cells per region slab (IMC: 1 gathered table)
-REGION_CELLS_DDMC = 2048   # smaller for DDMC: 3 cell + 3 face tables per event
+# target cells per region slab (IMC: 1 gathered table); JB_* env overrides
+# exist for on-hardware sweeps only — committed defaults are the tuned values.
+REGION_CELLS_IMC = int(os.environ.get("JB_REGION_CELLS_IMC", "16384"))
+REGION_CELLS_DDMC = int(os.environ.get("JB_REGION_CELLS_DDMC", "2048"))
+# smaller for DDMC: 3 cell + 3 face tables per event
 MAX_REGION_CHUNKS = 128    # slab gather cost cap (3 vector ops per chunk scanned)
 MAX_BUCKET_ROUNDS = 256    # outer re-bucketing rounds (hang backstop)
 TAIL_DIV = 4               # tail-round buffer = bufcap/TAIL_DIV (tile-aligned):

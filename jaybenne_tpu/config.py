@@ -155,6 +155,16 @@ class JaybenneConfig:
     # (particles per all_to_all slot); 0 = auto (capacity / (2 * n_shards)).
     # Overflowing sends are lossless — they ride the next round.
     migration_buffer_k: int = 0
+    # spatial decomposition, XLA census path: iteration budget per migration
+    # round (0 = run each round to local completion). Without a budget a
+    # particle that crosses shards k times waits out k-1 nearly-full local
+    # censuses (paused lanes idle while each round drains), so the worst
+    # device's iteration total grows ~(k+1)x the single-shard census length.
+    # With a budget B the rounds interleave: total ~ census length + hops * B.
+    # Ignored by the Pallas spatial kernels (their bucketing rounds already
+    # interleave migration candidates). The XLA path's per-round overhead is a
+    # few event-loop iterations' worth, so a fairly tight default is safe.
+    census_iters_per_round: int = 128
     # per-cycle host-side invariant validation (PARTHENON_DEBUG_REQUIRE analog)
     debug_checks: bool = False
 
@@ -168,6 +178,8 @@ class JaybenneConfig:
             raise DeckError("precision must be f32 or f64")
         if self.decomposition not in ("particle", "spatial"):
             raise DeckError("decomposition must be particle or spatial")
+        if self.census_iters_per_round < 0:
+            raise DeckError("census_iters_per_round must be >= 0")
 
     @property
     def dtype(self):
@@ -347,6 +359,9 @@ def from_deck(deck: Deck) -> RunConfig:
             "jaybenne", "max_migration_rounds", 128
         ),
         migration_buffer_k=deck.get_or_add_int("jaybenne", "migration_buffer_k", 0),
+        census_iters_per_round=deck.get_or_add_int(
+            "jaybenne", "census_iters_per_round", 128
+        ),
         debug_checks=deck.get_or_add_bool("jaybenne", "debug_checks", False),
     )
 

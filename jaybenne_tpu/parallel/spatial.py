@@ -308,10 +308,21 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
                     p, tables, rng.fold(k_tr, rounds), rounds, dt
                 )
         else:
+            # Per-round iteration budget (census_iters_per_round): without it a
+            # round drains to LOCAL completion while migrated-out lanes idle,
+            # so k-hop particles cost ~(k+1) full census lengths on the worst
+            # device; with it the rounds interleave. The budget never fails a
+            # step — lanes unfinished at the cap simply continue next round —
+            # so cap_hits below keeps counting only the real hang backstop.
+            prm_round = prm
+            if n_shards > 1 and jb.census_iters_per_round > 0:
+                prm_round = dataclasses.replace(
+                    prm, max_iters=min(jb.census_iters_per_round, prm.max_iters)
+                )
 
             def local_transport(p, rounds):
                 return transport_ops.transport(
-                    p, coefs_local, mesh, rng.fold(k_tr, rounds), prm, dt,
+                    p, coefs_local, mesh, rng.fold(k_tr, rounds), prm_round, dt,
                     block_offset=offset,
                 )
 

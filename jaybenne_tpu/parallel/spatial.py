@@ -228,6 +228,13 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
     B = mesh.n_blocks
     Bl = -(-B // n_shards)  # blocks per shard (last shard may own padding)
     smr_ddmc = jb.use_ddmc and mesh.max_level > 0
+    # Migration is statically impossible when every REAL block is owned by
+    # shard 0 (B <= Bl: the other shards hold only padding blocks, which cover
+    # no domain volume, so no particle can ever address them). Skip both the
+    # all_to_all machinery and the per-round iteration budget — each would be
+    # pure per-round overhead (e.g. a 1-block deck at n_devices=2 otherwise
+    # pays ~50 budget-truncated rounds of pack/exchange/insert per cycle).
+    can_migrate = n_shards > 1 and B > Bl
 
     def step(state, dt):
         f = state.fields  # this shard's LOCAL [Bl, ...] block slice
@@ -315,7 +322,7 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             # step — lanes unfinished at the cap simply continue next round —
             # so cap_hits below keeps counting only the real hang backstop.
             prm_round = prm
-            if n_shards > 1 and jb.census_iters_per_round > 0:
+            if can_migrate and jb.census_iters_per_round > 0:
                 prm_round = dataclasses.replace(
                     prm, max_iters=min(jb.census_iters_per_round, prm.max_iters)
                 )
@@ -330,13 +337,14 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             p, rounds, iters_acc, ev_acc, drop_acc, sent_acc, hit_acc, _ = carry
             p, iters, ev = local_transport(p, rounds)
             hit_acc = hit_acc + (iters >= prm.max_iters).astype(jnp.int32)
-            if n_shards > 1:
+            if can_migrate:
                 p, mig_dropped, n_sent = migrate(
                     p, offset, Bl, n_shards, K, axis_name
                 )
             else:
-                # one shard owns every block: nothing can be in transit, so the
-                # pack/exchange/insert machinery is pure per-round overhead
+                # one shard owns every real block: nothing can be in transit,
+                # so the pack/exchange/insert machinery is pure per-round
+                # overhead
                 mig_dropped = jnp.zeros((), jnp.int32)
                 n_sent = jnp.zeros((), jnp.int32)
             if smr_ddmc:

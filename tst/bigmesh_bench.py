@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Single-point big-mesh throughput probe (the bench.py `big_mesh` row, alone).
+
+One process = one measurement, so kernel tunables picked up from the
+environment at import time (JB_SIGMA_REFRESH, JB_REGION_CELLS_IMC/DDMC) apply
+cleanly — kernel-bearing steps never hit the cross-process compile cache, so
+every invocation pays one full compile (~1-4 min on the tunneled v5e) and then
+times the production step path. Prints one JSON line.
+
+Usage:
+    python tst/bigmesh_bench.py [--spatial] [--steps N] [--nx N] [--particles N]
+    JB_SIGMA_REFRESH=4 python tst/bigmesh_bench.py      # cadence sweep point
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spatial", action="store_true", help="decomposition=spatial (1 device)")
+    ap.add_argument("--steps", type=int, default=3, help="timed steps after warmup")
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--block", type=int, default=8)
+    ap.add_argument("--particles", type=int, default=200_000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from jaybenne_tpu import config as cfg_mod
+    from jaybenne_tpu.driver import Simulation
+    from jaybenne_tpu.utils.deck import Deck
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mods = {
+        "parthenon/mesh/nx1": args.nx,
+        "parthenon/mesh/nx2": args.nx,
+        "parthenon/mesh/nx3": args.nx,
+        "parthenon/mesh/ix2_bc": "periodic",
+        "parthenon/mesh/ox2_bc": "periodic",
+        "parthenon/mesh/ix3_bc": "periodic",
+        "parthenon/mesh/ox3_bc": "periodic",
+        "parthenon/meshblock/nx1": args.block,
+        "parthenon/meshblock/nx2": args.block,
+        "parthenon/meshblock/nx3": args.block,
+        "jaybenne/num_particles": args.particles,
+    }
+    if args.spatial:
+        mods["jaybenne/decomposition"] = "spatial"
+        mods["jaybenne/n_devices"] = 1
+    deck = Deck.from_file(os.path.join(here, "inputs/stepdiff.in")).update(mods)
+    sim = Simulation(cfg_mod.from_deck(deck), quiet=True)
+    dt = jnp.float32(3.335641e-11)
+
+    t0 = time.perf_counter()
+    state, stats = sim.step_fn(sim.state, dt)  # warmup: compile + step 0
+    state.fields.energy_tally.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    events = 0
+    for _ in range(args.steps):
+        state, stats = sim.step_fn(state, dt)
+        events += int(stats.events)  # blocks on step completion
+    float(state.fields.energy_tally.sum())  # tunnel: fetch a scalar to sync
+    elapsed = time.perf_counter() - t0
+
+    print(json.dumps({
+        "events_per_sec": float(f"{events / elapsed:.4g}"),
+        "step_s": round(elapsed / args.steps, 4),
+        "events": events,
+        "steps": args.steps,
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "spatial": args.spatial,
+        "env": {k: v for k, v in os.environ.items() if k.startswith("JB_")},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,6 +180,10 @@ class JaybenneConfig:
             raise DeckError("decomposition must be particle or spatial")
         if self.census_iters_per_round < 0:
             raise DeckError("census_iters_per_round must be >= 0")
+        if self.max_migration_rounds < 1:
+            raise DeckError("max_migration_rounds must be >= 1")
+        if self.migration_buffer_k < 0:
+            raise DeckError("migration_buffer_k must be >= 0")
 
     @property
     def dtype(self):

@@ -114,10 +114,24 @@ class Simulation:
             self.state = io_mod.read_checkpoint(restart, self.state)
             if self._distributed:
                 # re-place the restored host arrays on the device mesh (restart
-                # with the same device count resumes bitwise; a different count
-                # re-homes particles through the first migration round)
+                # with the same device count resumes bitwise; in spatial mode
+                # the ledger is first re-homed host-side so every particle sits
+                # in its owning shard's slice regardless of the writing run's
+                # device count — shard_state splits by slot position, and
+                # transport only sees shard-owned particles)
+                import dataclasses
+
                 from .parallel import sharding
 
+                if jb.decomposition == "spatial":
+                    from .parallel import spatial
+
+                    self.state = dataclasses.replace(
+                        self.state,
+                        particles=spatial.rehome_restart_ledger(
+                            self.state.particles, self.mesh, self.n_devices
+                        ),
+                    )
                 self.state = sharding.shard_state(
                     self.state, self.dmesh,
                     shard_fields=jb.decomposition == "spatial",
@@ -260,6 +274,7 @@ class Simulation:
                     "dropped": int(stats.dropped),
                     "migration_rounds": mig_rounds,
                     "migrated": migrated,
+                    "unfinished": int(stats.unfinished),
                 }
             )
             if not self.quiet:
@@ -273,10 +288,14 @@ class Simulation:
                     f"alive={int(stats.n_alive)}" + mig,
                     flush=True,
                 )
-            if mig_rounds >= self.cfg.jaybenne.max_migration_rounds:
+            if int(stats.unfinished) > 0:
+                # exact signal: particles still short of census when the round
+                # loop ended (a census that drains ON the final allowed round
+                # is complete — comparing rounds to the cap cannot tell)
                 print(
-                    "WARNING: census hit max_migration_rounds "
-                    f"({mig_rounds}); census incomplete this cycle",
+                    f"WARNING: census incomplete this cycle — "
+                    f"{int(stats.unfinished)} particles unfinished after "
+                    f"{mig_rounds} migration rounds",
                     file=sys.stderr,
                 )
             if int(stats.dropped) > 0:

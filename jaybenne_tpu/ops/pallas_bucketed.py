@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -826,7 +827,9 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
     unfinished = p.alive & (p.tau < 1.0)
     keyv = jnp.where(unfinished, regb[p.block], R).astype(i32)
 
-    from .pallas_grid import _bucket_plan, _permute_pack, _permute_unpack
+    from .pallas_grid import (
+        _bucket_plan, _permute_pack, _permute_unpack, _unpack_rows,
+    )
 
     src_of_slot, tile_regions, dest_of_src = _bucket_plan(
         keyv, R, grid, include_dump=True, want_dest_of_src=True, btile=BTILE
@@ -840,11 +843,7 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
         + [p.alive.astype(i32), p.absorbed.astype(i32), p.face, p.leak]
     )
     rows_in = _permute_pack(cols, src_of_slot)
-    bufs = [
-        (jax.lax.bitcast_convert_type(rows_in[:, c], f32) if c < 7
-         else rows_in[:, c]).reshape(bufcap // LANES, LANES)
-        for c in range(15)
-    ]
+    bufs = _unpack_rows(rows_in, 15, shape=(bufcap // LANES, LANES))
     outs = call(tile_regions, scal, seed, *bufs, *slab_tables, *geom_tables[:7],
                 reg_t, slot_t, geom_tables[7])
     (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
@@ -975,8 +974,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         p, rounds, _, _ = carry
         return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(p.alive & (p.tau < 1.0))
 
-    import os as _os  # DIAG
-    if _os.environ.get("JB_DIAG_ROUNDS"):
+    if os.environ.get("JB_DIAG_ROUNDS"):  # DIAG
         import sys as _sys
         import time as _t
 

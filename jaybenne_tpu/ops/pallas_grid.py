@@ -289,6 +289,39 @@ def _faces_to_global(mesh, farr, axis):
     return jnp.concatenate([base, last], axis=0)
 
 
+# Packed-row layout shared by the grid and bucketed census buffers: the first
+# _N_FCOLS columns are f32 bitcast into i32 lanes (x y z vx vy vz tau), every
+# later column is raw i32 (cells/flags). _pack_rows/_unpack_rows are the ONLY
+# encoders of that convention — add a column in one place, not three.
+_N_FCOLS = 7
+
+
+def _pack_rows(cols):
+    """Columns (f32 bitcast, others astype i32; any shape, flattened) ->
+    one (n, C) i32 row matrix."""
+    i32 = jnp.int32
+    packed = []
+    for c in cols:
+        flat = c.reshape(-1)
+        if flat.dtype == jnp.float32:
+            packed.append(jax.lax.bitcast_convert_type(flat, i32))
+        else:
+            packed.append(flat.astype(i32))
+    return jnp.stack(packed, axis=1)
+
+
+def _unpack_rows(rows, n_cols, shape=None):
+    """(n, C) i32 row matrix -> list of C columns (first _N_FCOLS bitcast back
+    to f32), each reshaped to ``shape`` when given."""
+    cols = []
+    for c in range(n_cols):
+        v = rows[:, c]
+        if c < _N_FCOLS:
+            v = jax.lax.bitcast_convert_type(v, jnp.float32)
+        cols.append(v.reshape(shape) if shape is not None else v)
+    return cols
+
+
 def _permute_pack(cols, idx, n_extra_zero_rows=1):
     """Move many same-length 1D arrays through one permutation with a single
     ROW gather: bitcast/widen every column to i32, stack to an (n, C) matrix,
@@ -1114,9 +1147,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         )
         return src_of_slot, dest_of_src, tile_regions
 
-    import os as _os_sk
-
-    _skip_kernel = bool(_os_sk.environ.get("JB_SKIP_KERNEL"))
+    _skip_kernel = bool(os.environ.get("JB_SKIP_KERNEL"))
 
     def bucket_tail(keyv):
         """Bucket unfinished buffer slots into the tail buffer: the first
@@ -1149,40 +1180,19 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         return cols_
 
     def rows_to_cols(rows):
-        return [
-            (jax.lax.bitcast_convert_type(rows[:, c], f32) if c < 7
-             else rows[:, c])
-            for c in range(13)
-        ]
+        return _unpack_rows(rows, 13)
 
     def cols_to_rows(cols_):
-        return jnp.stack(
-            [
-                jax.lax.bitcast_convert_type(c_, i32) if c < 7
-                else c_.astype(i32)
-                for c, c_ in enumerate(cols_)
-            ],
-            axis=1,
-        )
+        return _pack_rows(cols_)
 
     def rows_to_bufs(rows, n):
-        return [
-            (jax.lax.bitcast_convert_type(rows[:, c], f32) if c < 7
-             else rows[:, c]).reshape(n // LANES, LANES)
-            for c in range(13)
-        ]
+        return _unpack_rows(rows, 13, shape=(n // LANES, LANES))
 
     def outs_to_rows(outs, n):
-        return jnp.stack(
-            [
-                (jax.lax.bitcast_convert_type(outs[c], i32) if c < 7
-                 else outs[c]).reshape(n)
-                for c in range(13)
-            ],
-            axis=1,
-        )
+        del n
+        return _pack_rows(outs[:13])
 
-    def run_kernel(callee, tile_regions, rounds, bufs):
+    def run_kernel(callee, tile_regions, rounds, bufs, tabs):
         # golden-ratio increment 0x9E3779B9 as a signed int32
         seed = seed0 + rounds * jnp.int32(-1640531527)
         z0 = jnp.int32(0)
@@ -1193,14 +1203,13 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
             return tuple(bufs) + (
                 jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32)
             )
-        return callee(tile_regions, scal, intr, *bufs,
-                      ea_t, es_t, fpx_t, fpy_t, fpz_t)
+        return callee(tile_regions, scal, intr, *bufs, *tabs)
 
     def buf_unfinished(Bm):
         tau = jax.lax.bitcast_convert_type(Bm[:, 6], f32)
         return (Bm[:, 10] != 0) & (tau < 1.0)
 
-    def full_round(Bm):
+    def full_round(Bm, tabs):
         """Round 0: bucket the whole ledger (rows [:cap] of Bm) into the
         tile-aligned buffer, run the full kernel grid. Returns the buffer
         row matrix and the ledger->slot map for the final restore."""
@@ -1213,14 +1222,15 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         src_of_slot, dest_of_src, tile_regions = bucket(keyv)
         rows_in = jnp.concatenate([M, jnp.zeros((1, 13), i32)])[src_of_slot]
         outs = run_kernel(
-            call, tile_regions, jnp.int32(0), rows_to_bufs(rows_in, bufcap)
+            call, tile_regions, jnp.int32(0), rows_to_bufs(rows_in, bufcap),
+            tabs,
         )
         return (
             outs_to_rows(outs, bufcap), dest_of_src,
             outs[14][0, 0], outs[13][0, 0],
         )
 
-    def tail_round(Bm, rounds):
+    def tail_round(Bm, rounds, tabs):
         """Rounds >= 1: gather only still-unfinished rows into the tail
         buffer, run the tail grid, scatter the rows back in place. Buffer
         coordinates stay unwrapped between rounds; region keying wraps
@@ -1239,7 +1249,8 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         if per[0] or per[1] or per[2]:
             rows = cols_to_rows(rewrap_cols(rows_to_cols(rows)))
         outs = run_kernel(
-            tail_call, tile_regions, rounds, rows_to_bufs(rows, tail_bufcap)
+            tail_call, tile_regions, rounds, rows_to_bufs(rows, tail_bufcap),
+            tabs,
         )
         rows_out = outs_to_rows(outs, tail_bufcap)
         Bm_new = (
@@ -1263,16 +1274,19 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     M0 = cols_to_rows(cols)
     Bm0 = jnp.concatenate([M0, jnp.zeros((bufcap - cap, 13), i32)])
 
-    def loop_body(carry):
+    def loop_body(carry, tabs):
+        # tables ride as ARGUMENTS (not closure constants) so the diag path's
+        # fresh jax.jit keeps the multi-MB slabs out of the compile payload
+        # (the tunneled remote-compile endpoint rejects oversized requests)
         Bm, dest_of_src, rounds, it_acc, ev_acc = carry
 
         def do_full(Bm_dos):
             Bm, _ = Bm_dos
-            return full_round(Bm)
+            return full_round(Bm, tabs)
 
         def do_tail(Bm_dos):
             Bm, dos = Bm_dos
-            Bm, it, ev = tail_round(Bm, rounds)
+            Bm, it, ev = tail_round(Bm, rounds, tabs)
             return Bm, dos, it, ev
 
         Bm, dest_of_src, it, ev = jax.lax.cond(
@@ -1288,19 +1302,19 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         Bm0, jnp.arange(cap, dtype=i32), jnp.zeros((), i32),
         jnp.zeros((), i32), jnp.zeros((), i32),
     )
-    import os as _os
-    if _os.environ.get("JB_DIAG_ROUNDS"):  # eager per-round diagnostics
+    tabs = (ea_t, es_t, fpx_t, fpy_t, fpz_t)
+    if os.environ.get("JB_DIAG_ROUNDS"):  # eager per-round diagnostics
         import sys as _sys
         import time as _t
 
-        rb = jax.jit(loop_body)
+        rb = jax.jit(loop_body)  # tables as args: small compile payload
         carry = carry0
         while int(carry[2]) < MAX_BUCKET_ROUNDS and bool(
             jnp.any(buf_unfinished(carry[0]))
         ):
             u = int(buf_unfinished(carry[0]).sum())
             t0 = _t.perf_counter()
-            carry = rb(carry)
+            carry = rb(carry, tabs)
             jax.block_until_ready(carry[0])
             print(
                 f"round {int(carry[2])-1}: unfinished {u} "
@@ -1308,7 +1322,9 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
                 file=_sys.stderr,
             )
     else:
-        carry = jax.lax.while_loop(loop_cond, loop_body, carry0)
+        carry = jax.lax.while_loop(
+            loop_cond, lambda c: loop_body(c, tabs), carry0
+        )
     Bm, dest_of_src, rounds, iters, events = carry
 
     # buffer -> ledger order: one row gather through round 0's slot map
@@ -1514,11 +1530,7 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         cols = (gx, gy, gz, p.vx, p.vy, p.vz, p.tau.astype(f32),
                 gi, gj, gk, p.alive.astype(i32), p.absorbed.astype(i32), p.face)
         rows_in = _permute_pack(cols, src_of_slot)
-        bufs = [
-            (jax.lax.bitcast_convert_type(rows_in[:, c], f32) if c < 7
-             else rows_in[:, c]).reshape(bufcap // LANES, LANES)
-            for c in range(13)
-        ]
+        bufs = _unpack_rows(rows_in, 13, shape=(bufcap // LANES, LANES))
         try:
             kd = jax.random.key_data(key)
         except (TypeError, AttributeError):

@@ -99,7 +99,7 @@ def make_sharded_step(mesh, cfg: RunConfig, dmesh: DeviceMesh):
         specs = state_specs(state)
         stats_spec = StepStats(
             iterations=P(), events=P(), n_alive=P(), dropped=P(),
-            migration_rounds=P(), migrated=P(), cap_hits=P(),
+            migration_rounds=P(), migrated=P(), cap_hits=P(), unfinished=P(),
         )
         fn = jax.shard_map(
             core,

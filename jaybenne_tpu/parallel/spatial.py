@@ -133,6 +133,51 @@ def migrate(p, offset, blocks_per_shard, n_shards, K, axis_name):
     return p, dropped, n_sent
 
 
+def rehome_restart_ledger(p, mesh, n_shards):
+    """Host-side ledger reorder at RESTART: place every alive particle in the
+    ledger slice of the shard that owns its block, so a checkpoint written at
+    any device count resumes correctly at any other.
+
+    ``shard_state`` splits the ledger by slot position, so without this a
+    restored particle can land on a non-owning shard. Normally the first
+    migration round re-homes it, but when migration is statically impossible
+    (``B <= blocks_per_shard``: every real block owned by shard 0) such a
+    particle would be masked out of transport forever. Re-homing up front
+    fixes that and removes the migration-round dependency entirely."""
+    import numpy as np
+
+    cap = p.capacity
+    if cap % n_shards:
+        raise ValueError(
+            f"ledger capacity {cap} not divisible by n_devices {n_shards}"
+        )
+    cap_l = cap // n_shards
+    Bl = -(-mesh.n_blocks // n_shards)
+    alive = np.asarray(p.alive)
+    owner = np.clip(np.asarray(p.block) // Bl, 0, n_shards - 1)
+    # same-device-count resume: every alive particle already sits in its
+    # owner's slice — leave the ledger byte-identical (slot order seeds the
+    # per-lane RNG streams, so reordering would change trajectories and break
+    # the bitwise-resume guarantee)
+    slot_shard = np.arange(cap) // cap_l
+    if not (alive & (owner != slot_shard)).any():
+        return p
+    cols = {f.name: np.asarray(getattr(p, f.name)) for f in dataclasses.fields(p)}
+    out = {name: np.zeros_like(arr) for name, arr in cols.items()}
+    for s in range(n_shards):
+        idx = np.nonzero(alive & (owner == s))[0]
+        if idx.size > cap_l:
+            raise ValueError(
+                f"restart re-homing: shard {s} owns {idx.size} particles but its "
+                f"ledger slice holds {cap_l}; raise jaybenne/capacity_factor"
+            )
+        for name, arr in cols.items():
+            out[name][s * cap_l : s * cap_l + idx.size] = arr[idx]
+    return dataclasses.replace(
+        p, **{k: jnp.asarray(v) for k, v in out.items()}
+    )
+
+
 def pad_field_blocks(fields, mesh, n_shards):
     """Pad every field array's block axis from ``B`` to ``n_shards * ceil(B/n)`` so
     it splits evenly over the device mesh. Padding matter blocks carry benign
@@ -323,9 +368,13 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             # so cap_hits below keeps counting only the real hang backstop.
             prm_round = prm
             if can_migrate and jb.census_iters_per_round > 0:
-                prm_round = dataclasses.replace(
-                    prm, max_iters=min(jb.census_iters_per_round, prm.max_iters)
-                )
+                budget = min(jb.census_iters_per_round, prm.max_iters)
+                prm_round = dataclasses.replace(prm, max_iters=budget)
+                # budget-truncated rounds must not eat the migration-round
+                # allowance: extend the round cap so a particle can still run
+                # the full unbudgeted census length (max_transport_iterations)
+                # in total, on top of max_migration_rounds worth of hops
+                max_rounds = max_rounds + -(-prm.max_iters // budget)
 
             def local_transport(p, rounds):
                 return transport_ops.transport(
@@ -367,7 +416,7 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             _, rounds, _, _, _, _, _, unfinished = carry
             return (rounds < max_rounds) & (unfinished > 0)
 
-        p, rounds, iters, events, mig_drop, n_sent, cap_hits, _ = jax.lax.while_loop(
+        p, rounds, iters, events, mig_drop, n_sent, cap_hits, unfin = jax.lax.while_loop(
             round_cond,
             round_body,
             (p, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
@@ -403,6 +452,7 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             migration_rounds=jax.lax.pmax(rounds, axis_name),
             migrated=jax.lax.psum(n_sent, axis_name),
             cap_hits=jax.lax.psum(cap_hits, axis_name),
+            unfinished=jax.lax.pmax(unfin, axis_name),  # already a global psum
         )
         return new_state, stats
 
@@ -417,7 +467,7 @@ def make_spatial_step(mesh, cfg: RunConfig, dmesh):
         specs = state_specs(state, shard_fields=True)
         stats_spec = StepStats(
             iterations=P(), events=P(), n_alive=P(), dropped=P(),
-            migration_rounds=P(), migrated=P(), cap_hits=P(),
+            migration_rounds=P(), migrated=P(), cap_hits=P(), unfinished=P(),
         )
         fn = jax.shard_map(
             core, mesh=dmesh,

@@ -44,6 +44,10 @@ class StepStats:
     # spatial mode iterations accumulates over migration rounds, so the cap
     # must be checked per call, not against the total)
     cap_hits: jnp.ndarray = 0
+    # spatial mode: particles still short of census when the round loop ended —
+    # the EXACT census-incomplete signal (a census that drains on the final
+    # allowed round is complete; comparing rounds to the cap cannot tell)
+    unfinished: jnp.ndarray = 0
 
 
 def make_transport_params(cfg: RunConfig, dtype) -> transport_ops.TransportParams:
@@ -239,6 +243,7 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
             migration_rounds=jnp.zeros((), jnp.int32),
             migrated=jnp.zeros((), jnp.int32),
             cap_hits=(iters >= prm.max_iters).astype(jnp.int32),
+            unfinished=jnp.zeros((), jnp.int32),
         )
         return new_state, stats
 

@@ -194,6 +194,48 @@ def test_checkpoint_restart_across_decompositions(tmp_path):
     assert sim_c.cycle == 4
 
 
+def test_restart_rehomes_particles_onto_owning_shards(tmp_path):
+    """A checkpoint written single-device restarts as a 2-device SPATIAL run of
+    a single-block deck (B <= blocks_per_shard: migration statically compiled
+    out). shard_state splits the ledger by slot position, so without the
+    host-side re-homing half the restored particles would sit on shard 1 —
+    permanently masked out of transport — and their tally contribution lost."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    sim_b = Simulation(
+        _cfg(**{"parthenon/time/tlim": "2.e-11"}),  # 1 block, 1 device
+        outdir=str(tmp_path), quiet=True,
+    )
+    sim_b.run()
+    ck = sim_b.write_checkpoint()
+
+    sim_c = Simulation(
+        _cfg(**{
+            "parthenon/time/tlim": "4.e-11",
+            "jaybenne/decomposition": "spatial",
+            "jaybenne/n_devices": 2,
+        }),
+        outdir=str(tmp_path), quiet=True, restart=ck,
+    )
+    p = sim_c.state.particles
+    alive = np.asarray(p.alive)
+    w0 = float(np.asarray(p.weight)[alive].sum())
+    # re-homing put every alive particle in shard 0's ledger slice
+    assert not alive[p.capacity // 2:].any()
+    sim_c.run()
+    assert sim_c.cycle == 4
+    # every particle transported to census each cycle (none stranded)
+    assert all(h["unfinished"] == 0 for h in sim_c.history)
+    p = sim_c.state.particles
+    alive = np.asarray(p.alive)
+    w1 = float(np.asarray(p.weight)[alive].sum())
+    # this deck absorbs weakly (sigma_a = 1): weight decreases slightly, and
+    # nothing is lost to stranding (a stranded half would also freeze weight)
+    assert 0.9 * w0 < w1 < w0
+
+
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -287,10 +287,23 @@ def _bucketed_kernel(
     def expdraw(it, tag):
         return -jnp.log(jnp.maximum(uniform(it, tag), tiny))
 
+    # sigma-refresh cadence (see pallas_grid.SIGMA_REFRESH): the region-slab
+    # coefficient scans (K_reg/Kf_reg chunks) run only every R_ref iterations
+    # under a scalar cond; lanes whose (block, cell) changed since the last
+    # refresh stall until the next one. Block-table gathers (nb_chunks — a
+    # handful of chunks) stay per-iteration: crossings need them immediately
+    # and they are cheap. 1 disables the machinery (constant-folds away).
+    from . import pallas_grid as _pg
+
+    scan_chunks = K_reg + (sum(Kf_reg) if use_ddmc else 0)
+    R_ref = _pg.SIGMA_REFRESH if scan_chunks > _pg.SIGMA_SCAN_MIN_CHUNKS else 1
+    n_coef = 8 if use_ddmc else 2
+
     def body(carry):
         (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
-         leak, paused, it, ev) = carry
-        active = (alive != 0) & (tau < 1.0) & (paused == 0)
+         leak) = carry[:15]
+        coef_c = carry[15:15 + n_coef]
+        stale, paused, it, ev = carry[-4], carry[-3], carry[-2], carry[-1]
         blk_rel = jnp.clip(_gather(slot_ref, blk, nb_chunks), 0, maxbpr - 1)
 
         dxb = _gather(bdx_ref, blk, nb_chunks)
@@ -298,11 +311,43 @@ def _bucketed_kernel(
         dzb = _gather(bdz_ref, blk, nb_chunks)
         dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
         cell = blk_rel * ncpb + (ck * ny + cj) * nx + ci
-        es = _gather(es_ref, cell, K_reg)
-        if has_absorption:
-            ea = _gather(ea_ref, cell, K_reg)
+
+        def gather_coefs(_):
+            es = _gather(es_ref, cell, K_reg)
+            if has_absorption:
+                ea = _gather(ea_ref, cell, K_reg)
+            else:
+                ea = jnp.zeros(shape)
+            if not use_ddmc:
+                return (es, ea)
+            fx_l = (blk_rel * nz + ck) * ny * (nx + 1) + cj * (nx + 1) + ci
+            fp_xl = _gather(fpx_ref, fx_l, Kf_reg[0])
+            fp_xu = _gather(fpx_ref, fx_l + 1, Kf_reg[0])
+            if multi_d:
+                fy_l = ((blk_rel * nz + ck) * (ny + 1) + cj) * nx + ci
+                fp_yl = _gather(fpy_ref, fy_l, Kf_reg[1])
+                fp_yu = _gather(fpy_ref, fy_l + nx, Kf_reg[1])
+            else:
+                fp_yl = fp_yu = jnp.zeros(shape)
+            if three_d:
+                fz_l = ((blk_rel * (nz + 1) + ck) * ny + cj) * nx + ci
+                fp_zl = _gather(fpz_ref, fz_l, Kf_reg[2])
+                fp_zu = _gather(fpz_ref, fz_l + ny * nx, Kf_reg[2])
+            else:
+                fp_zl = fp_zu = jnp.zeros(shape)
+            return (es, ea, fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu)
+
+        if R_ref == 1:
+            coefs = gather_coefs(None)
+            stale = jnp.zeros_like(stale)
         else:
-            ea = jnp.zeros(shape)
+            refresh = (it % jnp.int32(R_ref)) == 0
+            coefs = jax.lax.cond(
+                refresh, gather_coefs, lambda _: tuple(coef_c), None
+            )
+            stale = jnp.where(refresh, jnp.zeros_like(stale), stale)
+        es, ea = coefs[0], coefs[1]
+        active = (alive != 0) & (tau < 1.0) & (paused == 0) & (stale == 0)
 
         fi = ci.astype(jnp.float32)
         fj = cj.astype(jnp.float32)
@@ -437,21 +482,7 @@ def _bucketed_kernel(
                     rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzb, zu + eps_i * dzb), rj_z)
                     rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
 
-            fx_l = (blk_rel * nz + ck) * ny * (nx + 1) + cj * (nx + 1) + ci
-            fp_xl = _gather(fpx_ref, fx_l, Kf_reg[0])
-            fp_xu = _gather(fpx_ref, fx_l + 1, Kf_reg[0])
-            if multi_d:
-                fy_l = ((blk_rel * nz + ck) * (ny + 1) + cj) * nx + ci
-                fp_yl = _gather(fpy_ref, fy_l, Kf_reg[1])
-                fp_yu = _gather(fpy_ref, fy_l + nx, Kf_reg[1])
-            else:
-                fp_yl = fp_yu = jnp.zeros(shape)
-            if three_d:
-                fz_l = ((blk_rel * (nz + 1) + ck) * ny + cj) * nx + ci
-                fp_zl = _gather(fpz_ref, fz_l, Kf_reg[2])
-                fp_zu = _gather(fpz_ref, fz_l + ny * nx, Kf_reg[2])
-            else:
-                fp_zl = fp_zu = jnp.zeros(shape)
+            fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu = coefs[2:8]
 
             lk = (fp_xl / dxb, fp_xu / dxb, fp_yl / dyb, fp_yu / dyb,
                   fp_zl / dzb, fp_zu / dzb)
@@ -684,6 +715,16 @@ def _bucketed_kernel(
         def sel_act(new, old):
             return jnp.where(active, new, old)
 
+        # a block/cell change invalidates the carried coefficients until the
+        # next refresh iteration (the stalled lane is masked out of `active`)
+        if R_ref != 1:
+            changed = (
+                (nblk != blk) | (nci != ci) | (ncj != cj) | (nck != ck)
+            )
+            nstale = jnp.where(active & changed, jnp.int32(1), stale)
+        else:
+            nstale = stale
+
         return (
             sel_act(nx_, x), sel_act(ny_, y), sel_act(nz_, z),
             sel_act(nvx, vx), sel_act(nvy, vy), sel_act(nvz, vz),
@@ -696,13 +737,17 @@ def _bucketed_kernel(
             jnp.where(active, nabsorbed, absorbed),
             jnp.where(active, nface, face),
             jnp.where(active, nleak_f, leak),
+        ) + tuple(coefs) + (
+            nstale,
             jnp.where(active, npaused, paused),
             it + 1,
             ev + jnp.sum(active.astype(jnp.int32)),
         )
 
     def cond(carry):
-        tau, alive, paused, it = carry[6], carry[11], carry[15], carry[16]
+        # stale lanes stay in the loop (they reactivate at the next refresh)
+        tau, alive = carry[6], carry[11]
+        paused, it = carry[-3], carry[-2]
         return (it < max_iters) & jnp.any(
             (alive != 0) & (tau < 1.0) & (paused == 0)
         )
@@ -715,11 +760,15 @@ def _bucketed_kernel(
         blk0, ci_ref[:], cj_ref[:], ck_ref[:],
         alive_ref[:], absorbed_ref[:], face_ref[:],
         leak_ref[:],
+    ) + tuple(jnp.zeros(shape) for _ in range(n_coef)) + (
+        jnp.zeros(shape, jnp.int32),  # stale (it=0 always refreshes)
         paused0,
         jnp.int32(0), jnp.int32(0),
     )
-    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, leak,
-     _p, it, ev) = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, body, init)
+    (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
+     leak) = out[:15]
+    it, ev = out[-2], out[-1]
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau

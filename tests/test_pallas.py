@@ -367,6 +367,55 @@ def test_bucketed_interpret_matches_xla():
     assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
 
 
+def test_bucketed_sigma_refresh_matches_xla(monkeypatch):
+    """Sigma-refresh cadence in the BUCKETED kernel (mirrors the grid kernel's:
+    coefficient slab scans under a scalar cond every SIGMA_REFRESH iterations;
+    lanes whose block/cell changed stall until the next refresh): census
+    complete, nothing lost, statistics unchanged vs the XLA loop. Forced on
+    here (test regions are small enough that the cadence would normally be
+    disabled)."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+    from jaybenne_tpu.ops.pallas_bucketed import transport_bucketed
+
+    monkeypatch.setattr(pg, "SIGMA_SCAN_MIN_CHUNKS", 0)
+    monkeypatch.setattr(pg, "SIGMA_REFRESH", 4)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big()
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, ev_p = transport_bucketed(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+
+    for out, name in ((pp, "bucketed"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.05
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+
+
+def test_bucketed_sigma_refresh_ddmc(monkeypatch):
+    """Sigma-refresh + DDMC in the bucketed kernel: the 6 face-prob tiles ride
+    the refresh carry and stalled lanes interleave with leak/albedo events."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+    from jaybenne_tpu.ops.pallas_bucketed import transport_bucketed
+
+    monkeypatch.setattr(pg, "SIGMA_SCAN_MIN_CHUNKS", 0)
+    monkeypatch.setattr(pg, "SIGMA_REFRESH", 4)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big(sigma_s=1.0e6, use_ddmc=True)
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = transport_bucketed(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, _ = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+
+
 def test_grazing_block_crossing_no_spin():
     """Regression: a particle crossing a block face with a grazing (near-zero
     normal velocity) crossing must not be re-homed into the block it just left.

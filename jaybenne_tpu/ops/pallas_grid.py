@@ -298,8 +298,16 @@ _N_FCOLS = 7
 
 def _pack_rows(cols):
     """Columns (f32 bitcast, others astype i32; any shape, flattened) ->
-    one (n, C) i32 row matrix."""
+    one (n, C) i32 row matrix. Trace-time-asserts the layout convention
+    (exactly the first _N_FCOLS columns are f32) so a mis-typed column fails
+    loudly instead of round-tripping through _unpack_rows as bit garbage."""
     i32 = jnp.int32
+    for c_i, c in enumerate(cols):
+        want_f32 = c_i < _N_FCOLS
+        assert (c.dtype == jnp.float32) == want_f32, (
+            f"_pack_rows column {c_i} has dtype {c.dtype}; the packed-row "
+            f"layout requires {'f32' if want_f32 else 'integer'} here"
+        )
     packed = []
     for c in cols:
         flat = c.reshape(-1)

@@ -142,8 +142,13 @@ def rehome_restart_ledger(p, mesh, n_shards):
     restored particle can land on a non-owning shard. Normally the first
     migration round re-homes it, but when migration is statically impossible
     (``B <= blocks_per_shard``: every real block owned by shard 0) such a
-    particle would be masked out of transport forever. Re-homing up front
-    fixes that and removes the migration-round dependency entirely."""
+    particle would be masked out of transport forever.
+
+    Only MISPLACED particles move (into free slots of their owner's slice);
+    everything else stays byte-identical — slot order seeds the per-lane RNG
+    streams, so touching correctly-placed particles would change their
+    trajectories and break the bitwise same-count-resume guarantee even when
+    an unrelated in-transit particle happens to be in the checkpoint."""
     import numpy as np
 
     cap = p.capacity
@@ -155,24 +160,28 @@ def rehome_restart_ledger(p, mesh, n_shards):
     Bl = -(-mesh.n_blocks // n_shards)
     alive = np.asarray(p.alive)
     owner = np.clip(np.asarray(p.block) // Bl, 0, n_shards - 1)
-    # same-device-count resume: every alive particle already sits in its
-    # owner's slice — leave the ledger byte-identical (slot order seeds the
-    # per-lane RNG streams, so reordering would change trajectories and break
-    # the bitwise-resume guarantee)
     slot_shard = np.arange(cap) // cap_l
-    if not (alive & (owner != slot_shard)).any():
+    move = alive & (owner != slot_shard)
+    if not move.any():
         return p
     cols = {f.name: np.asarray(getattr(p, f.name)) for f in dataclasses.fields(p)}
-    out = {name: np.zeros_like(arr) for name, arr in cols.items()}
+    out = {name: arr.copy() for name, arr in cols.items()}
+    out["alive"][move] = False  # vacated sources become free slots
+    free = ~alive | move
     for s in range(n_shards):
-        idx = np.nonzero(alive & (owner == s))[0]
-        if idx.size > cap_l:
+        idx = np.nonzero(move & (owner == s))[0]
+        if idx.size == 0:
+            continue
+        dst = np.nonzero(free[s * cap_l : (s + 1) * cap_l])[0] + s * cap_l
+        if idx.size > dst.size:
             raise ValueError(
-                f"restart re-homing: shard {s} owns {idx.size} particles but its "
-                f"ledger slice holds {cap_l}; raise jaybenne/capacity_factor"
+                f"restart re-homing: shard {s} owns {idx.size} relocated "
+                f"particles but its ledger slice has only {dst.size} free "
+                f"slots; raise jaybenne/capacity_factor"
             )
+        dst = dst[: idx.size]
         for name, arr in cols.items():
-            out[name][s * cap_l : s * cap_l + idx.size] = arr[idx]
+            out[name][dst] = arr[idx]
     return dataclasses.replace(
         p, **{k: jnp.asarray(v) for k, v in out.items()}
     )
@@ -371,10 +380,11 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
                 budget = min(jb.census_iters_per_round, prm.max_iters)
                 prm_round = dataclasses.replace(prm, max_iters=budget)
                 # budget-truncated rounds must not eat the migration-round
-                # allowance: extend the round cap so a particle can still run
-                # the full unbudgeted census length (max_transport_iterations)
-                # in total, on top of max_migration_rounds worth of hops
-                max_rounds = max_rounds + -(-prm.max_iters // budget)
+                # allowance: the unbudgeted path grants max_transport_iterations
+                # PER round for up to max_migration_rounds rounds, so scale the
+                # round cap to keep the same total-iteration backstop (it is a
+                # hang backstop only — the loop exits at unfinished == 0)
+                max_rounds = max_rounds * -(-prm.max_iters // budget)
 
             def local_transport(p, rounds):
                 return transport_ops.transport(
@@ -384,6 +394,16 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
 
         def round_body(carry):
             p, rounds, iters_acc, ev_acc, drop_acc, sent_acc, hit_acc, _ = carry
+            # Subface-resample pending coarse->fine DDMC leaks BEFORE transport
+            # (not after migrate): arrivals from the previous round's migrate
+            # see no transport in between either way, and pending leaks
+            # restored from a checkpoint (or left by a round-capped census) are
+            # resampled before their first transport instead of moving from the
+            # unresampled coarse mid-face state.
+            if smr_ddmc:
+                p = _fixup_subface_arrivals(
+                    p, coefs_local, mesh, prm, offset, Bl, rng.fold(k_fix, rounds)
+                )
             p, iters, ev = local_transport(p, rounds)
             hit_acc = hit_acc + (iters >= prm.max_iters).astype(jnp.int32)
             if can_migrate:
@@ -396,10 +416,6 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
                 # overhead
                 mig_dropped = jnp.zeros((), jnp.int32)
                 n_sent = jnp.zeros((), jnp.int32)
-            if smr_ddmc:
-                p = _fixup_subface_arrivals(
-                    p, coefs_local, mesh, prm, offset, Bl, rng.fold(k_fix, rounds)
-                )
             # dtype pinned: under jax_enable_x64 an unpinned int32 sum upcasts
             # to int64 and breaks the while_loop carry
             local_unfinished = jnp.sum(

@@ -101,6 +101,37 @@ def _measure_cpu_anchor():
     return BASELINE_EVENTS_PER_SEC, False
 
 
+def _backend_watchdog(
+    timeout_s=int(os.environ.get("JB_BENCH_PROBE_TIMEOUT", "480")),
+):
+    """Guard against a wedged TPU tunnel: backend init normally takes 60-90 s,
+    but a wedged tunnel hangs ``jax.devices()`` forever, which would leave the
+    round with no benchmark result at all. Probe the default backend in a
+    subprocess with a hard timeout; on failure re-exec under JAX_PLATFORMS=cpu
+    so a (clearly labeled) CPU number is still reported."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    probe = (
+        "import jax; jax.devices(); "
+        "(jax.numpy.ones((8, 8)) + 1.0).block_until_ready(); print('BACKEND_OK')"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if "BACKEND_OK" in out.stdout:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    print(
+        "# default backend unreachable (wedged tunnel?); re-exec on CPU",
+        file=sys.stderr,
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JB_BENCH_CPU_FALLBACK="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -259,6 +290,12 @@ def main():
             "big_mesh_spatial": big_sp,
         },
     }
+    if os.environ.get("JB_BENCH_CPU_FALLBACK"):
+        result["extra"]["note"] = (
+            "TPU backend unreachable at bench time (wedged tunnel); this is the"
+            " CPU-fallback measurement, not the chip number — see BENCH.md for"
+            " the measured TPU rates"
+        )
     print(json.dumps(result))
 
 
@@ -266,4 +303,5 @@ if __name__ == "__main__":
     if "--cpu-anchor-probe" in sys.argv:
         _cpu_anchor_probe()
     else:
+        _backend_watchdog()
         main()

@@ -128,7 +128,12 @@ def _backend_watchdog(
         "# default backend unreachable (wedged tunnel?); re-exec on CPU",
         file=sys.stderr,
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu", JB_BENCH_CPU_FALLBACK="1")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        JB_BENCH_CPU_FALLBACK="1",
+        PYTHONUNBUFFERED="1",  # sys.argv loses interpreter flags like -u
+    )
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 

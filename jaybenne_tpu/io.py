@@ -129,7 +129,7 @@ def read_checkpoint(path, state):
     slots, shrinking requires every dropped slot to be dead."""
     import jax.numpy as jnp
 
-    pad_ones = ("rho", "sie", "u")
+    from .parallel.spatial import PAD_ONES as pad_ones
 
     with h5py.File(path, "r") as h:
         fvals = {}

@@ -110,7 +110,10 @@ class EPBremss:
         x = jnp.asarray(nu) / (constants.SB * temp)
         freq = jnp.maximum(x * (constants.KB * temp) / constants.HH, 1.0e10)
         g = (self.cff / self._MP**2) ** (1.0 / 3.0) / freq
-        xc = jnp.minimum(x, 80.0)
+        # stimulated-emission factor from the SAME (clamped) frequency as the
+        # nu^-3 factor — mixing clamped freq with unclamped x would shrink
+        # alpha by ~x/x_clamp in the clamped Rayleigh-Jeans tail
+        xc = jnp.clip(freq * constants.HH / (constants.KB * temp), None, 80.0)
         return rho * rho * g * g * g / jnp.sqrt(temp) * (1.0 - jnp.exp(-xc))
 
     def emissivity(self, rho, temp):

@@ -187,6 +187,12 @@ def rehome_restart_ledger(p, mesh, n_shards):
     )
 
 
+# Matter fields whose padding-block fill must be 1.0 (not 0.0) so pointwise
+# derived-field math (EOS temperature, Fleck factor) stays finite on padding
+# blocks. Shared with io.read_checkpoint's block re-padding.
+PAD_ONES = ("rho", "sie", "u")
+
+
 def pad_field_blocks(fields, mesh, n_shards):
     """Pad every field array's block axis from ``B`` to ``n_shards * ceil(B/n)`` so
     it splits evenly over the device mesh. Padding matter blocks carry benign
@@ -198,12 +204,11 @@ def pad_field_blocks(fields, mesh, n_shards):
     n_pad = n_shards * Bl - B
     if n_pad == 0:
         return fields
-    ones = ("rho", "sie", "u")
     return dataclasses.replace(
         fields,
         **{
             f.name: _pad_blocks(
-                getattr(fields, f.name), n_pad, 1.0 if f.name in ones else 0.0
+                getattr(fields, f.name), n_pad, 1.0 if f.name in PAD_ONES else 0.0
             )
             for f in dataclasses.fields(fields)
         },

@@ -92,20 +92,6 @@ x3max = 0.25
 """
 
 
-@pytest.fixture(autouse=True)
-def _restore_region_targets():
-    from jaybenne_tpu.ops import pallas_bucketed as pb
-    from jaybenne_tpu.ops import pallas_grid as pg
-
-    saved = [
-        (mod, name, getattr(mod, name))
-        for mod in (pb, pg)
-        for name in ("REGION_CELLS_IMC", "REGION_CELLS_DDMC")
-    ]
-    yield
-    for mod, name, val in saved:
-        setattr(mod, name, val)
-
 
 def _cfg(extra=None, refined=False):
     text = DECK3D + (REFINE_RIGHT if refined else "")

@@ -26,23 +26,6 @@ from jaybenne_tpu.utils.deck import Deck
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.fixture(autouse=True)
-def _restore_region_targets():
-    """Several tests shrink the bucketing-region targets so interpret mode can
-    afford the compile; restore the production values afterwards so later tests
-    (in this module or any other) see the real region layout."""
-    from jaybenne_tpu.ops import pallas_bucketed as pb
-    from jaybenne_tpu.ops import pallas_grid as pg
-
-    saved = [
-        (mod, name, getattr(mod, name))
-        for mod in (pb, pg)
-        for name in ("REGION_CELLS_IMC", "REGION_CELLS_DDMC")
-    ]
-    yield
-    for mod, name, val in saved:
-        setattr(mod, name, val)
-
 DECK = """
 <parthenon/job>
 problem_id = stepdiff

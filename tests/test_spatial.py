@@ -19,21 +19,6 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(autouse=True)
-def _restore_region_targets():
-    """Tests that shrink the bucketing-region targets restore them afterwards."""
-    from jaybenne_tpu.ops import pallas_bucketed as pb
-    from jaybenne_tpu.ops import pallas_grid as pg
-
-    saved = [
-        (mod, name, getattr(mod, name))
-        for mod in (pb, pg)
-        for name in ("REGION_CELLS_IMC", "REGION_CELLS_DDMC")
-    ]
-    yield
-    for mod, name, val in saved:
-        setattr(mod, name, val)
-
 DECK = """
 <parthenon/job>
 problem_id = stepdiff

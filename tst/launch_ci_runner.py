@@ -54,7 +54,7 @@ def run_matrix(backend: str, device_filter):
     for script, deck, ndev, extra in MATRIX:
         if device_filter and ndev not in device_filter:
             continue
-        name = f"{deck}@{ndev}dev" + ("".join(extra) if extra else "")
+        name = f"{deck}@{ndev}dev" + (" " + " ".join(extra) if extra else "")
         t0 = time.time()
         proc = subprocess.run(
             [sys.executable, script, "--input", deck, "--n_devices", str(ndev),

@@ -171,6 +171,20 @@ class JaybenneConfig:
     census_iters_per_round: int = 128
     # per-cycle host-side invariant validation (PARTHENON_DEBUG_REQUIRE analog)
     debug_checks: bool = False
+    # --- external volume radiation source (TPU-build extension) --------------
+    # Isotropic radiation injected at a fixed energy-density rate q
+    # [erg/cm^3/s] inside an axis-aligned box while t < tmax — the driving
+    # term of the Su & Olson (1996) non-equilibrium benchmark family; the
+    # reference sources only from the matter Planck field (sourcing.cpp).
+    external_source_q: float = 0.0
+    external_source_tmax: float = 1e300
+    # (x1min, x1max, x2min, x2max, x3min, x3max); None = the whole domain
+    external_source_box: Optional[tuple] = None
+    # particle budget per step for the external source (0 = num_particles)
+    external_source_num: int = 0
+    # Planck spectrum temperature of the injected photons (0 = local matter
+    # temperature; only frequency-dependent models can tell the difference)
+    external_source_temp: float = 0.0
 
     def __post_init__(self):
         if not (0.0 <= self.min_swarm_occupancy < 1.0):
@@ -188,6 +202,10 @@ class JaybenneConfig:
             raise DeckError("max_migration_rounds must be >= 1")
         if self.migration_buffer_k < 0:
             raise DeckError("migration_buffer_k must be >= 0")
+        if self.external_source_q < 0:
+            raise DeckError("external_source must be >= 0")
+        if self.external_source_num < 0:
+            raise DeckError("external_source_num must be >= 0")
 
     @property
     def dtype(self):
@@ -214,10 +232,20 @@ class McblockConfig:
     scattering_model: str = "none"
     scattering_constant_value: float = 0.0
     apm: float = 1.0
+    # "ideal" (gamma-law, the reference's singularity::IdealGas) or
+    # "power_law_cv" (cv = cv_alpha * T^cv_exponent — Su-Olson-type material)
+    eos_model: str = "ideal"
+    cv_alpha: float = 1.0
+    cv_exponent: float = 3.0
 
     def build_eos(self):
-        cv = self.cv if self.cv is not None else 1.0 / (self.gamma - 1.0)
-        base = eos_models.IdealGas(gm1=self.gamma - 1.0, cv=cv)
+        if self.eos_model == "power_law_cv":
+            base = eos_models.PowerLawCv(alpha=self.cv_alpha, n=self.cv_exponent)
+        elif self.eos_model == "ideal":
+            cv = self.cv if self.cv is not None else 1.0 / (self.gamma - 1.0)
+            base = eos_models.IdealGas(gm1=self.gamma - 1.0, cv=cv)
+        else:
+            raise DeckError("Only ideal or power_law_cv eos models supported!")
         return eos_models.UnitSystemEOS(
             base,
             time_scale=self.time_scale,
@@ -371,6 +399,24 @@ def from_deck(deck: Deck) -> RunConfig:
             "jaybenne", "census_iters_per_round", 128
         ),
         debug_checks=deck.get_or_add_bool("jaybenne", "debug_checks", False),
+        external_source_q=deck.get_or_add_real("jaybenne", "external_source", 0.0),
+        external_source_tmax=deck.get_or_add_real(
+            "jaybenne", "external_source_tmax", 1e300
+        ),
+        external_source_box=tuple(
+            deck.get_or_add_real("jaybenne", f"external_source_{k}", d)
+            for k, d in (
+                ("x1min", mesh.x1min), ("x1max", mesh.x1max),
+                ("x2min", mesh.x2min), ("x2max", mesh.x2max),
+                ("x3min", mesh.x3min), ("x3max", mesh.x3max),
+            )
+        ),
+        external_source_num=deck.get_or_add_int(
+            "jaybenne", "external_source_num", 0
+        ),
+        external_source_temp=deck.get_or_add_real(
+            "jaybenne", "external_source_temperature", 0.0
+        ),
     )
 
     gamma = deck.get_or_add_real("mcblock", "gamma", 1.66666666667)
@@ -401,6 +447,9 @@ def from_deck(deck: Deck) -> RunConfig:
             else 0.0
         ),
         apm=deck.get_or_add_real("mcblock", "apm", 1.0),
+        eos_model=deck.get_or_add_str("mcblock", "eos_model", "ideal"),
+        cv_alpha=deck.get_or_add_real("mcblock", "cv_alpha", 1.0),
+        cv_exponent=deck.get_or_add_real("mcblock", "cv_exponent", 3.0),
     )
 
     outputs = []

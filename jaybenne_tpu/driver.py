@@ -160,7 +160,14 @@ class Simulation:
         jb = self.cfg.jaybenne
         # room for census survivors + one step of births + stochastic slack
         cap = int(jb.num_particles * jb.capacity_factor) + self.mesh.total_cells + 1024
+        cap += self._ext_births()
         return self._round_capacity(cap)
+
+    def _ext_births(self) -> int:
+        jb = self.cfg.jaybenne
+        if jb.external_source_q <= 0:
+            return 0
+        return jb.external_source_num or jb.num_particles
 
     def _ensure_headroom(self):
         """Grow the particle ledger before the next sourcing could overflow it — the
@@ -172,7 +179,10 @@ class Simulation:
         import jax.numpy as jnp
 
         p = self.state.particles
-        need = int(p.num_alive()) + self.cfg.jaybenne.num_particles + self.mesh.total_cells + 64
+        need = (
+            int(p.num_alive()) + self.cfg.jaybenne.num_particles
+            + self._ext_births() + self.mesh.total_cells + 64
+        )
         if need <= p.capacity:
             return
         new_cap = self._round_capacity(max(need, 2 * p.capacity))

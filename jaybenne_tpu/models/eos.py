@@ -52,6 +52,40 @@ class IdealGas:
 
 @jax.tree_util.register_static
 @dataclasses.dataclass(frozen=True)
+class PowerLawCv:
+    """Temperature-power-law specific heat: ``cv(T) = alpha * T**n`` per unit
+    mass, so ``sie = alpha * T**(n+1) / (n+1)``.
+
+    The ``n = 3`` case linearizes the matter-radiation coupling (``u_m ∝ T^4``
+    like the radiation field) — the material of the Su & Olson (1996)
+    non-equilibrium radiative-transfer benchmark, which drives a cold such
+    medium with an external volume source (``jaybenne/external_source``). The
+    reference reaches materials like this through singularity-eos's wider model
+    set; its jaybenne call surface (``TemperatureFromDensityInternalEnergy``,
+    ``SpecificHeatFromDensityInternalEnergy``, ``jaybenne.cpp:311-312``) is what
+    matters and is provided here.
+    """
+
+    alpha: float    # cv prefactor [erg/g/K^(n+1)]
+    n: float = 3.0  # temperature exponent
+
+    def temperature_from_density_internal_energy(self, rho, sie):
+        del rho
+        p = self.n + 1.0
+        return jnp.maximum(p * jnp.asarray(sie) / self.alpha, 0.0) ** (1.0 / p)
+
+    def specific_heat_from_density_internal_energy(self, rho, sie):
+        t = self.temperature_from_density_internal_energy(rho, sie)
+        return self.alpha * t**self.n
+
+    def internal_energy_from_density_temperature(self, rho, temp):
+        del rho
+        p = self.n + 1.0
+        return self.alpha * jnp.asarray(temp) ** p / p
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
 class UnitSystemEOS:
     """Unit-scale wrapper around an EOS (the reference's
     ``singularity::UnitSystem<IdealGas>`` variant arm, ``src/mcblock/eos.hpp:21``).

@@ -55,6 +55,10 @@ def source_photons(
     axis_name=None,
     cell_mask=None,
     block_offset=None,
+    t=None,
+    external=None,
+    inside_mask=None,
+    n_src_cells=None,
 ):
     """Returns (fields, particles, n_dropped).
 
@@ -73,8 +77,16 @@ def source_photons(
     shard's local ``[B_local, ...]`` block slice and ``block_offset`` is the
     global id of its first block: every cell is owned by exactly one shard, so
     counts/weights are purely local (no psum), particles are emitted with global
-    block ids, and padding blocks (global id >= mesh.n_blocks) source nothing."""
-    assert source_type in ("thermal", "emission")
+    block ids, and padding blocks (global id >= mesh.n_blocks) source nothing.
+
+    ``source_type = "external"`` (TPU-build extension, the Su-Olson driving
+    term): isotropic radiation injected at the fixed rate ``q`` [erg/cm^3/s]
+    inside ``inside_mask`` (a local-fields-shaped bool; ``n_src_cells`` is the
+    static GLOBAL source-cell count normalizing the per-cell particle budget)
+    while ``t < tmax``. ``external = (q, tmax, src_temp)``; births are uniform
+    over the in-step source window, energy is NOT debited from the matter
+    (``energy_delta`` passes through — the source is external by definition)."""
+    assert source_type in ("thermal", "emission", "external")
     B, nz, ny, nx = fields.rho.shape  # B is the LOCAL block count when offset set
     n_cells_local = B * nz * ny * nx
     # the per-cell rate normalizes by the GLOBAL cell count so the whole mesh
@@ -94,11 +106,17 @@ def source_photons(
 
     if source_type == "thermal":
         erad = (4.0 * sb / c) * temp**4 * dv
-    else:
+    elif source_type == "emission":
         emis = opacity.emissivity(fields.rho, temp)
         erad = fields.fleck * emis * dv * dt
+    else:
+        q, tmax, _ = external
+        # in-step source window [t, min(t+dt, tmax)); zero once past the cutoff
+        overlap = jnp.clip(jnp.minimum(t + dt, tmax) - t, 0.0, dt).astype(dtype)
+        erad = (q * overlap) * dv * inside_mask.astype(dtype)
 
-    npc = float(num_particles) / float(n_cells)
+    norm_cells = n_src_cells if source_type == "external" else n_cells
+    npc = float(num_particles) / float(norm_cells)
     base = int(npc)
     frac = npc - base
     k_round, k_attr = jax.random.split(key)
@@ -123,16 +141,25 @@ def source_photons(
     ew = jnp.where(n_glob > 0, erad / jnp.maximum(n_glob, 1).astype(dtype), 0.0)
     ew = ew.astype(dtype)
 
-    fields = dataclasses.replace(
-        fields,
-        source_num=n_glob.astype(dtype),
-        source_ew=ew,
-        energy_delta=(
-            -(n_glob.astype(dtype) * ew)
-            if source_type == "emission"
-            else jnp.zeros_like(ew)
-        ),
-    )
+    if source_type == "external":
+        # accumulate over the preceding emission pass; external energy is not
+        # debited from the matter (it enters the system from outside)
+        fields = dataclasses.replace(
+            fields,
+            source_num=fields.source_num + n_glob.astype(dtype),
+            source_ew=jnp.where(n_glob > 0, ew, fields.source_ew),
+        )
+    else:
+        fields = dataclasses.replace(
+            fields,
+            source_num=n_glob.astype(dtype),
+            source_ew=ew,
+            energy_delta=(
+                -(n_glob.astype(dtype) * ew)
+                if source_type == "emission"
+                else jnp.zeros_like(ew)
+            ),
+        )
 
     # ---- candidate grid ------------------------------------------------------
     K = base + 1  # static max births per cell
@@ -168,10 +195,20 @@ def source_photons(
     vz = c * ndir[2]
 
     temp_c = temp.reshape(C).astype(dtype)
+    if source_type == "external" and external[2] > 0:
+        # fixed injection spectrum (only frequency-dependent models care)
+        temp_c = jnp.full((C,), external[2], dtype)
     energy = planck.sample_planck_energy(keys[4], sb, temp_c[:, None], shape, dtype)
     weight = jnp.broadcast_to(ew.reshape(C)[:, None], shape)
     if source_type == "emission":
         tau = rng.uniform(keys[5], shape, dtype)
+    elif source_type == "external":
+        # births uniform over the in-step source window [t, t + overlap)
+        q_, tmax_, _ = external
+        overlap = jnp.clip(jnp.minimum(t + dt, tmax_) - t, 0.0, dt).astype(dtype)
+        tau = rng.uniform(keys[5], shape, dtype) * (
+            overlap / jnp.asarray(dt, dtype)
+        )
     else:
         tau = jnp.zeros(shape, dtype)
 

@@ -93,7 +93,11 @@ def make_sharded_step(mesh, cfg: RunConfig, dmesh: DeviceMesh):
     """Particle-sharded ``step(state, dt) -> (state, stats)`` via ``shard_map``."""
     n = dmesh.devices.size
     per_shard = max(1, round(cfg.jaybenne.num_particles / n))
-    core = build_step_core(mesh, cfg, axis_name="shard", num_particles=per_shard)
+    ext_total = cfg.jaybenne.external_source_num or cfg.jaybenne.num_particles
+    core = build_step_core(
+        mesh, cfg, axis_name="shard", num_particles=per_shard,
+        ext_num=max(1, round(ext_total / n)),
+    )
 
     def run(state, dt):
         specs = state_specs(state)

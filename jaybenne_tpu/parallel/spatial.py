@@ -126,8 +126,13 @@ def migrate(p, offset, blocks_per_shard, n_shards, K, axis_name):
     recv = {name: xchg(buf) for name, buf in buffers.items()}
     recv_valid = xchg(valid_buf)
 
+    # absorbed rows still carry weight for the end-of-step absorption tally:
+    # reserve them so mid-step arrivals cannot recycle (and destroy) them
     p, dropped = insert_particles(
-        p, {name: arr.reshape(-1) for name, arr in recv.items()}, recv_valid.reshape(-1)
+        p,
+        {name: arr.reshape(-1) for name, arr in recv.items()},
+        recv_valid.reshape(-1),
+        reserved=p.absorbed,
     )
     n_sent = jnp.sum(sent.astype(jnp.int32), dtype=jnp.int32)
     return p, dropped, n_sent
@@ -295,6 +300,33 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
     # pays ~50 budget-truncated rounds of pack/exchange/insert per cycle).
     can_migrate = n_shards > 1 and B > Bl
 
+    # external volume source: static global box mask, padded along the block
+    # axis and sliced to each shard's owned blocks (see step.py for the
+    # single/particle-mode analog)
+    ext_on = jb.external_source_q > 0
+    if ext_on:
+        import numpy as np
+
+        box = jb.external_source_box or mesh.bounds
+        xc, yc, zc = (np.asarray(a) for a in mesh.cell_centers())
+        m_src = (
+            (xc >= box[0]) & (xc < box[1])
+            & (yc >= box[2]) & (yc < box[3])
+            & (zc >= box[4]) & (zc < box[5])
+        )
+        n_src_cells = int(m_src.sum())
+        if n_src_cells == 0:
+            raise ValueError("external_source box contains no cell centers")
+        pad = np.zeros((n_shards * Bl - B,) + m_src.shape[1:], bool)
+        ext_mask_padded = jnp.asarray(np.concatenate([m_src, pad]))
+        ext_num = jb.external_source_num or jb.num_particles
+        ext_prm = (
+            jb.external_source_q,
+            # clamp the open-ended default below f32 max (cast warning)
+            min(jb.external_source_tmax, 3.0e38),
+            jb.external_source_temp,
+        )
+
     def step(state, dt):
         f = state.fields  # this shard's LOCAL [Bl, ...] block slice
         p = state.particles
@@ -302,7 +334,10 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
         offset = shard * Bl
         key = jax.random.fold_in(state.rng_key, state.cycle)
         key = jax.random.fold_in(key, shard)
-        k_src, k_tr, k_fix = jax.random.split(key, 3)
+        if ext_on:
+            k_src, k_tr, k_fix, k_ext = jax.random.split(key, 4)
+        else:
+            k_src, k_tr, k_fix = jax.random.split(key, 3)
 
         # 1. derived fields: the Fleck factor is pointwise on local blocks; the
         # DDMC face probabilities need tau on BOTH sides of every local face.
@@ -343,7 +378,37 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
             )
             dropped = dropped.astype(jnp.int32)
         else:
-            f = dataclasses.replace(f, energy_delta=jnp.zeros_like(f.energy_delta))
+            f = dataclasses.replace(
+                f,
+                energy_delta=jnp.zeros_like(f.energy_delta),
+                **(
+                    dict(
+                        source_num=jnp.zeros_like(f.source_num),
+                        source_ew=jnp.zeros_like(f.source_ew),
+                    )
+                    if ext_on
+                    else {}
+                ),
+            )
+
+        if ext_on:
+            local_mask = jax.lax.dynamic_slice_in_dim(
+                ext_mask_padded, offset, Bl, 0
+            )
+            f, p, ext_drop = sourcing.source_photons(
+                f, p, mesh, k_ext,
+                source_type="external",
+                eos=eos, opacity=opacity,
+                sb=consts.sb, c=consts.c,
+                num_particles=ext_num,
+                dt=dt, dtype=dtype,
+                block_offset=offset,
+                t=state.t,
+                external=ext_prm,
+                inside_mask=local_mask,
+                n_src_cells=n_src_cells,
+            )
+            dropped = dropped + ext_drop.astype(jnp.int32)
 
         # 3. census loop with migration (jaybenne.cpp:113-131): the local fields
         # ARE the transport coefficients' extent — no slicing

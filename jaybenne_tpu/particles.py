@@ -84,7 +84,7 @@ class ParticleLedger:
         return org[:, 0] + self.x, org[:, 1] + self.y, org[:, 2] + self.z
 
 
-def insert_particles(ledger: ParticleLedger, cand: dict, valid) -> tuple:
+def insert_particles(ledger: ParticleLedger, cand: dict, valid, reserved=None) -> tuple:
     """Scatter candidate particles into the ledger's dead slots.
 
     ``cand`` maps field name -> candidate array (any shape, flattened); ``valid``
@@ -92,14 +92,20 @@ def insert_particles(ledger: ParticleLedger, cand: dict, valid) -> tuple:
     dead slots in stable index order (the pool-allocation analog of Parthenon's
     ``AddEmptyParticles``). Returns ``(ledger, n_dropped)`` where dropped candidates
     exceeded the free-slot count.
+
+    ``reserved`` marks rows that are dead but must NOT be recycled yet — the
+    spatial census loop inserts migration arrivals mid-step, when absorbed rows
+    still carry their weight for the end-of-step absorption tally; overwriting
+    one silently destroys that energy.
     """
     import dataclasses as _dc
 
     cap = ledger.capacity
     vflat = valid.reshape(-1)
     rank = jnp.cumsum(vflat.astype(jnp.int32)) - 1
-    order = jnp.argsort(ledger.alive, stable=True).astype(jnp.int32)  # dead first
-    n_dead = cap - ledger.num_alive()
+    occupied = ledger.alive if reserved is None else (ledger.alive | reserved)
+    order = jnp.argsort(occupied, stable=True).astype(jnp.int32)  # free first
+    n_dead = cap - jnp.sum(occupied.astype(jnp.int32))
     ok = vflat & (rank < n_dead)
     n_dropped = jnp.sum(vflat) - jnp.sum(ok)
     dest = jnp.where(ok, order[jnp.clip(rank, 0, cap - 1)], cap)  # cap -> dropped

@@ -70,7 +70,9 @@ def make_radiation_step(mesh, cfg: RunConfig):
     return jax.jit(build_step_core(mesh, cfg))
 
 
-def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
+def build_step_core(
+    mesh, cfg: RunConfig, axis_name=None, num_particles=None, ext_num=None
+):
     """The per-cycle step body.
 
     With ``axis_name`` set, the function is meant to run inside ``shard_map`` over a
@@ -88,6 +90,32 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
     periodic = cfg.mesh.periodic_flags
     if num_particles is None:
         num_particles = jb.num_particles
+
+    # external volume source (Su-Olson driving term): the box mask and source-
+    # cell count are static mesh geometry, precomputed host-side once
+    ext_on = jb.external_source_q > 0
+    if ext_on:
+        import numpy as np
+
+        box = jb.external_source_box or mesh.bounds
+        xc, yc, zc = (np.asarray(a) for a in mesh.cell_centers())
+        m_src = (
+            (xc >= box[0]) & (xc < box[1])
+            & (yc >= box[2]) & (yc < box[3])
+            & (zc >= box[4]) & (zc < box[5])
+        )
+        n_src_cells = int(m_src.sum())
+        if n_src_cells == 0:
+            raise ValueError("external_source box contains no cell centers")
+        inside_mask = jnp.asarray(m_src)
+        if ext_num is None:
+            ext_num = jb.external_source_num or jb.num_particles
+        ext_prm = (
+            jb.external_source_q,
+            # clamp the open-ended default below f32 max (cast warning)
+            min(jb.external_source_tmax, 3.0e38),
+            jb.external_source_temp,
+        )
 
     gray_models = getattr(opacity, "is_gray", True) and getattr(
         scattering, "is_gray", True
@@ -136,7 +164,10 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
         key = jax.random.fold_in(state.rng_key, state.cycle)
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_src, k_tr = jax.random.split(key)
+        if ext_on:
+            k_src, k_ext, k_tr = jax.random.split(key, 3)
+        else:
+            k_src, k_tr = jax.random.split(key)
 
         # 1. derived transport fields (jaybenne.cpp:104 -> :277-492)
         with jax.named_scope("jaybenne.derived_fields"):
@@ -170,7 +201,36 @@ def build_step_core(mesh, cfg: RunConfig, axis_name=None, num_particles=None):
                 )
             dropped = dropped.astype(jnp.int32)
         else:
-            f = dataclasses.replace(f, energy_delta=jnp.zeros_like(f.energy_delta))
+            f = dataclasses.replace(
+                f,
+                energy_delta=jnp.zeros_like(f.energy_delta),
+                # keep the source diagnostics clean for the external pass below
+                **(
+                    dict(
+                        source_num=jnp.zeros_like(f.source_num),
+                        source_ew=jnp.zeros_like(f.source_ew),
+                    )
+                    if ext_on
+                    else {}
+                ),
+            )
+
+        if ext_on:
+            with jax.named_scope("jaybenne.external_source"):
+                f, p, ext_drop = sourcing.source_photons(
+                    f, p, mesh, k_ext,
+                    source_type="external",
+                    eos=eos, opacity=opacity,
+                    sb=consts.sb, c=consts.c,
+                    num_particles=ext_num,
+                    dt=dt, dtype=dtype,
+                    axis_name=axis_name,
+                    t=state.t,
+                    external=ext_prm,
+                    inside_mask=inside_mask,
+                    n_src_cells=n_src_cells,
+                )
+            dropped = dropped + ext_drop.astype(jnp.int32)
 
         # 3. census transport loop (jaybenne.cpp:113-131)
         with jax.named_scope("jaybenne.transport_loop"):

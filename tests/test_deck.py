@@ -95,7 +95,7 @@ def test_all_decks_build_full_config():
     decks = sorted(
         glob.glob(os.path.join(os.path.dirname(__file__), "../inputs/*.in"))
     )
-    assert len(decks) == 8  # 7 reference decks + the 3D extension deck
+    assert len(decks) == 9  # 7 reference decks + 3D and Su-Olson extension decks
     for path in decks:
         cfg = cfg_mod.from_file(path)
         cfg.mcblock.build_eos()

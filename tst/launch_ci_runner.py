@@ -43,6 +43,8 @@ MATRIX = [
     ("stepdiff.py", "stepdiff.in", 8,
      ("--decomposition", "spatial", "--override", "parthenon/meshblock/nx1=16",
       "--override", "jaybenne/capacity_factor=4")),
+    # Su-Olson external-volume-source bookkeeping gate (extension physics)
+    ("suolson.py", "suolson.in", 1, ()),
 ]
 
 

@@ -118,6 +118,22 @@ def test_external_source_conservation_spatial():
     )
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 (virtual) devices")
+def test_external_source_conservation_spatial_kernel():
+    """Spatial mode through the bucketed Pallas census kernel (interpret mode):
+    absorbed-but-untallied rows must survive mid-round migration inserts
+    (the reserved-slot guard in particles.insert_particles) on the kernel
+    path exactly as on the XLA path."""
+    _run_conservation(
+        {
+            "jaybenne/n_devices": 2,
+            "jaybenne/decomposition": "spatial",
+            "parthenon/meshblock/nx1": 4,
+            "jaybenne/use_pallas": "on",
+        }
+    )
+
+
 def test_external_source_tmax_cutoff():
     """The source window [t, min(t+dt, tmax)) injects a partial step's worth
     when tmax lands mid-step and nothing afterwards."""

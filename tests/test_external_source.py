@@ -208,6 +208,40 @@ def test_external_source_diffusion_variance():
     np.testing.assert_allclose(var, expect, rtol=0.06)
 
 
+def test_external_source_restart_bitwise(tmp_path):
+    """Checkpoint/restart INSIDE the source window: the injection rate depends
+    on absolute time (the [t, min(t+dt, tmax)) overlap), so a resume that lost
+    or rescaled ``state.t`` would inject the wrong energy. The restarted
+    trajectory must match the uninterrupted one bitwise."""
+    base = {"jaybenne/external_source_tmax": 2.5 * DT}
+
+    def cfg(tlim):
+        return cfg_mod.from_deck(
+            Deck.parse(DECK).update({**base, "parthenon/time/tlim": tlim})
+        )
+
+    sim_a = Simulation(cfg(4 * DT), outdir=str(tmp_path), quiet=True)
+    sim_a.run()
+
+    sim_b = Simulation(cfg(2 * DT), outdir=str(tmp_path), quiet=True)
+    sim_b.run()
+    ck = sim_b.write_checkpoint()
+    sim_c = Simulation(cfg(4 * DT), outdir=str(tmp_path), quiet=True, restart=ck)
+    sim_c.run()
+
+    assert np.array_equal(
+        np.asarray(sim_a.state.fields.energy_tally),
+        np.asarray(sim_c.state.fields.energy_tally),
+    )
+    assert np.array_equal(
+        np.asarray(sim_a.state.fields.u), np.asarray(sim_c.state.fields.u)
+    )
+    assert np.array_equal(
+        np.asarray(sim_a.state.particles.weight),
+        np.asarray(sim_c.state.particles.weight),
+    )
+
+
 def test_power_law_cv_eos():
     """sie = alpha T^(n+1)/(n+1) roundtrip and cv = alpha T^n."""
     eos = eos_models.PowerLawCv(alpha=2.5, n=3.0)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BC
 
-SUBLANES = 128           # tile width swept on v5e (stepdiff headline, events/s):
+#   JB_SUBLANES overrides for on-hardware sweeps (one process per point)
+SUBLANES = int(os.environ.get("JB_SUBLANES", "128"))
+#                          tile width swept on v5e (stepdiff headline, events/s):
 #   16: 1.88e9, 32: 2.19e9, 64: 2.23e9, 128: 2.21e9, 256: 2.03e9.
 #   Narrower tiles confine the census straggler tail (each tile iterates to
 #   its own completion); 64 and 128 are within 1% of each other, but Mosaic

@@ -184,7 +184,7 @@ class JaybenneConfig:
     external_source_num: int = 0
     # Planck spectrum temperature of the injected photons (0 = local matter
     # temperature; only frequency-dependent models can tell the difference)
-    external_source_temp: float = 0.0
+    external_source_temperature: float = 0.0
 
     def __post_init__(self):
         if not (0.0 <= self.min_swarm_occupancy < 1.0):
@@ -414,7 +414,7 @@ def from_deck(deck: Deck) -> RunConfig:
         external_source_num=deck.get_or_add_int(
             "jaybenne", "external_source_num", 0
         ),
-        external_source_temp=deck.get_or_add_real(
+        external_source_temperature=deck.get_or_add_real(
             "jaybenne", "external_source_temperature", 0.0
         ),
     )

@@ -167,7 +167,13 @@ class Simulation:
         jb = self.cfg.jaybenne
         if jb.external_source_q <= 0:
             return 0
-        return jb.external_source_num or jb.num_particles
+        n = jb.external_source_num or jb.num_particles
+        if jb.decomposition == "spatial":
+            # births land on the ledger slices of the box-OWNING shards (worst
+            # case: one shard owns the whole box), but capacity is a global
+            # number split evenly per shard — provision for the concentration
+            n *= max(self.n_devices, 1)
+        return n
 
     def _ensure_headroom(self):
         """Grow the particle ledger before the next sourcing could overflow it — the

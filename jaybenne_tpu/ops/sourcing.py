@@ -38,6 +38,35 @@ import jax.numpy as jnp
 from . import planck, rng
 
 
+def external_source_setup(mesh, jb):
+    """Static (host-side) geometry of the external volume source
+    (``jaybenne/external_source*``): returns ``(inside_mask, src_cells,
+    n_src_cells, ext_prm)`` — the GLOBAL box mask over cell centers
+    ([n_blocks, nz, ny, nx] bool), the flat global source-cell ids, their
+    count, and the ``(q, tmax, temperature)`` parameter tuple. Shared by the
+    single/particle-sharded step builder and the spatial one."""
+    import numpy as np
+
+    box = jb.external_source_box or mesh.bounds
+    xc, yc, zc = (np.asarray(a) for a in mesh.cell_centers())
+    m = (
+        (xc >= box[0]) & (xc < box[1])
+        & (yc >= box[2]) & (yc < box[3])
+        & (zc >= box[4]) & (zc < box[5])
+    )
+    n_src = int(m.sum())
+    if n_src == 0:
+        raise ValueError("external_source box contains no cell centers")
+    src_cells = jnp.asarray(np.flatnonzero(m.reshape(-1)), jnp.int32)
+    prm = (
+        jb.external_source_q,
+        # clamp the open-ended default below f32 max (cast warning)
+        min(jb.external_source_tmax, 3.0e38),
+        jb.external_source_temperature,
+    )
+    return jnp.asarray(m), src_cells, n_src, prm
+
+
 def source_photons(
     fields,
     particles,
@@ -58,6 +87,7 @@ def source_photons(
     t=None,
     external=None,
     inside_mask=None,
+    src_cells=None,
     n_src_cells=None,
 ):
     """Returns (fields, particles, n_dropped).
@@ -112,6 +142,7 @@ def source_photons(
     else:
         q, tmax, _ = external
         # in-step source window [t, min(t+dt, tmax)); zero once past the cutoff
+        # (also reused below to place birth times inside the window)
         overlap = jnp.clip(jnp.minimum(t + dt, tmax) - t, 0.0, dt).astype(dtype)
         erad = (q * overlap) * dv * inside_mask.astype(dtype)
 
@@ -142,12 +173,18 @@ def source_photons(
     ew = ew.astype(dtype)
 
     if source_type == "external":
-        # accumulate over the preceding emission pass; external energy is not
-        # debited from the matter (it enters the system from outside)
+        # accumulate over the preceding emission pass, keeping the dumped
+        # invariant source_num * source_ew == total sourced energy per cell;
+        # external energy is not debited from the matter (it enters the system
+        # from outside)
+        tot_e = fields.source_num * fields.source_ew + n_glob.astype(dtype) * ew
+        new_num = fields.source_num + n_glob.astype(dtype)
         fields = dataclasses.replace(
             fields,
-            source_num=fields.source_num + n_glob.astype(dtype),
-            source_ew=jnp.where(n_glob > 0, ew, fields.source_ew),
+            source_num=new_num,
+            source_ew=jnp.where(
+                new_num > 0, tot_e / jnp.maximum(new_num, 1.0), 0.0
+            ).astype(dtype),
         )
     else:
         fields = dataclasses.replace(
@@ -163,16 +200,43 @@ def source_photons(
 
     # ---- candidate grid ------------------------------------------------------
     K = base + 1  # static max births per cell
-    C = n_cells_local
-    n_flat = n_cell.reshape(C)
+    if source_type == "external":
+        # rows = the (static) global source-cell set, NOT the whole local grid:
+        # K scales as ext_num / n_src_cells, so a localized box would inflate a
+        # whole-grid candidate array by n_cells / n_src_cells — unusable at big
+        # mesh sizes. ``src_cells`` are flat GLOBAL cell ids; each shard keeps
+        # the rows it owns (every one, when fields are global/replicated).
+        C = int(src_cells.shape[0])
+        g = src_cells.astype(jnp.int32)
+        i_c = g % nx
+        j_c = (g // nx) % ny
+        k_c = (g // (nx * ny)) % nz
+        b_c = g // (nx * ny * nz)  # GLOBAL block ids
+        if block_offset is not None:
+            lb = b_c - block_offset
+            owned = (lb >= 0) & (lb < B)
+            lflat = jnp.where(
+                owned, (lb * nz + k_c) * ny * nx + j_c * nx + i_c, 0
+            )
+        else:
+            owned = jnp.ones((C,), bool)
+            lflat = g
+        n_flat = jnp.where(owned, n_cell.reshape(n_cells_local)[lflat], 0)
+        ew_flat = jnp.where(owned, ew.reshape(n_cells_local)[lflat], 0.0)
+        temp_flat = temp.reshape(n_cells_local)[lflat].astype(dtype)
+    else:
+        C = n_cells_local
+        cflat = jnp.arange(C, dtype=jnp.int32)
+        i_c = cflat % nx
+        j_c = (cflat // nx) % ny
+        k_c = (cflat // (nx * ny)) % nz
+        b_c = cflat // (nx * ny * nz)
+        if block_offset is not None:
+            b_c = jnp.clip(b_c + block_offset, 0, mesh.n_blocks - 1)  # global ids
+        n_flat = n_cell.reshape(C)
+        ew_flat = ew.reshape(C)
+        temp_flat = temp.reshape(C).astype(dtype)
     valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n_flat[:, None]  # [C, K]
-
-    # cell decode for each candidate row
-    cflat = jnp.arange(C, dtype=jnp.int32)
-    i_c = cflat % nx
-    j_c = (cflat // nx) % ny
-    k_c = (cflat // (nx * ny)) % nz
-    b_c = cflat // (nx * ny * nz)
 
     keys = jax.random.split(k_attr, 6)
     shape = (C, K)
@@ -181,8 +245,6 @@ def source_photons(
     uz = rng.uniform(keys[2], shape, dtype)
     ndir = rng.isotropic_direction(keys[3], shape, dtype)
 
-    if block_offset is not None:
-        b_c = jnp.clip(b_c + block_offset, 0, mesh.n_blocks - 1)  # global block ids
     dxv = mesh.block_dx[b_c]  # [C, 3]
     # block-local positions, uniform over the cell (sourcing.cpp:175-177)
     x = (i_c.astype(dtype)[:, None] + ux) * dxv[:, 0:1]
@@ -194,18 +256,15 @@ def source_photons(
     vy = c * ndir[1]
     vz = c * ndir[2]
 
-    temp_c = temp.reshape(C).astype(dtype)
     if source_type == "external" and external[2] > 0:
         # fixed injection spectrum (only frequency-dependent models care)
-        temp_c = jnp.full((C,), external[2], dtype)
-    energy = planck.sample_planck_energy(keys[4], sb, temp_c[:, None], shape, dtype)
-    weight = jnp.broadcast_to(ew.reshape(C)[:, None], shape)
+        temp_flat = jnp.full((C,), external[2], dtype)
+    energy = planck.sample_planck_energy(keys[4], sb, temp_flat[:, None], shape, dtype)
+    weight = jnp.broadcast_to(ew_flat[:, None], shape)
     if source_type == "emission":
         tau = rng.uniform(keys[5], shape, dtype)
     elif source_type == "external":
         # births uniform over the in-step source window [t, t + overlap)
-        q_, tmax_, _ = external
-        overlap = jnp.clip(jnp.minimum(t + dt, tmax_) - t, 0.0, dt).astype(dtype)
         tau = rng.uniform(keys[5], shape, dtype) * (
             overlap / jnp.asarray(dt, dtype)
         )

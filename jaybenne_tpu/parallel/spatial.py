@@ -300,32 +300,15 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
     # pays ~50 budget-truncated rounds of pack/exchange/insert per cycle).
     can_migrate = n_shards > 1 and B > Bl
 
-    # external volume source: static global box mask, padded along the block
-    # axis and sliced to each shard's owned blocks (see step.py for the
-    # single/particle-mode analog)
+    # external volume source: static global box mask (padded along the block
+    # axis, sliced to each shard's owned blocks) + global source-cell set
     ext_on = jb.external_source_q > 0
     if ext_on:
-        import numpy as np
-
-        box = jb.external_source_box or mesh.bounds
-        xc, yc, zc = (np.asarray(a) for a in mesh.cell_centers())
-        m_src = (
-            (xc >= box[0]) & (xc < box[1])
-            & (yc >= box[2]) & (yc < box[3])
-            & (zc >= box[4]) & (zc < box[5])
+        inside_mask, ext_src_cells, n_src_cells, ext_prm = (
+            sourcing.external_source_setup(mesh, jb)
         )
-        n_src_cells = int(m_src.sum())
-        if n_src_cells == 0:
-            raise ValueError("external_source box contains no cell centers")
-        pad = np.zeros((n_shards * Bl - B,) + m_src.shape[1:], bool)
-        ext_mask_padded = jnp.asarray(np.concatenate([m_src, pad]))
+        ext_mask_padded = _pad_blocks(inside_mask, n_shards * Bl - B, False)
         ext_num = jb.external_source_num or jb.num_particles
-        ext_prm = (
-            jb.external_source_q,
-            # clamp the open-ended default below f32 max (cast warning)
-            min(jb.external_source_tmax, 3.0e38),
-            jb.external_source_temp,
-        )
 
     def step(state, dt):
         f = state.fields  # this shard's LOCAL [Bl, ...] block slice
@@ -406,6 +389,7 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
                 t=state.t,
                 external=ext_prm,
                 inside_mask=local_mask,
+                src_cells=ext_src_cells,
                 n_src_cells=n_src_cells,
             )
             dropped = dropped + ext_drop.astype(jnp.int32)

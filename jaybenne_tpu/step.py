@@ -92,30 +92,14 @@ def build_step_core(
         num_particles = jb.num_particles
 
     # external volume source (Su-Olson driving term): the box mask and source-
-    # cell count are static mesh geometry, precomputed host-side once
+    # cell set are static mesh geometry, precomputed host-side once
     ext_on = jb.external_source_q > 0
     if ext_on:
-        import numpy as np
-
-        box = jb.external_source_box or mesh.bounds
-        xc, yc, zc = (np.asarray(a) for a in mesh.cell_centers())
-        m_src = (
-            (xc >= box[0]) & (xc < box[1])
-            & (yc >= box[2]) & (yc < box[3])
-            & (zc >= box[4]) & (zc < box[5])
+        inside_mask, src_cells, n_src_cells, ext_prm = (
+            sourcing.external_source_setup(mesh, jb)
         )
-        n_src_cells = int(m_src.sum())
-        if n_src_cells == 0:
-            raise ValueError("external_source box contains no cell centers")
-        inside_mask = jnp.asarray(m_src)
         if ext_num is None:
             ext_num = jb.external_source_num or jb.num_particles
-        ext_prm = (
-            jb.external_source_q,
-            # clamp the open-ended default below f32 max (cast warning)
-            min(jb.external_source_tmax, 3.0e38),
-            jb.external_source_temp,
-        )
 
     gray_models = getattr(opacity, "is_gray", True) and getattr(
         scattering, "is_gray", True
@@ -228,6 +212,7 @@ def build_step_core(
                     t=state.t,
                     external=ext_prm,
                     inside_mask=inside_mask,
+                    src_cells=src_cells,
                     n_src_cells=n_src_cells,
                 )
             dropped = dropped + ext_drop.astype(jnp.int32)

@@ -118,6 +118,21 @@ def test_external_source_conservation_spatial():
     )
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_external_source_conservation_spatial_concentrated():
+    """8 shards, the source box owned by half of them: capacity provisioning
+    must account for births concentrating on the box-owning shards' ledger
+    slices (a global headroom number split evenly would overflow and silently
+    lose injected energy)."""
+    _run_conservation(
+        {
+            "jaybenne/n_devices": 8,
+            "jaybenne/decomposition": "spatial",
+            "parthenon/meshblock/nx1": 2,
+        }
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 (virtual) devices")
 def test_external_source_conservation_spatial_kernel():
     """Spatial mode through the bucketed Pallas census kernel (interpret mode):

@@ -63,7 +63,9 @@ REGION_CELLS_IMC = int(os.environ.get("JB_REGION_CELLS_IMC", "16384"))
 REGION_CELLS_DDMC = int(os.environ.get("JB_REGION_CELLS_DDMC", "2048"))
 # smaller for DDMC: 3 cell + 3 face tables per event
 MAX_REGION_CHUNKS = 128    # slab gather cost cap (3 vector ops per chunk scanned)
-MAX_BUCKET_ROUNDS = 256    # outer re-bucketing rounds (hang backstop)
+MAX_BUCKET_ROUNDS = int(os.environ.get("JB_MAX_BUCKET_ROUNDS", "256"))
+#   outer re-bucketing rounds (hang backstop); the env override exists for
+#   JB_SKIP_KERNEL host-cost A/Bs at the production round count
 TAIL_DIV = 4               # tail-round buffer = bufcap/TAIL_DIV (tile-aligned):
 #   rounds >= 1 gather only still-unfinished rows (typically 10-25% after
 #   round 0) into this smaller buffer; overflow waits for the next round.
@@ -1322,11 +1324,22 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         ):
             u = int(buf_unfinished(carry[0]).sum())
             t0 = _t.perf_counter()
-            carry = rb(carry, tabs)
-            jax.block_until_ready(carry[0])
+            nxt = rb(carry, tabs)
+            jax.block_until_ready(nxt[0])
+            cold = _t.perf_counter() - t0
+            hot = ""
+            if os.environ.get("JB_DIAG_ROUNDS") == "2":
+                # re-run the SAME round on the same inputs: hot (post-compile)
+                # time, tunnel-synced by fetching a scalar (block_until_ready
+                # does not sync on the tunnel)
+                t0 = _t.perf_counter()
+                again = rb(carry, tabs)
+                float(again[0][0, 0])
+                hot = f" hot {_t.perf_counter() - t0:.3f}s"
+            carry = nxt
             print(
                 f"round {int(carry[2])-1}: unfinished {u} "
-                f"took {_t.perf_counter()-t0:.3f}s",
+                f"took {cold:.3f}s{hot}",
                 file=_sys.stderr,
             )
     else:

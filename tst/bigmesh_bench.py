@@ -58,6 +58,11 @@ def main():
         mods["jaybenne/n_devices"] = 1
     deck = Deck.from_file(os.path.join(here, "inputs/stepdiff.in")).update(mods)
     sim = Simulation(cfg_mod.from_deck(deck), quiet=True)
+    if os.environ.get("JB_DIAG_ROUNDS") and not args.spatial:
+        # the per-round diagnostics need an eager (unjitted) census loop
+        from jaybenne_tpu.step import build_step_core
+
+        sim.step_fn = build_step_core(sim.mesh, sim.cfg)
     dt = jnp.float32(3.335641e-11)
 
     t0 = time.perf_counter()
@@ -67,9 +72,11 @@ def main():
 
     t0 = time.perf_counter()
     events = 0
+    iters = 0
     for _ in range(args.steps):
         state, stats = sim.step_fn(state, dt)
         events += int(stats.events)  # blocks on step completion
+        iters += int(stats.iterations)
     float(state.fields.energy_tally.sum())  # tunnel: fetch a scalar to sync
     elapsed = time.perf_counter() - t0
 
@@ -77,6 +84,7 @@ def main():
         "events_per_sec": float(f"{events / elapsed:.4g}"),
         "step_s": round(elapsed / args.steps, 4),
         "events": events,
+        "iters": iters,
         "steps": args.steps,
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),

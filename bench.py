@@ -49,17 +49,51 @@ BIG_STEPS = 3
 
 
 def _run_steps(sim, dt, n_steps):
-    """(events_per_sec, total_events, final_state): warmup step + timed steps."""
+    """(events_per_sec, total_events, final_state, elapsed).
+
+    Warmup = one per-call step (pays the compile). The timed ``n_steps - 1``
+    steps then run inside ONE jit (``lax.fori_loop`` over the step body): a
+    single dispatch and a single result fetch, so the measurement reflects
+    device-side throughput rather than the tunneled host's per-call round-trip
+    latency — which varies 1.5-2x between sessions and otherwise dominates
+    sub-100ms steps (BENCH.md "tunnel variance"). The compile pass of the
+    fori_loop executable runs the same steps once before the timed pass."""
+    import jax
+    import jax.numpy as jnp
+
     state, stats = sim.step_fn(sim.state, dt)
-    state.fields.energy_tally.block_until_ready()
+    float(state.fields.energy_tally.sum())  # scalar fetch: tunnel-safe sync
     events = int(stats.events)
-    t0 = time.perf_counter()
-    timed = 0
-    for _ in range(n_steps - 1):
-        state, stats = sim.step_fn(state, dt)
-        timed += int(stats.events)  # blocks on the step's completion
-    state.fields.energy_tally.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    n_timed = n_steps - 1
+
+    def many(st0):
+        def body(_, carry):
+            st, ev = carry
+            st2, stats = sim.step_fn(st, dt)
+            return st2, ev + stats.events
+
+        return jax.lax.fori_loop(
+            0, n_timed, body, (st0, jnp.zeros((), jnp.int32))
+        )
+
+    try:
+        jmany = jax.jit(many)
+        out = jmany(state)  # compile + one pass
+        float(out[0].fields.energy_tally.sum())
+        t0 = time.perf_counter()
+        out = jmany(state)
+        timed = int(out[1])
+        state = out[0]
+        float(state.fields.energy_tally.sum())
+        elapsed = time.perf_counter() - t0
+    except Exception:  # pragma: no cover — per-call fallback
+        t0 = time.perf_counter()
+        timed = 0
+        for _ in range(n_timed):
+            state, stats = sim.step_fn(state, dt)
+            timed += int(stats.events)
+        float(state.fields.energy_tally.sum())
+        elapsed = time.perf_counter() - t0
     return timed / elapsed, events + timed, state, elapsed
 
 

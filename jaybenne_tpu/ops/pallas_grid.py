@@ -193,6 +193,81 @@ def _bucket_plan(keyv, n_regions, n_tiles, include_dump=True,
     return src_of_slot, tile_regions, dest_of_src
 
 
+def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None):
+    """Sort-based bucketing: place ``rows`` ((n, C) i32) into a region-bucketed,
+    ``btile``-aligned buffer of ``n_tiles * btile`` rows with ONE stable
+    multi-payload sort, instead of building an index plan and row-gathering
+    through it. TPU sorts are oblivious (fixed ~3 ms at ~1M rows regardless of
+    key distribution) while the arbitrary-index row gather they replace costs
+    15-21 ms — measured in-jit on the v5e, same process.
+
+    Key construction: real row of region r -> key 2r; pad row for region r ->
+    key 2r+1 (sorts AFTER the reals of its region, BEFORE region r+1); the
+    dump segment (key 2*n_regions / +1) collects finished rows and leftover
+    pads at the end. Region layout (offsets, btile-rounded padding, stable
+    original order within a region) is bit-identical to ``_bucket_plan``'s.
+
+    ``lid`` ((n,) i32) rides as an extra payload — the caller's row-id map
+    (pads get sentinel ``n``) — so the inverse permutation needs no scatter:
+    restoring is one more sort keyed on the returned ``buf_lid``.
+
+    Returns ``(buf_rows, buf_lid, tile_regions)``.
+    """
+    i32 = jnp.int32
+    if btile is None:
+        btile = BTILE
+    n, C = rows.shape
+    out = n_tiles * btile
+    npads = out - n
+    # worst-case per-region padding is btile-1 rows; the buffer is provisioned
+    # for it (bufcap = cap + (R_pad+1)*BTILE rounded up)
+    assert npads >= n_regions * (btile - 1), (npads, n_regions, btile)
+    ks = jnp.sort(keyv)
+    first = jnp.searchsorted(
+        ks, jnp.arange(n_regions + 1, dtype=ks.dtype)
+    ).astype(i32)
+    counts = jnp.concatenate([first[1:], jnp.full((1,), n, i32)]) - first
+    padded = -(-counts // btile) * btile
+    pend = jnp.cumsum(padded)
+    tile_starts = jnp.arange(n_tiles, dtype=i32) * btile
+    tile_regions = jnp.minimum(
+        jnp.searchsorted(pend, tile_starts, side="right").astype(i32),
+        n_regions,
+    )
+    padneed = (padded - counts)[:n_regions]  # in [0, btile-1] per region
+    grid = jnp.where(
+        jnp.arange(btile - 1, dtype=i32)[None, :] < padneed[:, None],
+        (2 * jnp.arange(n_regions, dtype=i32) + 1)[:, None],
+        jnp.int32(2 * n_regions + 1),
+    ).reshape(-1)
+    pad_keys = jnp.concatenate(
+        [grid, jnp.full((npads - grid.shape[0],), 2 * n_regions + 1, i32)]
+    )
+    zpad = jnp.zeros((npads,), rows.dtype)
+    ops = (
+        [jnp.concatenate([2 * keyv, pad_keys])]
+        + [jnp.concatenate([rows[:, c], zpad]) for c in range(C)]
+        + [jnp.concatenate([lid, jnp.full((npads,), n, i32)])]
+    )
+    outs = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    return jnp.stack(outs[1:1 + C], axis=1), outs[1 + C], tile_regions
+
+
+def _unbucket_sort(buf_rows, buf_lid, n):
+    """Inverse of ``_bucket_sort_apply``: rows back in original (ledger) order
+    via one stable sort on the carried row ids (pads, id ``n``, sort last)."""
+    outs = jax.lax.sort(
+        [buf_lid] + [buf_rows[:, c] for c in range(buf_rows.shape[1])],
+        num_keys=1, is_stable=True,
+    )
+    return jnp.stack(outs[1:], axis=1)[:n]
+
+
+# Bucketing application backend: "sort" (default, see _bucket_sort_apply) or
+# "gather" (the _bucket_plan index-plan + row-gather path) for on-hardware A/Bs.
+BUCKET_APPLY = os.environ.get("JB_BUCKET_APPLY", "sort")
+
+
 def _grid_layout(mesh, use_ddmc=False):
     """Static region-grid layout for a uniform mesh.
 
@@ -1222,21 +1297,29 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     def full_round(Bm, tabs):
         """Round 0: bucket the whole ledger (rows [:cap] of Bm) into the
         tile-aligned buffer, run the full kernel grid. Returns the buffer
-        row matrix and the ledger->slot map for the final restore."""
+        row matrix and the slot->ledger map (or ledger->slot under the
+        gather backend) for the final restore."""
         M = Bm[:cap]
         tau = jax.lax.bitcast_convert_type(M[:, 6], f32)
         unfinished = (M[:, 10] != 0) & (tau < 1.0)
         keyv = jnp.where(
             unfinished, region_of(M[:, 7], M[:, 8], M[:, 9]), R_pad
         ).astype(i32)
-        src_of_slot, dest_of_src, tile_regions = bucket(keyv)
-        rows_in = jnp.concatenate([M, jnp.zeros((1, 13), i32)])[src_of_slot]
+        if BUCKET_APPLY == "sort":
+            rows_in, restore, tile_regions = _bucket_sort_apply(
+                keyv, M, jnp.arange(cap, dtype=i32), R_pad, grid
+            )
+        else:
+            src_of_slot, restore, tile_regions = bucket(keyv)
+            rows_in = jnp.concatenate(
+                [M, jnp.zeros((1, 13), i32)]
+            )[src_of_slot]
         outs = run_kernel(
             call, tile_regions, jnp.int32(0), rows_to_bufs(rows_in, bufcap),
             tabs,
         )
         return (
-            outs_to_rows(outs, bufcap), dest_of_src,
+            outs_to_rows(outs, bufcap), restore,
             outs[14][0, 0], outs[13][0, 0],
         )
 
@@ -1308,8 +1391,15 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         Bm, _, rounds, _, _ = carry
         return (rounds < MAX_BUCKET_ROUNDS) & jnp.any(buf_unfinished(Bm))
 
+    if BUCKET_APPLY == "sort":
+        # slot -> ledger id (pads: cap); identity before the loop runs
+        restore0 = jnp.concatenate(
+            [jnp.arange(cap, dtype=i32), jnp.full((bufcap - cap,), cap, i32)]
+        )
+    else:
+        restore0 = jnp.arange(cap, dtype=i32)  # ledger -> slot
     carry0 = (
-        Bm0, jnp.arange(cap, dtype=i32), jnp.zeros((), i32),
+        Bm0, restore0, jnp.zeros((), i32),
         jnp.zeros((), i32), jnp.zeros((), i32),
     )
     tabs = (ea_t, es_t, fpx_t, fpy_t, fpz_t)
@@ -1346,13 +1436,17 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         carry = jax.lax.while_loop(
             loop_cond, lambda c: loop_body(c, tabs), carry0
         )
-    Bm, dest_of_src, rounds, iters, events = carry
+    Bm, restore, rounds, iters, events = carry
 
-    # buffer -> ledger order: one row gather through round 0's slot map
-    # (tail rounds scatter in place, so the map stays valid), then a final
-    # periodic re-wrap (buffer coordinates stay unwrapped between rounds).
-    # If the loop never ran, dest_of_src is the identity and Bm[:cap] = M0.
-    cols = rewrap_cols(rows_to_cols(Bm[dest_of_src]))
+    # buffer -> ledger order (tail rounds scatter in place, so round 0's map
+    # stays valid), then a final periodic re-wrap (buffer coordinates stay
+    # unwrapped between rounds). Sort backend: one stable sort on the carried
+    # slot->ledger ids; gather backend: one row gather through the
+    # ledger->slot map. If the loop never ran both are the identity.
+    if BUCKET_APPLY == "sort":
+        cols = rewrap_cols(rows_to_cols(_unbucket_sort(Bm, restore, cap)))
+    else:
+        cols = rewrap_cols(rows_to_cols(Bm[restore]))
 
     # global-cell cols -> ledger (tile ids arithmetic; origins gathered once)
     gi_n, gj_n, gk_n = cols[7], cols[8], cols[9]

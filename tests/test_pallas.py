@@ -1088,3 +1088,46 @@ def test_grid_tail_rounds_periodic_split_overflow(monkeypatch):
     gy_x = np.asarray(px_.global_position(mesh)[1])[np.asarray(px_.alive)]
     assert abs(gy_p.mean() - gy_x.mean()) < 2e-3
     assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+
+
+def test_bucket_sort_apply_matches_plan_gather():
+    """The sort-based bucketing backend (one stable multi-payload sort) must
+    place rows bit-identically to the _bucket_plan index-plan + row gather it
+    replaces, and _unbucket_sort must invert it exactly."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    rng = np.random.default_rng(3)
+    btile = 64
+    n_regions = 7
+    n = 1000
+    cap_rows = rng.integers(-(2**31), 2**31 - 1, size=(n, 13), dtype=np.int32)
+    # region keys incl. the dump segment (== n_regions), skewed occupancy
+    keyv = np.minimum(
+        rng.geometric(0.35, size=n).astype(np.int32) - 1, n_regions
+    )
+    n_tiles = (n + (n_regions + 1) * btile) // btile + 1
+
+    rows = jnp.asarray(cap_rows)
+    kv = jnp.asarray(keyv)
+    lid = jnp.arange(n, dtype=jnp.int32)
+
+    buf_s, lid_s, tr_s = pg._bucket_sort_apply(
+        kv, rows, lid, n_regions, n_tiles, btile=btile
+    )
+    src_of_slot, tr_g, dest_of_src = pg._bucket_plan(
+        kv, n_regions, n_tiles, include_dump=True, want_dest_of_src=True,
+        btile=btile,
+    )
+    buf_g = jnp.concatenate([rows, jnp.zeros((1, 13), jnp.int32)])[src_of_slot]
+
+    np.testing.assert_array_equal(np.asarray(tr_s), np.asarray(tr_g))
+    np.testing.assert_array_equal(np.asarray(buf_s), np.asarray(buf_g))
+    # slot->row ids agree with the plan's source map (sentinel n for pads)
+    np.testing.assert_array_equal(np.asarray(lid_s), np.asarray(src_of_slot))
+    # exact inversion
+    back = pg._unbucket_sort(buf_s, lid_s, n)
+    np.testing.assert_array_equal(np.asarray(back), cap_rows)
+    # and the gather path's inverse agrees
+    np.testing.assert_array_equal(
+        np.asarray(buf_s[dest_of_src]), cap_rows
+    )

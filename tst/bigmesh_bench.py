@@ -70,15 +70,39 @@ def main():
     state.fields.energy_tally.block_until_ready()
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    events = 0
-    iters = 0
-    for _ in range(args.steps):
-        state, stats = sim.step_fn(state, dt)
-        events += int(stats.events)  # blocks on step completion
-        iters += int(stats.iterations)
-    float(state.fields.energy_tally.sum())  # tunnel: fetch a scalar to sync
-    elapsed = time.perf_counter() - t0
+    if os.environ.get("JB_DIAG_ROUNDS"):
+        # diag path is eager (Python round loop) — per-call timing only
+        t0 = time.perf_counter()
+        events = iters = 0
+        for _ in range(args.steps):
+            state, stats = sim.step_fn(state, dt)
+            events += int(stats.events)
+            iters += int(stats.iterations)
+        float(state.fields.energy_tally.sum())
+        elapsed = time.perf_counter() - t0
+    else:
+        # timed steps run inside ONE jit (single dispatch + single fetch): the
+        # tunnel's per-call round-trip varies 1.5-2x between sessions and would
+        # otherwise dominate; see bench.py::_run_steps
+        def many(st0):
+            def body(_, carry):
+                st, ev, it = carry
+                st2, stats = sim.step_fn(st, dt)
+                return st2, ev + stats.events, it + stats.iterations
+
+            z = jnp.zeros((), jnp.int32)
+            return jax.lax.fori_loop(0, args.steps, body, (st0, z, z))
+
+        jmany = jax.jit(many)
+        out = jmany(state)  # compile + one pass
+        float(out[0].fields.energy_tally.sum())
+        t0 = time.perf_counter()
+        out = jmany(state)
+        events = int(out[1])
+        iters = int(out[2])
+        float(out[0].fields.energy_tally.sum())  # tunnel: scalar fetch syncs
+        elapsed = time.perf_counter() - t0
+        state = out[0]
 
     print(json.dumps({
         "events_per_sec": float(f"{events / elapsed:.4g}"),

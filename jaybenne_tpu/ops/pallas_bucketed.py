@@ -877,11 +877,8 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
     keyv = jnp.where(unfinished, regb[p.block], R).astype(i32)
 
     from .pallas_grid import (
-        _bucket_plan, _permute_pack, _permute_unpack, _unpack_rows,
-    )
-
-    src_of_slot, tile_regions, dest_of_src = _bucket_plan(
-        keyv, R, grid, include_dump=True, want_dest_of_src=True, btile=BTILE
+        BUCKET_APPLY, _bucket_plan, _bucket_sort_apply, _pack_rows,
+        _permute_pack, _permute_unpack, _unbucket_sort, _unpack_rows,
     )
 
     FNAMES = ("x", "y", "z", "vx", "vy", "vz", "tau")
@@ -891,19 +888,30 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
         + [getattr(p, n) for n in INAMES]
         + [p.alive.astype(i32), p.absorbed.astype(i32), p.face, p.leak]
     )
-    rows_in = _permute_pack(cols, src_of_slot)
+    if BUCKET_APPLY == "sort":
+        rows_in, buf_lid, tile_regions = _bucket_sort_apply(
+            keyv, _pack_rows(cols), jnp.arange(cap, dtype=i32), R, grid,
+            btile=BTILE,
+        )
+    else:
+        src_of_slot, tile_regions, dest_of_src = _bucket_plan(
+            keyv, R, grid, include_dump=True, want_dest_of_src=True,
+            btile=BTILE,
+        )
+        rows_in = _permute_pack(cols, src_of_slot)
     bufs = _unpack_rows(rows_in, 15, shape=(bufcap // LANES, LANES))
     outs = call(tile_regions, scal, seed, *bufs, *slab_tables, *geom_tables[:7],
                 reg_t, slot_t, geom_tables[7])
     (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
      balive, babsorbed, bface, bleak, ev, it) = outs
 
-    rows_out = _permute_pack(
-        [b.reshape(bufcap) for b in
-         (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
-          balive, babsorbed, bface, bleak)],
-        dest_of_src, n_extra_zero_rows=0,
-    )
+    buf_cols = [b.reshape(bufcap) for b in
+                (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
+                 balive, babsorbed, bface, bleak)]
+    if BUCKET_APPLY == "sort":
+        rows_out = _unbucket_sort(_pack_rows(buf_cols), buf_lid, cap)
+    else:
+        rows_out = _permute_pack(buf_cols, dest_of_src, n_extra_zero_rows=0)
     names = list(FNAMES) + list(INAMES) + ["alive", "absorbed", "face", "leak"]
     back = {
         name: _permute_unpack(rows_out, c, getattr(p, name).dtype)

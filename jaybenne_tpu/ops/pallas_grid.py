@@ -1638,13 +1638,18 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         region = (gkl // rnz * NGY + gj // rny) * NGX + gi // rnx
         keyv = jnp.where(unfinished, region, R_pad).astype(i32)
 
-        src_of_slot, tile_regions, dest_of_src = _bucket_plan(
-            keyv, R_pad, grid, include_dump=True, want_dest_of_src=True
-        )
-
         cols = (gx, gy, gz, p.vx, p.vy, p.vz, p.tau.astype(f32),
                 gi, gj, gk, p.alive.astype(i32), p.absorbed.astype(i32), p.face)
-        rows_in = _permute_pack(cols, src_of_slot)
+        if BUCKET_APPLY == "sort":
+            rows_in, buf_lid, tile_regions = _bucket_sort_apply(
+                keyv, _pack_rows(cols), jnp.arange(cap, dtype=i32),
+                R_pad, grid,
+            )
+        else:
+            src_of_slot, tile_regions, dest_of_src = _bucket_plan(
+                keyv, R_pad, grid, include_dump=True, want_dest_of_src=True
+            )
+            rows_in = _permute_pack(cols, src_of_slot)
         bufs = _unpack_rows(rows_in, 13, shape=(bufcap // LANES, LANES))
         try:
             kd = jax.random.key_data(key)
@@ -1662,12 +1667,15 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
          balive, babsorbed, bface, ev, it) = outs
 
-        rows_out = _permute_pack(
-            [a.reshape(bufcap) for a in
-             (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
-              balive, babsorbed, bface)],
-            dest_of_src, n_extra_zero_rows=0,
-        )
+        buf_cols = [a.reshape(bufcap) for a in
+                    (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
+                     balive, babsorbed, bface)]
+        if BUCKET_APPLY == "sort":
+            rows_out = _unbucket_sort(_pack_rows(buf_cols), buf_lid, cap)
+        else:
+            rows_out = _permute_pack(
+                buf_cols, dest_of_src, n_extra_zero_rows=0
+            )
 
         def from_buf(c, dtype):
             return _permute_unpack(rows_out, c, dtype)

@@ -80,7 +80,10 @@ TAIL_DIV = 4               # tail-round buffer = bufcap/TAIL_DIV (tile-aligned):
 # STALL (masked inactive, ~p_cross*R/2 extra iterations ~ 25%) until the next
 # one. Disabled (cadence 1) when the scan is at most SIGMA_SCAN_MIN_CHUNKS
 # chunks — there the stall costs more than the scan.
-SIGMA_REFRESH = int(os.environ.get("JB_SIGMA_REFRESH", "8"))
+# Cadence swept on v5e at 64^3/200k (tst/bigmesh_bench.py, one process per
+# point): 2 -> 9.27e8 ev/s, 4 -> 9.76e8, 8 -> 9.29e8, 16 -> 7.69e8. The
+# stall penalty grows faster than the scan amortization past ~4; 4 ships.
+SIGMA_REFRESH = int(os.environ.get("JB_SIGMA_REFRESH", "4"))
 SIGMA_SCAN_MIN_CHUNKS = 8
 
 

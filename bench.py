@@ -59,22 +59,22 @@ def _run_steps(sim, dt, n_steps):
     sub-100ms steps (BENCH.md "tunnel variance"). The compile pass of the
     fori_loop executable runs the same steps once before the timed pass."""
     import jax
-    import jax.numpy as jnp
+    import numpy as np
 
     state, stats = sim.step_fn(sim.state, dt)
     float(state.fields.energy_tally.sum())  # scalar fetch: tunnel-safe sync
     events = int(stats.events)
     n_timed = n_steps - 1
 
+    # per-step event counts come out as an i32 VECTOR (scan outputs) and are
+    # summed host-side in exact Python ints — an in-carry i32 total wraps
+    # negative past 2.1e9 events, only ~2x above the headline config
     def many(st0):
-        def body(_, carry):
-            st, ev = carry
+        def body(st, _):
             st2, stats = sim.step_fn(st, dt)
-            return st2, ev + stats.events
+            return st2, stats.events
 
-        return jax.lax.fori_loop(
-            0, n_timed, body, (st0, jnp.zeros((), jnp.int32))
-        )
+        return jax.lax.scan(body, st0, None, length=n_timed)
 
     try:
         jmany = jax.jit(many)
@@ -82,10 +82,12 @@ def _run_steps(sim, dt, n_steps):
         float(out[0].fields.energy_tally.sum())
         t0 = time.perf_counter()
         out = jmany(state)
-        timed = int(out[1])
         state = out[0]
         float(state.fields.energy_tally.sum())
         elapsed = time.perf_counter() - t0
+        # ONE bulk transfer, after the clock stops — per-element int() inside
+        # the timed window costs a ~50 ms tunnel round-trip PER STEP
+        timed = int(np.asarray(out[1]).astype(np.int64).sum())
     except Exception:  # pragma: no cover — per-call fallback
         t0 = time.perf_counter()
         timed = 0

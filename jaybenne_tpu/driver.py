@@ -12,6 +12,7 @@ CLI: ``python -m jaybenne_tpu.driver -i inputs/stepdiff.in [-d outdir] [-r ckpt]
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 import time as _time
@@ -150,9 +151,15 @@ class Simulation:
         the ledger must be a whole number of pallas tiles."""
         jb = self.cfg.jaybenne
         if jb.use_pallas != "off" and jb.precision == "f32":
+            from .ops.pallas_bucketed import BTILE as PB_BTILE
+            from .ops.pallas_grid import BTILE as PG_BTILE
             from .ops.pallas_transport import TILE
 
-            unit = TILE * max(self.n_devices, 1)
+            # every kernel family must stay eligible: under a JB_SUBLANES
+            # sweep TILE can drop below the bucketed kernels' BTILE, and a
+            # TILE-only alignment would silently reroute big-mesh runs to
+            # the ~50x-slower XLA loop (capacity % BTILE != 0 in _pallas_ok)
+            unit = math.lcm(TILE, PG_BTILE, PB_BTILE) * max(self.n_devices, 1)
             cap = ((cap + unit - 1) // unit) * unit
         return cap
 

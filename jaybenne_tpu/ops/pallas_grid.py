@@ -1689,8 +1689,13 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         gx_n = from_buf(0, f32)
         gy_n = from_buf(1, f32)
         gz_n = from_buf(2, f32)
-        # re-wrap the kernel's unwrapped coordinates on periodic axes (z only
-        # when the axis is not shard-split: split-z crossers pause in range)
+        # re-wrap the kernel's unwrapped coordinates on periodic axes. The z
+        # re-wrap must stay UNCONDITIONAL even when z is shard-split: a
+        # particle crossing the global z seam pauses with gk outside [0, NZ)
+        # (wrap_axes z is false in-kernel), and this re-wrap is what maps it
+        # back in range so migrate() ships it to the owning shard — guarding
+        # it with "not z_split" would clip tb to the top tile row and re-home
+        # the particle into the wrong block.
         if per_bc[0]:
             w = gi_n // NX
             gi_n = gi_n - w * NX

@@ -245,6 +245,17 @@ def build_step_core(
                 p, iters, events = transport_ops.transport(
                     p, coefs, mesh, k_tr, prm, dt
                 )
+            # exact census-incomplete signal, path-independent: survivors
+            # still short of end-of-step (tau < 1) when transport returned.
+            # Computed BEFORE the tau reset below. The bucketed kernels'
+            # ``iters`` accumulates over bucket rounds, so only the per-call
+            # paths (XLA loop, mega-kernel) can compare it to the cap.
+            unfinished = jnp.sum(
+                (p.alive & (p.tau < jnp.asarray(1.0, p.tau.dtype))).astype(
+                    jnp.int32
+                )
+            )
+            per_call_cap = pallas_mode in (None, "full")
 
         # absorption deposition + 4. radiation tally (jaybenne.cpp:134)
         with jax.named_scope("jaybenne.tally"):
@@ -277,9 +288,14 @@ def build_step_core(
             events = jax.lax.psum(events, axis_name)
             n_alive = jax.lax.psum(n_alive, axis_name)
             dropped = jax.lax.psum(dropped, axis_name)
+            unfinished = jax.lax.psum(unfinished, axis_name)
             new_state = dataclasses.replace(
                 new_state, overflow=state.overflow + dropped
             )
+        if per_call_cap:
+            cap_hits = (iters >= prm.max_iters).astype(jnp.int32)
+        else:
+            cap_hits = jnp.zeros((), jnp.int32)
         stats = StepStats(
             iterations=iters,
             events=events,
@@ -287,8 +303,8 @@ def build_step_core(
             dropped=dropped,
             migration_rounds=jnp.zeros((), jnp.int32),
             migrated=jnp.zeros((), jnp.int32),
-            cap_hits=(iters >= prm.max_iters).astype(jnp.int32),
-            unfinished=jnp.zeros((), jnp.int32),
+            cap_hits=cap_hits,
+            unfinished=unfinished,
         )
         return new_state, stats
 

@@ -1131,3 +1131,52 @@ def test_bucket_sort_apply_matches_plan_gather():
     np.testing.assert_array_equal(
         np.asarray(buf_s[dest_of_src]), cap_rows
     )
+
+
+def test_step_census_incomplete_signal(monkeypatch):
+    """StepStats on the multi-round grid-kernel path (review r3): the exact
+    ``unfinished`` count — survivors with tau < 1 when transport returned —
+    is the census-incomplete signal, and ``cap_hits`` never compares the
+    SUMMED per-round iterations to the per-call cap (a completed census
+    whose rounds total past max_transport_iterations is not a cap hit)."""
+    from jaybenne_tpu.driver import Simulation
+    from jaybenne_tpu.ops import pallas_grid as pg
+    from jaybenne_tpu.ops import pallas_transport as pt
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    monkeypatch.setattr(pg, "REGION_CELLS_DDMC", 1024)
+    # shrink the mega-kernel's residency cap so the grid kernel owns this mesh
+    monkeypatch.setattr(pt, "MAX_CELL_CHUNKS", 8)
+    deck = Deck.parse(DECK).update(
+        {
+            "parthenon/mesh/nx1": 2048,
+            "parthenon/meshblock/nx1": 64,
+            "jaybenne/num_particles": 1000,
+            "jaybenne/use_pallas": "on",
+            # c*dt spans ~20 zone-capped events per particle; a 12-iteration
+            # per-call cap forces >= 2 bucket rounds to complete the census
+            "jaybenne/max_transport_iterations": 12,
+            "jaybenne/dt": "3.3e-13",
+            "parthenon/time/tlim": "3.3e-13",
+            "mcblock/scattering_constant_value": "2.0e2",
+        }
+    )
+    cfg = cm.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    assert not pt.supports(mesh, prm) and pg.supports(mesh, prm)
+
+    sim = Simulation(cfg, quiet=True)
+    _, stats = sim.step_fn(sim.state, jnp.float32(cfg.jaybenne.dt))
+    # completed census over several rounds: summed iters exceed the per-call
+    # cap, yet neither incomplete signal may fire
+    assert int(stats.iterations) > 12, int(stats.iterations)
+    assert int(stats.unfinished) == 0
+    assert int(stats.cap_hits) == 0
+
+    # truncate the round loop: the exact unfinished count must report it
+    monkeypatch.setattr(pg, "MAX_BUCKET_ROUNDS", 1)
+    sim2 = Simulation(cfg, quiet=True)
+    _, stats2 = sim2.step_fn(sim2.state, jnp.float32(cfg.jaybenne.dt))
+    assert int(stats2.unfinished) > 0
+    assert int(stats2.cap_hits) == 0

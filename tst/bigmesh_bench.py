@@ -34,6 +34,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from jaybenne_tpu import config as cfg_mod
     from jaybenne_tpu.driver import Simulation
@@ -84,25 +85,28 @@ def main():
         # timed steps run inside ONE jit (single dispatch + single fetch): the
         # tunnel's per-call round-trip varies 1.5-2x between sessions and would
         # otherwise dominate; see bench.py::_run_steps
+        # per-step counts come out as i32 vectors (scan outputs), summed
+        # host-side in exact Python ints — an in-carry i32 total wraps
+        # negative past 2.1e9 events (same fix as bench.py::_run_steps)
         def many(st0):
-            def body(_, carry):
-                st, ev, it = carry
+            def body(st, _):
                 st2, stats = sim.step_fn(st, dt)
-                return st2, ev + stats.events, it + stats.iterations
+                return st2, (stats.events, stats.iterations)
 
-            z = jnp.zeros((), jnp.int32)
-            return jax.lax.fori_loop(0, args.steps, body, (st0, z, z))
+            return jax.lax.scan(body, st0, None, length=args.steps)
 
         jmany = jax.jit(many)
         out = jmany(state)  # compile + one pass
         float(out[0].fields.energy_tally.sum())
         t0 = time.perf_counter()
         out = jmany(state)
-        events = int(out[1])
-        iters = int(out[2])
         float(out[0].fields.energy_tally.sum())  # tunnel: scalar fetch syncs
         elapsed = time.perf_counter() - t0
         state = out[0]
+        # ONE bulk transfer each, after the clock stops (per-element int()
+        # inside the window costs a tunnel round-trip per step)
+        events = int(np.asarray(out[1][0]).astype(np.int64).sum())
+        iters = int(np.asarray(out[1][1]).astype(np.int64).sum())
 
     print(json.dumps({
         "events_per_sec": float(f"{events / elapsed:.4g}"),

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BC
+from . import pallas_rng as rng
 
 #   JB_SUBLANES overrides for on-hardware sweeps (one process per point)
 SUBLANES = int(os.environ.get("JB_SUBLANES", "128"))
@@ -138,16 +139,21 @@ def _chunk_table(vec, dtype, n_chunks):
 
 
 def _gather(tab_ref, idx, n_chunks=1):
-    """Gather from a chunked table ref ([n_chunks*GREP, LANES]) with arbitrary flat
-    indices: per GREP-row group of the index tile, each 128-entry chunk is
-    lane-gathered and range-selected. The chunk id / lane offset are split once
-    per group (LANES = 128 = 1 << 7), so the scan costs 3 vector ops per chunk
-    (take_along_axis + eq + select); out-of-range indices return 0."""
+    """Gather from a chunked table ref ([n_chunks*GREP, LANES]) with flat indices
+    in ``[0, n_chunks*LANES)``: per GREP-row group of the index tile, each
+    128-entry chunk is lane-gathered and range-selected. The chunk id / lane
+    offset are split once per group (LANES = 128 = 1 << 7), so the scan costs
+    3 vector ops per chunk (take_along_axis + eq + select).
+
+    INVARIANT (no defensive clip): every call site's indices are maintained
+    in-table-range by construction — cell/block/face/tile ids are clipped at
+    every update site in the census loop, dead ledger slots carry zeros, and
+    sourcing/migration only write valid ids."""
     groups = []
     for s in range(idx.shape[0] // GREP):
         sl = idx[s * GREP : (s + 1) * GREP, :]
         if n_chunks == 1:
-            g = jnp.take_along_axis(tab_ref[0:GREP, :], jnp.clip(sl, 0, LANES - 1), axis=1)
+            g = jnp.take_along_axis(tab_ref[0:GREP, :], sl, axis=1)
         else:
             ch = sl >> 7
             rel = sl & (LANES - 1)
@@ -170,7 +176,8 @@ def _transport_kernel(
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
     blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
     en_ref,     # particle photon energy (read-only; per-event model input)
-    sa_ref, ss_ref, ff_ref,   # gray: (sigma_a, sigma_s, fleck) cell tables;
+    sa_ref, ss_ref, ff_ref,   # gray: (ea, es, unused) derived-rate cell tables
+    #   with ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a;
     #   non-gray (prm ``nongray``): repurposed as (rho, temp, fleck) — the
     #   kernel evaluates the opacity/scattering models per EVENT at the
     #   particle's photon energy, like the reference (transport.cpp:122-127)
@@ -204,59 +211,51 @@ def _transport_kernel(
     BIG = jnp.float32(3.0e38)
     tiny = jnp.float32(1.0e-37)
 
-    if not interpret:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # paired 16-bit / full 23-bit uniform variates (see ops/pallas_rng.py)
+    raw_bits = rng.make_raw_bits(
+        shape, seed_ref[0], pl.program_id(0) * TILE, interpret
+    )
 
-        def uniform(it, tag):
-            del it, tag  # the hardware PRNG is stateful
-            bits = pltpu.prng_random_bits(shape)
-            return ((bits >> 9) & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
-                1.0 / (1 << 23)
-            )
-    else:
-        # interpret mode (CPU testing): pltpu.prng_* has no CPU lowering — use a
-        # counter-based integer hash (murmur3 finalizer) keyed by
-        # (seed, tile, lane, iteration, call-site tag)
-        lane_id = (
-            jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            + jnp.uint32(pl.program_id(0) * TILE)
-        )
-
-        def uniform(it, tag):
-            x = (
-                seed_ref[0].astype(jnp.uint32)
-                + lane_id
-                + it.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-                + jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
-            )
-            x = x ^ (x >> 16)
-            x = x * jnp.uint32(0x7FEB352D)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(0x846CA68B)
-            x = x ^ (x >> 16)
-            return (x >> 9).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
-
-    def expdraw(it, tag):
-        return -jnp.log(jnp.maximum(uniform(it, tag), tiny))
+    inv_c = jnp.float32(1.0) / c
+    inv_cdt = jnp.float32(1.0) / (c * dt)
 
     def body(carry):
         (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
          it, ev) = carry
+        pool = rng.DrawPool(raw_bits)
         active = (alive != 0) & (tau < 1.0)
 
         if single_block:
             dxb = jnp.float32(block_dx0[0])
             dyb = jnp.float32(block_dx0[1])
             dzb = jnp.float32(block_dx0[2])
-            dmin = jnp.float32(min(block_dx0))
-            cell = (ck * ny + cj) * nx + ci
+            dmin = jnp.float32(min(block_dx0[:ndim]))
+            if ny == 1 and nz == 1:
+                cell = ci
+            elif nz == 1:
+                cell = cj * nx + ci
+            else:
+                cell = (ck * ny + cj) * nx + ci
         else:
             dxb = _gather(bdx_ref, blk, nb_chunks)
-            dyb = _gather(bdy_ref, blk, nb_chunks)
-            dzb = _gather(bdz_ref, blk, nb_chunks)
-            dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
-            cell = (blk * (nz * ny * nx)) + (ck * ny + cj) * nx + ci
+            dyb = _gather(bdy_ref, blk, nb_chunks) if multi_d else dxb
+            dzb = _gather(bdz_ref, blk, nb_chunks) if three_d else dxb
+            if three_d:
+                dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
+            elif multi_d:
+                dmin = jnp.minimum(dxb, dyb)
+            else:
+                dmin = dxb
+            if ny == 1 and nz == 1:
+                cell = blk * nx + ci
+            elif nz == 1:
+                cell = (blk * ny + cj) * nx + ci
+            else:
+                cell = (blk * (nz * ny) + ck * ny + cj) * nx + ci
+        # Collision-rate pair (the only per-cell physics the loop needs):
+        #   ea = fleck * sigma_a          (effective absorption rate)
+        #   es = sigma_s + (1-fleck)*sigma_a  (effective scattering rate)
+        # sigma_t = ea + es, so the gray path gathers TWO tables, not three.
         if nongray:
             # frequency-dependent surface: gather (rho, T, fleck) and evaluate
             # the models at the particle's photon energy, per event
@@ -273,36 +272,40 @@ def _transport_kernel(
                 .astype(jnp.float32),
                 shape,
             )
+            ea = ff * sa
+            es = ss + (1.0 - ff) * sa
+        elif has_absorption:
+            ea = _gather_chunked(sa_ref, cell, n_chunks)
+            es = _gather_chunked(ss_ref, cell, n_chunks)
         else:
-            ss = _gather_chunked(ss_ref, cell, n_chunks)
-            if has_absorption:
-                sa = _gather_chunked(sa_ref, cell, n_chunks)
-                ff = _gather_chunked(ff_ref, cell, n_chunks)
-            else:
-                # opacity_model = none: sigma_a == 0, Fleck factor == 1 exactly
-                sa = jnp.zeros(shape)
-                ff = jnp.ones(shape)
+            # opacity_model = none: sigma_a == 0, Fleck factor == 1 exactly
+            ea = None
+            es = _gather_chunked(ss_ref, cell, n_chunks)
+        sig_t = es if ea is None else ea + es
 
         fi = ci.astype(jnp.float32)
-        fj = cj.astype(jnp.float32)
-        fk = ck.astype(jnp.float32)
         xl, xu = fi * dxb, (fi + 1.0) * dxb
-        yl, yu = fj * dyb, (fj + 1.0) * dyb
-        zl, zu = fk * dzb, (fk + 1.0) * dzb
+        if multi_d:
+            fj = cj.astype(jnp.float32)
+            yl, yu = fj * dyb, (fj + 1.0) * dyb
+        if three_d:
+            fk = ck.astype(jnp.float32)
+            zl, zu = fk * dzb, (fk + 1.0) * dzb
 
         if use_ddmc:
-            is_ddmc = active & (dmin * (sa + ss) > jnp.float32(tau_ddmc))
+            is_ddmc = active & (dmin * sig_t > jnp.float32(tau_ddmc))
             act_imc = active & ~is_ddmc
         else:
             is_ddmc = jnp.zeros(shape, bool)
             act_imc = active
 
-        if has_absorption:
-            d_abs = expdraw(it, 0) / (ff * sa + tiny)
-            d_sc = expdraw(it, 1) / (ss + (1.0 - ff) * sa + tiny)
-        else:
-            d_abs = jnp.full(shape, BIG)
-            d_sc = expdraw(it, 1) / (ss + tiny)
+        # Competing-risks collision sampling: min of the absorption and
+        # scattering exponentials is one exponential at the total rate; the
+        # branch is chosen with probability ea/(ea+es) (transport.cpp draws
+        # the two distances separately — identical in distribution, one log
+        # and one divide cheaper here).
+        d_coll = pool.exp23(it) / (sig_t + tiny)
+        u_branch = pool.u16(it) if has_absorption else None
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -315,36 +318,66 @@ def _transport_kernel(
             )
 
         fxd = face_dist(vx, xl, xu, x)
-        fyd = face_dist(vy, yl, yu, y) if multi_d else jnp.full(shape, BIG)
-        fzd = face_dist(vz, zl, zu, z) if three_d else jnp.full(shape, BIG)
+        if multi_d:
+            fyd = face_dist(vy, yl, yu, y)
+        if three_d:
+            fzd = face_dist(vz, zl, zu, z)
 
-        d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
+        if three_d:
+            d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
+        elif multi_d:
+            d_push = jnp.minimum(jnp.minimum(d_geom, fxd), fyd)
+        else:
+            d_push = jnp.minimum(d_geom, fxd)
+        coll = act_imc & (d_coll < d_push)
         if has_absorption:
-            i_abs = act_imc & (d_abs < d_push) & (d_abs < d_sc)
+            i_abs = coll & (u_branch * sig_t < ea)
+            i_sc = coll & ~i_abs
         else:
             i_abs = jnp.zeros(shape, bool)
-        i_sc = act_imc & ~i_abs & (d_sc < d_push)
-        no_coll = act_imc & ~i_abs & ~i_sc
-        cr_x = no_coll & (fxd <= fyd) & (fxd <= fzd) & (fxd <= d_geom)
-        cr_y = no_coll & ~cr_x & (fyd <= fzd) & (fyd <= d_geom)
-        cr_z = no_coll & ~cr_x & ~cr_y & (fzd <= d_geom)
-        i_census = no_coll & ~cr_x & ~cr_y & ~cr_z & (d_end <= dmin)
+            i_sc = coll
+        no_coll = act_imc & ~coll
+        cr_x = no_coll & (fxd <= d_geom)
+        if multi_d:
+            cr_x = cr_x & (fxd <= fyd)
+            cr_y = no_coll & ~cr_x & (fyd <= d_geom)
+        if three_d:
+            cr_x = cr_x & (fxd <= fzd)
+            cr_y = cr_y & (fyd <= fzd)
+            cr_z = no_coll & ~cr_x & ~cr_y & (fzd <= d_geom)
+        no_cross = no_coll & ~cr_x
+        if multi_d:
+            no_cross = no_cross & ~cr_y
+        if three_d:
+            no_cross = no_cross & ~cr_z
+        i_census = no_cross & (d_end <= dmin)
 
-        d = jnp.where(i_abs, d_abs, jnp.where(i_sc, d_sc, d_push))
-        ntau = jnp.where(i_census, 1.0, tau + d / (c * dt))
-        nx_ = x + vx * (d / c)
-        ny_ = y + vy * (d / c) if multi_d else y
-        nz_ = z + vz * (d / c) if three_d else z
+        d = jnp.where(coll, d_coll, d_push)
+        # zero the step for lanes at census/dead: every downstream position/
+        # tau/index update then degenerates to the identity, which replaces
+        # the 13 per-field end-of-body selects with this single one
+        d = jnp.where(active, d, 0.0)
+        ntau = jnp.where(i_census, 1.0, tau + d * inv_cdt)
+        step = d * inv_c
+        nx_ = x + vx * step
+        ny_ = y + vy * step if multi_d else y
+        nz_ = z + vz * step if three_d else z
         nx_ = jnp.where(cr_x, jnp.where(vx > 0, xu, xl), nx_)
-        ny_ = jnp.where(cr_y, jnp.where(vy > 0, yu, yl), ny_)
-        nz_ = jnp.where(cr_z, jnp.where(vz > 0, zu, zl), nz_)
         nci = ci + jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0)
-        ncj = cj + jnp.where(cr_y, jnp.where(vy > 0, 1, -1), 0)
-        nck = ck + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
+        if multi_d:
+            ny_ = jnp.where(cr_y, jnp.where(vy > 0, yu, yl), ny_)
+            ncj = cj + jnp.where(cr_y, jnp.where(vy > 0, 1, -1), 0)
+        else:
+            ncj = cj
+        if three_d:
+            nz_ = jnp.where(cr_z, jnp.where(vz > 0, zu, zl), nz_)
+            nck = ck + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
+        else:
+            nck = ck
 
         # isotropic scatter redraw (scattering.hpp:21-29)
-        mu = 1.0 - 2.0 * uniform(it, 2)
-        phi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 3)
+        mu = 1.0 - 2.0 * pool.u16(it)
+        phi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
         st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
         nvx = jnp.where(i_sc, c * st * jnp.cos(phi), vx)
         nvy = jnp.where(i_sc, c * st * jnp.sin(phi), vy)
@@ -353,54 +386,66 @@ def _transport_kernel(
         nalive = jnp.where(i_abs, 0, alive)
         nabsorbed = jnp.where(i_abs, 1, absorbed)
         # face-arrival code (see ParticleLedger.face): a crossing pins the
-        # particle onto a face of its new cell; any other outcome clears it
-        nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
-        nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
-        nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
+        # particle onto a face of its new cell; any other outcome clears it.
+        # Only the DDMC at-face albedo test ever reads it — skip when off.
+        if use_ddmc:
+            nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
+            if multi_d:
+                nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
+            if three_d:
+                nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
+        else:
+            nface = face
 
         # ================= DDMC branch (ptcl_ddmc_albedo / ptcl_ddmc_step) ====
         if use_ddmc:
-            sig_t = sa + ss
+            ea_dd = jnp.zeros(shape) if ea is None else ea
+            # reciprocal cell sizes: one divide per axis feeds the two face
+            # leak terms (and the albedo prob shares the per-axis divide too)
+            if single_block:
+                inv_dxb = jnp.float32(1.0 / block_dx0[0])
+                inv_dyb = jnp.float32(1.0 / block_dx0[1])
+                inv_dzb = jnp.float32(1.0 / block_dx0[2])
+            else:
+                inv_dxb = 1.0 / dxb
+                inv_dyb = 1.0 / dyb if multi_d else inv_dxb
+                inv_dzb = 1.0 / dzb if three_d else inv_dxb
             # at-face detection keys on the IMC-crossing arrival flag; codes are
             # mutually exclusive (see ops/transport.py and ParticleLedger.face)
-            sel = [
-                is_ddmc & (face == 1),
-                is_ddmc & (face == -1),
-                is_ddmc & (face == 2),
-                is_ddmc & (face == -2),
-                is_ddmc & (face == 3),
-                is_ddmc & (face == -3),
-            ]
+            # — entry order per axis: (lower-face arrival +code, upper -code)
+            sel = [is_ddmc & (face == 1), is_ddmc & (face == -1)]
+            if multi_d:
+                sel += [is_ddmc & (face == 2), is_ddmc & (face == -2)]
+            if three_d:
+                sel += [is_ddmc & (face == 3), is_ddmc & (face == -3)]
             at_face = is_ddmc & (face != 0)
 
             lam2 = jnp.float32(2.0 * 0.7104)
             P = jnp.zeros(shape)
-            for m, fdx_, fv, sgn in (
-                (sel[0], dxb, vx, 1.0), (sel[1], dxb, vx, -1.0),
-                (sel[2], dyb, vy, 1.0), (sel[3], dyb, vy, -1.0),
-                (sel[4], dzb, vz, 1.0), (sel[5], dzb, vz, -1.0),
-            ):
-                Pf = (2.0 / 3.0) / (sig_t * fdx_ + lam2)
-                P = jnp.where(m, 2.0 * Pf * (1.0 + jnp.float32(sgn) * 1.5 * fv / c), P)
-            rejected = at_face & (uniform(it, 4) > P)
+            axis_geoms = [(dxb, vx), (dyb, vy), (dzb, vz)][:ndim]
+            for ax, (fdx_, fv) in enumerate(axis_geoms):
+                Pf2 = 2.0 * (2.0 / 3.0) / (sig_t * fdx_ + lam2)
+                drift = 1.5 * fv * inv_c
+                P = jnp.where(sel[2 * ax], Pf2 * (1.0 + drift), P)
+                P = jnp.where(sel[2 * ax + 1], Pf2 * (1.0 - drift), P)
+            rejected = at_face & (pool.u16(it) > P)
 
             # hemisphere direction for bounce-back / leak
-            amu = jnp.sqrt(uniform(it, 5))
+            amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
-            aphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 6)
+            aphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             a1, a2, a3 = amu, anu * jnp.cos(aphi), anu * jnp.sin(aphi)
 
             rj_x, rj_y, rj_z = x, y, z
             rj_vx, rj_vy, rj_vz = vx, vy, vz
             rj_si = jnp.zeros(shape, jnp.int32)
-            rj_sj = jnp.zeros(shape, jnp.int32)
-            rj_sk = jnp.zeros(shape, jnp.int32)
+            rj_sj = jnp.zeros(shape, jnp.int32) if multi_d else None
+            rj_sk = jnp.zeros(shape, jnp.int32) if three_d else None
             eps_i = jnp.float32(eps_imc)
-            for m, axis, lower in (
-                (sel[0], 0, True), (sel[1], 0, False),
-                (sel[2], 1, True), (sel[3], 1, False),
-                (sel[4], 2, True), (sel[5], 2, False),
-            ):
+            face_axes = ((0, True), (0, False), (1, True), (1, False),
+                         (2, True), (2, False))[: 2 * ndim]
+            for e, (axis, lower) in enumerate(face_axes):
+                m = sel[e]
                 sgn = jnp.float32(-1.0 if lower else 1.0)  # away from the cell
                 v1, v2, v3 = c * sgn * a1, c * a2, c * a3
                 if axis == 0:
@@ -423,37 +468,34 @@ def _transport_kernel(
                     rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
 
             # in-cell DDMC step: face-prob gathers
-            fbase = blk * (nz * ny * nx)  # not the face stride; computed per dir below
-            del fbase
             fx_l = (blk * nz + ck) * ny * (nx + 1) + cj * (nx + 1) + ci
             fp_xl = _gather_chunked(fpx_ref, fx_l, n_fchunks[0])
             fp_xu = _gather_chunked(fpx_ref, fx_l + 1, n_fchunks[0])
+            lk = [fp_xl * inv_dxb, fp_xu * inv_dxb]
             if multi_d:
                 fy_l = ((blk * nz + ck) * (ny + 1) + cj) * nx + ci
                 fp_yl = _gather_chunked(fpy_ref, fy_l, n_fchunks[1])
                 fp_yu = _gather_chunked(fpy_ref, fy_l + nx, n_fchunks[1])
-            else:
-                fp_yl = fp_yu = jnp.zeros(shape)
+                lk += [fp_yl * inv_dyb, fp_yu * inv_dyb]
             if three_d:
                 fz_l = ((blk * (nz + 1) + ck) * ny + cj) * nx + ci
                 fp_zl = _gather_chunked(fpz_ref, fz_l, n_fchunks[2])
                 fp_zu = _gather_chunked(fpz_ref, fz_l + ny * nx, n_fchunks[2])
-            else:
-                fp_zl = fp_zu = jnp.zeros(shape)
+                lk += [fp_zl * inv_dzb, fp_zu * inv_dzb]
 
-            lk = (fp_xl / dxb, fp_xu / dxb, fp_yl / dyb, fp_yu / dyb,
-                  fp_zl / dzb, fp_zu / dzb)
-            leak_tot = lk[0] + lk[1] + lk[2] + lk[3] + lk[4] + lk[5]
-            cdf = ff * sa + leak_tot + tiny
-            dt_ev = (-jnp.log(jnp.maximum(uniform(it, 7), tiny))) / (c * cdf)
+            leak_tot = lk[0] + lk[1]
+            for l in lk[2:]:
+                leak_tot = leak_tot + l
+            cdf = ea_dd + leak_tot + tiny
+            dt_ev = pool.exp23(it) / (c * cdf)
             dt_rem = dt * (1.0 - tau)
             is_event = dt_ev < dt_rem
             do_step = is_ddmc & ~rejected
 
-            dd_tau = jnp.where(is_event, tau + dt_ev / dt, 1.0)
-            xi = cdf * uniform(it, 8)
-            dd_absorbed = do_step & is_event & (xi < ff * sa)
-            xim = xi - ff * sa
+            dd_tau = jnp.where(is_event, tau + dt_ev * (1.0 / dt), 1.0)
+            xi = cdf * pool.u16(it)
+            dd_absorbed = do_step & is_event & (xi < ea_dd)
+            xim = xi - ea_dd
             cum = jnp.zeros(shape)
             leak_sel = []
             leak_any = jnp.zeros(shape, bool)
@@ -462,46 +504,44 @@ def _transport_kernel(
                 leak_sel.append(m)
                 leak_any = leak_any | m
                 cum = cum + l
+            # numerical fall-through lands on the last active face
             fall = do_step & is_event & ~dd_absorbed & ~leak_any
-            if three_d:
-                leak_sel[5] = leak_sel[5] | fall
-            elif multi_d:
-                leak_sel[3] = leak_sel[3] | fall
-            else:
-                leak_sel[1] = leak_sel[1] | fall
+            leak_sel[-1] = leak_sel[-1] | fall
 
-            bmu = jnp.sqrt(uniform(it, 9))
+            bmu = jnp.sqrt(pool.u16(it))
             bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
-            bphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 10)
+            bphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             b1, b2, b3 = bmu, bnu * jnp.cos(bphi), bnu * jnp.sin(bphi)
 
             dd_x, dd_y, dd_z = x, y, z
             dd_vx, dd_vy, dd_vz = vx, vy, vz
             dd_si = jnp.zeros(shape, jnp.int32)
-            dd_sj = jnp.zeros(shape, jnp.int32)
-            dd_sk = jnp.zeros(shape, jnp.int32)
+            dd_sj = jnp.zeros(shape, jnp.int32) if multi_d else None
+            dd_sk = jnp.zeros(shape, jnp.int32) if three_d else None
             dd_leak = jnp.zeros(shape, jnp.int32)  # +-(axis+1) of a leak this event
-            cx_, cy_, cz_ = xl + 0.5 * dxb, yl + 0.5 * dyb, zl + 0.5 * dzb
+            cx_ = xl + 0.5 * dxb
+            cy_ = yl + 0.5 * dyb if multi_d else None
+            cz_ = zl + 0.5 * dzb if three_d else None
             eps_d = jnp.float32(eps_ddmc)
-            for m, axis, lower in (
-                (leak_sel[0], 0, True), (leak_sel[1], 0, False),
-                (leak_sel[2], 1, True), (leak_sel[3], 1, False),
-                (leak_sel[4], 2, True), (leak_sel[5], 2, False),
-            ):
+            for e, (axis, lower) in enumerate(face_axes):
+                m = leak_sel[e]
                 dd_leak = jnp.where(m, (-1 if lower else 1) * (axis + 1), dd_leak)
                 out_sgn = jnp.float32(-1.0 if lower else 1.0)
                 v1, v2, v3 = c * out_sgn * b1, c * b2, c * b3
                 if axis == 0:
                     dd_x = jnp.where(m, jnp.where(lower, xl - eps_d * dxb, xu + eps_d * dxb), dd_x)
-                    dd_y = jnp.where(m, cy_, dd_y)
-                    dd_z = jnp.where(m, cz_, dd_z)
+                    if multi_d:
+                        dd_y = jnp.where(m, cy_, dd_y)
+                    if three_d:
+                        dd_z = jnp.where(m, cz_, dd_z)
                     dd_vx = jnp.where(m, v1, dd_vx)
                     dd_vy = jnp.where(m, v2, dd_vy)
                     dd_vz = jnp.where(m, v3, dd_vz)
                     dd_si = jnp.where(m, -1 if lower else 1, dd_si)
                 elif axis == 1:
                     dd_y = jnp.where(m, jnp.where(lower, yl - eps_d * dyb, yu + eps_d * dyb), dd_y)
-                    dd_z = jnp.where(m, cz_, dd_z)
+                    if three_d:
+                        dd_z = jnp.where(m, cz_, dd_z)
                     dd_x = jnp.where(m, cx_, dd_x)
                     dd_vy = jnp.where(m, v1, dd_vy)
                     dd_vz = jnp.where(m, v2, dd_vz)
@@ -518,12 +558,14 @@ def _transport_kernel(
 
             # census: resample position uniformly in the cell + isotropic direction
             dd_census = do_step & ~is_event
-            dd_x = jnp.where(dd_census, xl + uniform(it, 11) * dxb, dd_x)
-            dd_y = jnp.where(dd_census, yl + uniform(it, 12) * dyb, dd_y)
-            dd_z = jnp.where(dd_census, zl + uniform(it, 13) * dzb, dd_z)
-            cmu = 1.0 - 2.0 * uniform(it, 14)
+            dd_x = jnp.where(dd_census, xl + pool.u16(it) * dxb, dd_x)
+            if multi_d:
+                dd_y = jnp.where(dd_census, yl + pool.u16(it) * dyb, dd_y)
+            if three_d:
+                dd_z = jnp.where(dd_census, zl + pool.u16(it) * dzb, dd_z)
+            cmu = 1.0 - 2.0 * pool.u16(it)
             cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
-            cphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 15)
+            cphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             dd_vx = jnp.where(dd_census, c * cst * jnp.cos(cphi), dd_vx)
             dd_vy = jnp.where(dd_census, c * cst * jnp.sin(cphi), dd_vy)
             dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
@@ -536,8 +578,10 @@ def _transport_kernel(
             dd_vy = jnp.where(rejected, rj_vy, dd_vy)
             dd_vz = jnp.where(rejected, rj_vz, dd_vz)
             dd_si = jnp.where(rejected, rj_si, dd_si)
-            dd_sj = jnp.where(rejected, rj_sj, dd_sj)
-            dd_sk = jnp.where(rejected, rj_sk, dd_sk)
+            if multi_d:
+                dd_sj = jnp.where(rejected, rj_sj, dd_sj)
+            if three_d:
+                dd_sk = jnp.where(rejected, rj_sk, dd_sk)
             dd_tau = jnp.where(rejected, tau, dd_tau)
             dd_leak = jnp.where(rejected, 0, dd_leak)
 
@@ -550,8 +594,10 @@ def _transport_kernel(
             nvz = jnp.where(is_ddmc, dd_vz, nvz)
             ntau = jnp.where(is_ddmc, dd_tau, ntau)
             nci = jnp.where(is_ddmc, ci + dd_si, nci)
-            ncj = jnp.where(is_ddmc, cj + dd_sj, ncj)
-            nck = jnp.where(is_ddmc, ck + dd_sk, nck)
+            if multi_d:
+                ncj = jnp.where(is_ddmc, cj + dd_sj, ncj)
+            if three_d:
+                nck = jnp.where(is_ddmc, ck + dd_sk, nck)
             nalive = jnp.where(dd_absorbed, 0, nalive)
             nabsorbed = jnp.where(dd_absorbed, 1, nabsorbed)
             # every DDMC outcome leaves the particle off-face
@@ -562,22 +608,28 @@ def _transport_kernel(
 
         # ---- block transition / domain BCs ------------------------------
         out_lo_x, out_hi_x = nci < 0, nci >= nx
-        out_lo_y, out_hi_y = ncj < 0, ncj >= ny
-        out_lo_z, out_hi_z = nck < 0, nck >= nz
+        if multi_d:
+            out_lo_y, out_hi_y = ncj < 0, ncj >= ny
+        if three_d:
+            out_lo_z, out_hi_z = nck < 0, nck >= nz
 
+        # 1D/2D: transverse positions never move (no crossings, no DDMC
+        # transverse recenter — see the dim gates above), so the global
+        # rebase/BC machinery runs only on transport axes
         if single_block:
             gx = jnp.float32(block_org0[0]) + nx_
-            gy = jnp.float32(block_org0[1]) + ny_
-            gz = jnp.float32(block_org0[2]) + nz_
+            gy = jnp.float32(block_org0[1]) + ny_ if multi_d else None
+            gz = jnp.float32(block_org0[2]) + nz_ if three_d else None
         else:
             gx = _gather(box_ref, blk, nb_chunks) + nx_
-            gy = _gather(boy_ref, blk, nb_chunks) + ny_
-            gz = _gather(boz_ref, blk, nb_chunks) + nz_
+            gy = _gather(boy_ref, blk, nb_chunks) + ny_ if multi_d else None
+            gz = _gather(boz_ref, blk, nb_chunks) + nz_ if three_d else None
 
         def apply_bc(g, v, lo, hi, o_lo, o_hi, bc_lo, bc_hi, al, fc, half):
             # Half-finest-cell tolerant hit test + domain clip, mirroring
             # ops/transport.py::apply_bc (inexact deck extents round the pinned
             # face position below the bound; exact comparison would livelock).
+            # fc is None when DDMC is off (nothing reads the face code then).
             L = jnp.float32(hi - lo)
             lo = jnp.float32(lo)
             hi = jnp.float32(hi)
@@ -586,7 +638,8 @@ def _transport_kernel(
             if bc_lo == BC.reflecting:
                 g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
                 v = jnp.where(hit_lo, -v, v)
-                fc = jnp.where(hit_lo, -fc, fc)
+                if fc is not None:
+                    fc = jnp.where(hit_lo, -fc, fc)
             elif bc_lo == BC.periodic:
                 g = jnp.where(hit_lo, jnp.clip(g + L, lo, hi), g)
             else:
@@ -594,40 +647,53 @@ def _transport_kernel(
             if bc_hi == BC.reflecting:
                 g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
                 v = jnp.where(hit_hi, -v, v)
-                fc = jnp.where(hit_hi, -fc, fc)
+                if fc is not None:
+                    fc = jnp.where(hit_hi, -fc, fc)
             elif bc_hi == BC.periodic:
                 g = jnp.where(hit_hi, jnp.clip(g - L, lo, hi), g)
             else:
                 al = jnp.where(hit_hi, 0, al)
             return g, v, al, fc
 
-        gx, nvx, nalive, nface = apply_bc(
-            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive, nface,
-            0.5 * finest[0],
+        fc_bc = nface if use_ddmc else None
+        gx, nvx, nalive, fc_bc = apply_bc(
+            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive,
+            fc_bc, 0.5 * finest[0],
         )
         if multi_d:
-            gy, nvy, nalive, nface = apply_bc(
+            gy, nvy, nalive, fc_bc = apply_bc(
                 gy, nvy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3], nalive,
-                nface, 0.5 * finest[1],
+                fc_bc, 0.5 * finest[1],
             )
         if three_d:
-            gz, nvz, nalive, nface = apply_bc(
+            gz, nvz, nalive, fc_bc = apply_bc(
                 gz, nvz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5], nalive,
-                nface, 0.5 * finest[2],
+                fc_bc, 0.5 * finest[2],
             )
+        if use_ddmc:
+            nface = fc_bc
 
-        out = (out_lo_x | out_hi_x | out_lo_y | out_hi_y | out_lo_z | out_hi_z) & (
-            nalive != 0
-        )
+        out = out_lo_x | out_hi_x
+        if multi_d:
+            out = out | out_lo_y | out_hi_y
+        if three_d:
+            out = out | out_lo_z | out_hi_z
+        out = out & (nalive != 0)
         if single_block:
             # transitions are BC-only: rebase the (possibly reflected/wrapped)
             # global position into the single block
             lx = gx - jnp.float32(block_org0[0])
-            ly = gy - jnp.float32(block_org0[1])
-            lz = gz - jnp.float32(block_org0[2])
             ri = jnp.clip((lx / dxb).astype(jnp.int32), 0, nx - 1)
-            rj = jnp.clip((ly / dyb).astype(jnp.int32), 0, ny - 1)
-            rk = jnp.clip((lz / dzb).astype(jnp.int32), 0, nz - 1)
+            if multi_d:
+                ly = gy - jnp.float32(block_org0[1])
+                rj = jnp.clip((ly / dyb).astype(jnp.int32), 0, ny - 1)
+            else:
+                ly, rj = ny_, cj
+            if three_d:
+                lz = gz - jnp.float32(block_org0[2])
+                rk = jnp.clip((lz / dzb).astype(jnp.int32), 0, nz - 1)
+            else:
+                lz, rk = nz_, ck
             nblk = blk
         else:
             # lookup probe: nudge half a finest cell along the CROSSED face's
@@ -637,30 +703,45 @@ def _transport_kernel(
             # always beats scattering — a zero-progress spin to the iteration
             # cap. Non-crossing axes keep the small directional tiebreak.
             sgx = jnp.where(out_hi_x, 1.0, 0.0) - jnp.where(out_lo_x, 1.0, 0.0)
-            sgy = jnp.where(out_hi_y, 1.0, 0.0) - jnp.where(out_lo_y, 1.0, 0.0)
-            sgz = jnp.where(out_hi_z, 1.0, 0.0) - jnp.where(out_lo_z, 1.0, 0.0)
             px = gx + jnp.where(
                 sgx != 0.0, jnp.float32(0.5 * finest[0]) * sgx,
-                jnp.float32(0.01 * finest[0]) * (nvx / c))
-            py = gy + jnp.where(
-                sgy != 0.0, jnp.float32(0.5 * finest[1]) * sgy,
-                jnp.float32(0.01 * finest[1]) * (nvy / c)) if multi_d else gy
-            pz = gz + jnp.where(
-                sgz != 0.0, jnp.float32(0.5 * finest[2]) * sgz,
-                jnp.float32(0.01 * finest[2]) * (nvz / c)) if three_d else gz
+                jnp.float32(0.01 * finest[0]) * (nvx * inv_c))
             tx = jnp.clip(jnp.floor((px - x1min) / tsx).astype(jnp.int32), 0, ntx - 1)
-            ty = jnp.clip(jnp.floor((py - x2min) / tsy).astype(jnp.int32), 0, nty - 1)
-            tz = jnp.clip(jnp.floor((pz - x3min) / tsz).astype(jnp.int32), 0, ntz - 1)
-            b_new = _gather(lut_ref, (tz * nty + ty) * ntx + tx, nt_chunks)
+            tidx = tx
+            if multi_d:
+                sgy = jnp.where(out_hi_y, 1.0, 0.0) - jnp.where(out_lo_y, 1.0, 0.0)
+                py = gy + jnp.where(
+                    sgy != 0.0, jnp.float32(0.5 * finest[1]) * sgy,
+                    jnp.float32(0.01 * finest[1]) * (nvy * inv_c))
+                ty = jnp.clip(
+                    jnp.floor((py - x2min) / tsy).astype(jnp.int32), 0, nty - 1
+                )
+                tidx = ty * ntx + tx
+            if three_d:
+                sgz = jnp.where(out_hi_z, 1.0, 0.0) - jnp.where(out_lo_z, 1.0, 0.0)
+                pz = gz + jnp.where(
+                    sgz != 0.0, jnp.float32(0.5 * finest[2]) * sgz,
+                    jnp.float32(0.01 * finest[2]) * (nvz * inv_c))
+                tz = jnp.clip(
+                    jnp.floor((pz - x3min) / tsz).astype(jnp.int32), 0, ntz - 1
+                )
+                tidx = (tz * nty + ty) * ntx + tx
+            b_new = _gather(lut_ref, tidx, nt_chunks)
             ndxb = _gather(bdx_ref, b_new, nb_chunks)
-            ndyb = _gather(bdy_ref, b_new, nb_chunks)
-            ndzb = _gather(bdz_ref, b_new, nb_chunks)
             lx = gx - _gather(box_ref, b_new, nb_chunks)
-            ly = gy - _gather(boy_ref, b_new, nb_chunks)
-            lz = gz - _gather(boz_ref, b_new, nb_chunks)
             ri = jnp.clip(jnp.floor(lx / ndxb).astype(jnp.int32), 0, nx - 1)
-            rj = jnp.clip(jnp.floor(ly / ndyb).astype(jnp.int32), 0, ny - 1)
-            rk = jnp.clip(jnp.floor(lz / ndzb).astype(jnp.int32), 0, nz - 1)
+            if multi_d:
+                ndyb = _gather(bdy_ref, b_new, nb_chunks)
+                ly = gy - _gather(boy_ref, b_new, nb_chunks)
+                rj = jnp.clip(jnp.floor(ly / ndyb).astype(jnp.int32), 0, ny - 1)
+            else:
+                ndyb, ly, rj = None, ny_, cj
+            if three_d:
+                ndzb = _gather(bdz_ref, b_new, nb_chunks)
+                lz = gz - _gather(boz_ref, b_new, nb_chunks)
+                rk = jnp.clip(jnp.floor(lz / ndzb).astype(jnp.int32), 0, nz - 1)
+            else:
+                ndzb, lz, rk = None, nz_, ck
             nblk = jnp.where(out, b_new, blk)
 
             if use_ddmc and has_smr and multi_d:
@@ -678,12 +759,12 @@ def _transport_kernel(
                 refine = out & (nleak != 0) & (lvl_new > lvl_old)
                 lax_axis = jnp.abs(nleak) - 1
                 lsgn = jnp.sign(nleak).astype(jnp.float32)
-                u_sel = uniform(it, 16)
-                u_t1 = uniform(it, 17)
-                u_t2 = uniform(it, 18)
-                smu = jnp.sqrt(uniform(it, 19))
+                u_sel = pool.u16(it)
+                u_t1 = pool.u16(it)
+                u_t2 = pool.u16(it) if three_d else None
+                smu = jnp.sqrt(pool.u16(it))
                 snu = jnp.sqrt(jnp.maximum(1.0 - smu * smu, 0.0))
-                sphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 20)
+                sphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
                 a1, a2, a3 = smu, snu * jnp.cos(sphi), snu * jnp.sin(sphi)
 
                 dims = (nx, ny, nz)
@@ -794,26 +875,23 @@ def _transport_kernel(
                 nvx, nvy, nvz = new_v
 
         nx_ = jnp.where(out, lx, nx_)
-        ny_ = jnp.where(out, ly, ny_)
-        nz_ = jnp.where(out, lz, nz_)
         nci = jnp.where(out, ri, jnp.clip(nci, 0, nx - 1))
-        ncj = jnp.where(out, rj, jnp.clip(ncj, 0, ny - 1))
-        nck = jnp.where(out, rk, jnp.clip(nck, 0, nz - 1))
+        if multi_d:
+            ny_ = jnp.where(out, ly, ny_)
+            ncj = jnp.where(out, rj, jnp.clip(ncj, 0, ny - 1))
+        if three_d:
+            nz_ = jnp.where(out, lz, nz_)
+            nck = jnp.where(out, rk, jnp.clip(nck, 0, nz - 1))
 
-        def sel(new, old):
-            return jnp.where(active, new, old)
-
+        # Inactive lanes already pass every field through unchanged (the d=0
+        # zeroing above degenerates all updates to the identity, and every
+        # event/BC mask includes ``active``) — no per-field final select.
+        # ``face`` is the one exception: its IMC chain rebuilds from 0.
+        if use_ddmc:
+            nface = jnp.where(active, nface, face)
         return (
-            sel(nx_, x), sel(ny_, y), sel(nz_, z),
-            sel(nvx, vx), sel(nvy, vy), sel(nvz, vz),
-            sel(ntau, tau),
-            jnp.where(active, nblk, blk),
-            jnp.where(active, nci, ci),
-            jnp.where(active, ncj, cj),
-            jnp.where(active, nck, ck),
-            jnp.where(active, nalive, alive),
-            jnp.where(active, nabsorbed, absorbed),
-            jnp.where(active, nface, face),
+            nx_, ny_, nz_, nvx, nvy, nvz, ntau,
+            nblk, nci, ncj, nck, nalive, nabsorbed, nface,
             it + 1,
             ev + jnp.sum(active.astype(jnp.int32)),
         )
@@ -876,14 +954,19 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         ss_t = _chunk_table(coefs.packed[:, 1], f32, K)
         ff_t = _chunk_table(coefs.packed[:, 2], f32, K)
     else:
-        ss_t = _chunk_table(coefs.sigma_s, f32, K)
+        # gray path: the kernel only ever needs the derived collision-rate
+        # pair (ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a;
+        # sigma_t = ea + es), so it gathers TWO chunked tables per event
+        # instead of three (sa_ref carries ea, ss_ref carries es)
         if prm.has_absorption:
-            sa_t = _chunk_table(coefs.sigma_a, f32, K)
-            ff_t = _chunk_table(coefs.fleck, f32, K)
+            sa_t = _chunk_table(coefs.fleck * coefs.sigma_a, f32, K)
+            ss_t = _chunk_table(
+                coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a, f32, K
+            )
         else:
-            # never read in the kernel; keep VMEM footprint minimal
-            sa_t = jnp.zeros((GREP, LANES), f32)
-            ff_t = jnp.ones((GREP, LANES), f32)
+            sa_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
+            ss_t = _chunk_table(coefs.sigma_s, f32, K)
+        ff_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
     Kf = _n_fchunks(mesh, prm)
     if prm.use_ddmc:
         fpx_t = _chunk_table(coefs.px.reshape(-1), f32, Kf[0])

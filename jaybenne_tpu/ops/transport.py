@@ -178,7 +178,15 @@ def _one_event(p, coefs, mesh, prm: TransportParams, dt, key, block_offset=None)
     meta = mesh.block_meta[p.block]  # [P, 6] one gather: (dx, dy, dz, origin)
     dx, dy, dz = meta[:, 0], meta[:, 1], meta[:, 2]
     org_own = meta[:, 3:6]
-    dmin = jnp.minimum(dx, jnp.minimum(dy, dz))
+    # transport scale: the smallest cell extent over TRANSPORT dimensions only
+    # (transverse block extents of a 1D/2D problem are not transport scales;
+    # matches the Pallas kernels' static [:ndim] min)
+    if prm.ndim == 3:
+        dmin = jnp.minimum(dx, jnp.minimum(dy, dz))
+    elif prm.ndim == 2:
+        dmin = jnp.minimum(dx, dy)
+    else:
+        dmin = dx
     b_idx = jnp.clip(b_local, 0, coefs.px.shape[0] - 1)  # field-gather block index
     cell = mesh.flat_cell(b_idx, p.k, p.j, p.i)
     if coefs.opacity is not None:

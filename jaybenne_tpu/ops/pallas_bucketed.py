@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BC
+from . import pallas_rng as rng
 from .pallas_transport import (
     GREP,
     LANES,
@@ -254,38 +255,13 @@ def _bucketed_kernel(
     tiny = jnp.float32(1.0e-37)
     tr = regions_ref[pl.program_id(0)]
 
-    if not interpret:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-
-        def uniform(it, tag):
-            del it, tag
-            bits = pltpu.prng_random_bits(shape)
-            return ((bits >> 9) & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
-                1.0 / (1 << 23)
-            )
-    else:
-        lane_id = (
-            jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            + jnp.uint32(pl.program_id(0) * BTILE)
-        )
-
-        def uniform(it, tag):
-            x = (
-                seed_ref[0].astype(jnp.uint32)
-                + lane_id
-                + it.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-                + jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
-            )
-            x = x ^ (x >> 16)
-            x = x * jnp.uint32(0x7FEB352D)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(0x846CA68B)
-            x = x ^ (x >> 16)
-            return (x >> 9).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
-
-    def expdraw(it, tag):
-        return -jnp.log(jnp.maximum(uniform(it, tag), tiny))
+    # paired 16-bit / full 23-bit uniform variates (see ops/pallas_rng.py)
+    raw_bits = rng.make_raw_bits(
+        shape, seed_ref[0], pl.program_id(0) * BTILE, interpret
+    )
+    inv_c = jnp.float32(1.0) / c
+    inv_cdt = jnp.float32(1.0) / (c * dt)
+    inv_dt = jnp.float32(1.0) / dt
 
     # sigma-refresh cadence (see pallas_grid.SIGMA_REFRESH): the region-slab
     # coefficient scans (K_reg/Kf_reg chunks) run only every R_ref iterations
@@ -304,12 +280,20 @@ def _bucketed_kernel(
          leak) = carry[:15]
         coef_c = carry[15:15 + n_coef]
         stale, paused, it, ev = carry[-4], carry[-3], carry[-2], carry[-1]
+        pool = rng.DrawPool(raw_bits)
         blk_rel = jnp.clip(_gather(slot_ref, blk, nb_chunks), 0, maxbpr - 1)
 
         dxb = _gather(bdx_ref, blk, nb_chunks)
         dyb = _gather(bdy_ref, blk, nb_chunks)
         dzb = _gather(bdz_ref, blk, nb_chunks)
-        dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
+        # transport scale over transport dims only (matches pallas_grid /
+        # ops/transport.py; transverse extents are not transport scales)
+        if three_d:
+            dmin = jnp.minimum(dxb, jnp.minimum(dyb, dzb))
+        elif multi_d:
+            dmin = jnp.minimum(dxb, dyb)
+        else:
+            dmin = dxb
         cell = blk_rel * ncpb + (ck * ny + cj) * nx + ci
 
         def gather_coefs(_):
@@ -363,12 +347,12 @@ def _bucketed_kernel(
             is_ddmc = jnp.zeros(shape, bool)
             act_imc = active
 
-        if has_absorption:
-            d_abs = expdraw(it, 0) / (ea + tiny)
-            d_sc = expdraw(it, 1) / (es + tiny)
-        else:
-            d_abs = jnp.full(shape, BIG)
-            d_sc = expdraw(it, 1) / (es + tiny)
+        # competing-risks collision sampling: one exponential at the total
+        # rate + a branch uniform (identical in distribution to the separate
+        # absorption/scattering exponential min; one log cheaper)
+        sig_c = (ea + es) if has_absorption else es
+        d_coll = pool.exp23(it) / (sig_c + tiny)
+        u_branch = pool.u16(it) if has_absorption else None
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -385,22 +369,29 @@ def _bucketed_kernel(
         fzd = face_dist(vz, zl, zu, z) if three_d else jnp.full(shape, BIG)
 
         d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
+        coll = act_imc & (d_coll < d_push)
         if has_absorption:
-            i_abs = act_imc & (d_abs < d_push) & (d_abs < d_sc)
+            i_abs = coll & (u_branch * sig_c < ea)
+            i_sc = coll & ~i_abs
         else:
             i_abs = jnp.zeros(shape, bool)
-        i_sc = act_imc & ~i_abs & (d_sc < d_push)
-        no_coll = act_imc & ~i_abs & ~i_sc
+            i_sc = coll
+        no_coll = act_imc & ~coll
         cr_x = no_coll & (fxd <= fyd) & (fxd <= fzd) & (fxd <= d_geom)
         cr_y = no_coll & ~cr_x & (fyd <= fzd) & (fyd <= d_geom)
         cr_z = no_coll & ~cr_x & ~cr_y & (fzd <= d_geom)
         i_census = no_coll & ~cr_x & ~cr_y & ~cr_z & (d_end <= dmin)
 
-        d = jnp.where(i_abs, d_abs, jnp.where(i_sc, d_sc, d_push))
-        ntau = jnp.where(i_census, 1.0, tau + d / (c * dt))
-        nx_ = x + vx * (d / c)
-        ny_ = y + vy * (d / c) if multi_d else y
-        nz_ = z + vz * (d / c) if three_d else z
+        d = jnp.where(coll, d_coll, d_push)
+        # zero the step for census/dead/paused/stale lanes: every downstream
+        # update degenerates to the identity, replacing the per-field
+        # end-of-body selects with this single one
+        d = jnp.where(active, d, 0.0)
+        ntau = jnp.where(i_census, 1.0, tau + d * inv_cdt)
+        step = d * inv_c
+        nx_ = x + vx * step
+        ny_ = y + vy * step if multi_d else y
+        nz_ = z + vz * step if three_d else z
         nx_ = jnp.where(cr_x, jnp.where(vx > 0, xu, xl), nx_)
         ny_ = jnp.where(cr_y, jnp.where(vy > 0, yu, yl), ny_)
         nz_ = jnp.where(cr_z, jnp.where(vz > 0, zu, zl), nz_)
@@ -408,8 +399,8 @@ def _bucketed_kernel(
         ncj = cj + jnp.where(cr_y, jnp.where(vy > 0, 1, -1), 0)
         nck = ck + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
 
-        mu = 1.0 - 2.0 * uniform(it, 2)
-        phi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 3)
+        mu = 1.0 - 2.0 * pool.u16(it)
+        phi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
         st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
         nvx = jnp.where(i_sc, c * st * jnp.cos(phi), vx)
         nvy = jnp.where(i_sc, c * st * jnp.sin(phi), vy)
@@ -417,9 +408,13 @@ def _bucketed_kernel(
 
         nalive = jnp.where(i_abs, 0, alive)
         nabsorbed = jnp.where(i_abs, 1, absorbed)
-        nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
-        nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
-        nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
+        # only the DDMC at-face albedo test reads the face code — skip when off
+        if use_ddmc:
+            nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
+            nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
+            nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
+        else:
+            nface = face
 
         # ================= DDMC branch (face-flag albedo + ptcl_ddmc_step) ====
         if use_ddmc:
@@ -436,18 +431,17 @@ def _bucketed_kernel(
 
             lam2 = jnp.float32(2.0 * 0.7104)
             P = jnp.zeros(shape)
-            for m, fdx_, fv, sgn in (
-                (sel[0], dxb, vx, 1.0), (sel[1], dxb, vx, -1.0),
-                (sel[2], dyb, vy, 1.0), (sel[3], dyb, vy, -1.0),
-                (sel[4], dzb, vz, 1.0), (sel[5], dzb, vz, -1.0),
-            ):
-                Pf = (2.0 / 3.0) / (sig_t * fdx_ + lam2)
-                P = jnp.where(m, 2.0 * Pf * (1.0 + jnp.float32(sgn) * 1.5 * fv / c), P)
-            rejected = at_face & (uniform(it, 4) > P)
+            for ax, (fdx_, fv) in enumerate(((dxb, vx), (dyb, vy), (dzb, vz))):
+                # one divide per axis feeds both face entries
+                Pf2 = 2.0 * (2.0 / 3.0) / (sig_t * fdx_ + lam2)
+                drift = 1.5 * fv * inv_c
+                P = jnp.where(sel[2 * ax], Pf2 * (1.0 + drift), P)
+                P = jnp.where(sel[2 * ax + 1], Pf2 * (1.0 - drift), P)
+            rejected = at_face & (pool.u16(it) > P)
 
-            amu = jnp.sqrt(uniform(it, 5))
+            amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
-            aphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 6)
+            aphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             a1, a2, a3 = amu, anu * jnp.cos(aphi), anu * jnp.sin(aphi)
 
             rj_x, rj_y, rj_z = x, y, z
@@ -484,17 +478,21 @@ def _bucketed_kernel(
 
             fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu = coefs[2:8]
 
-            lk = (fp_xl / dxb, fp_xu / dxb, fp_yl / dyb, fp_yu / dyb,
-                  fp_zl / dzb, fp_zu / dzb)
+            # one reciprocal per axis feeds both face leak terms
+            inv_dxb = 1.0 / dxb
+            inv_dyb = 1.0 / dyb if multi_d else inv_dxb
+            inv_dzb = 1.0 / dzb if three_d else inv_dxb
+            lk = (fp_xl * inv_dxb, fp_xu * inv_dxb, fp_yl * inv_dyb,
+                  fp_yu * inv_dyb, fp_zl * inv_dzb, fp_zu * inv_dzb)
             leak_tot = lk[0] + lk[1] + lk[2] + lk[3] + lk[4] + lk[5]
             cdf = ea + leak_tot + tiny
-            dt_ev = (-jnp.log(jnp.maximum(uniform(it, 7), tiny))) / (c * cdf)
+            dt_ev = pool.exp23(it) / (c * cdf)
             dt_rem = dt * (1.0 - tau)
             is_event = dt_ev < dt_rem
             do_step = is_ddmc & ~rejected
 
-            dd_tau = jnp.where(is_event, tau + dt_ev / dt, 1.0)
-            xi = cdf * uniform(it, 8)
+            dd_tau = jnp.where(is_event, tau + dt_ev * inv_dt, 1.0)
+            xi = cdf * pool.u16(it)
             dd_absorbed = do_step & is_event & (xi < ea)
             xim = xi - ea
             cum = jnp.zeros(shape)
@@ -513,9 +511,9 @@ def _bucketed_kernel(
             else:
                 leak_sel[1] = leak_sel[1] | fall
 
-            bmu = jnp.sqrt(uniform(it, 9))
+            bmu = jnp.sqrt(pool.u16(it))
             bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
-            bphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 10)
+            bphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             b1, b2, b3 = bmu, bnu * jnp.cos(bphi), bnu * jnp.sin(bphi)
 
             dd_x, dd_y, dd_z = x, y, z
@@ -560,12 +558,12 @@ def _bucketed_kernel(
                 dd_leak = jnp.where(m, (-1 if lower else 1) * (axis + 1), dd_leak)
 
             dd_census = do_step & ~is_event
-            dd_x = jnp.where(dd_census, xl + uniform(it, 11) * dxb, dd_x)
-            dd_y = jnp.where(dd_census, yl + uniform(it, 12) * dyb, dd_y)
-            dd_z = jnp.where(dd_census, zl + uniform(it, 13) * dzb, dd_z)
-            cmu = 1.0 - 2.0 * uniform(it, 14)
+            dd_x = jnp.where(dd_census, xl + pool.u16(it) * dxb, dd_x)
+            dd_y = jnp.where(dd_census, yl + pool.u16(it) * dyb, dd_y)
+            dd_z = jnp.where(dd_census, zl + pool.u16(it) * dzb, dd_z)
+            cmu = 1.0 - 2.0 * pool.u16(it)
             cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
-            cphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 15)
+            cphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             dd_vx = jnp.where(dd_census, c * cst * jnp.cos(cphi), dd_vx)
             dd_vy = jnp.where(dd_census, c * cst * jnp.sin(cphi), dd_vy)
             dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
@@ -617,7 +615,8 @@ def _bucketed_kernel(
             if bc_lo == BC.reflecting:
                 g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
                 v = jnp.where(hit_lo, -v, v)
-                fc = jnp.where(hit_lo, -fc, fc)
+                if fc is not None:  # None when DDMC is off (face unread)
+                    fc = jnp.where(hit_lo, -fc, fc)
             elif bc_lo == BC.periodic:
                 g = jnp.where(hit_lo, jnp.clip(g + L, lo, hi), g)
             else:
@@ -625,27 +624,31 @@ def _bucketed_kernel(
             if bc_hi == BC.reflecting:
                 g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
                 v = jnp.where(hit_hi, -v, v)
-                fc = jnp.where(hit_hi, -fc, fc)
+                if fc is not None:
+                    fc = jnp.where(hit_hi, -fc, fc)
             elif bc_hi == BC.periodic:
                 g = jnp.where(hit_hi, jnp.clip(g - L, lo, hi), g)
             else:
                 al = jnp.where(hit_hi, 0, al)
             return g, v, al, fc
 
-        gx, nvx, nalive, nface = apply_bc(
-            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive, nface,
-            0.5 * finest[0],
+        fc_bc = nface if use_ddmc else None
+        gx, nvx, nalive, fc_bc = apply_bc(
+            gx, nvx, x1min, x1max, out_lo_x, out_hi_x, bcs[0], bcs[1], nalive,
+            fc_bc, 0.5 * finest[0],
         )
         if multi_d:
-            gy, nvy, nalive, nface = apply_bc(
+            gy, nvy, nalive, fc_bc = apply_bc(
                 gy, nvy, x2min, x2max, out_lo_y, out_hi_y, bcs[2], bcs[3], nalive,
-                nface, 0.5 * finest[1],
+                fc_bc, 0.5 * finest[1],
             )
         if three_d:
-            gz, nvz, nalive, nface = apply_bc(
+            gz, nvz, nalive, fc_bc = apply_bc(
                 gz, nvz, x3min, x3max, out_lo_z, out_hi_z, bcs[4], bcs[5], nalive,
-                nface, 0.5 * finest[2],
+                fc_bc, 0.5 * finest[2],
             )
+        if use_ddmc:
+            nface = fc_bc
 
         out = (out_lo_x | out_hi_x | out_lo_y | out_hi_y | out_lo_z | out_hi_z) & (
             nalive != 0
@@ -712,9 +715,6 @@ def _bucketed_kernel(
             ).astype(jnp.int32),
         )
 
-        def sel_act(new, old):
-            return jnp.where(active, new, old)
-
         # a block/cell change invalidates the carried coefficients until the
         # next refresh iteration (the stalled lane is masked out of `active`)
         if R_ref != 1:
@@ -725,21 +725,20 @@ def _bucketed_kernel(
         else:
             nstale = stale
 
+        # Inactive lanes already pass every field through unchanged (the d=0
+        # zeroing above degenerates all updates to the identity, every event/
+        # BC/pause mask includes ``active``) — no per-field final select.
+        # ``face`` rebuilds from 0 and ``leak`` carries PENDING codes on
+        # paused lanes, so those two keep their selects.
+        if use_ddmc:
+            nface = jnp.where(active, nface, face)
         return (
-            sel_act(nx_, x), sel_act(ny_, y), sel_act(nz_, z),
-            sel_act(nvx, vx), sel_act(nvy, vy), sel_act(nvz, vz),
-            sel_act(ntau, tau),
-            jnp.where(active, nblk, blk),
-            jnp.where(active, nci, ci),
-            jnp.where(active, ncj, cj),
-            jnp.where(active, nck, ck),
-            jnp.where(active, nalive, alive),
-            jnp.where(active, nabsorbed, absorbed),
-            jnp.where(active, nface, face),
+            nx_, ny_, nz_, nvx, nvy, nvz, ntau,
+            nblk, nci, ncj, nck, nalive, nabsorbed, nface,
             jnp.where(active, nleak_f, leak),
         ) + tuple(coefs) + (
             nstale,
-            jnp.where(active, npaused, paused),
+            npaused,
             it + 1,
             ev + jnp.sum(active.astype(jnp.int32)),
         )

@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BC
+from . import pallas_rng as rng
 from .pallas_transport import GREP, LANES, _chunk_table, _gather
 
 BSUB = 32                  # sublane groups per tile (4096-lane tiles).
@@ -610,38 +611,10 @@ def _grid_kernel(
     boy = rcy * rny - hy
     boz = rcz * rnz - hz  # LOCAL z (== global when unsharded: z0 = 0)
 
-    if not interpret:
-        pltpu.prng_seed(intr_ref[0] + pl.program_id(0))
-
-        def uniform(it, tag):
-            del it, tag
-            bits = pltpu.prng_random_bits(shape)
-            return ((bits >> 9) & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
-                1.0 / (1 << 23)
-            )
-    else:
-        lane_id = (
-            jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            + jnp.uint32(pl.program_id(0) * BTILE)
-        )
-
-        def uniform(it, tag):
-            x = (
-                intr_ref[0].astype(jnp.uint32)
-                + lane_id
-                + it.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-                + jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
-            )
-            x = x ^ (x >> 16)
-            x = x * jnp.uint32(0x7FEB352D)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(0x846CA68B)
-            x = x ^ (x >> 16)
-            return (x >> 9).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
-
-    def expdraw(it, tag):
-        return -jnp.log(jnp.maximum(uniform(it, tag), tiny))
+    # paired 16-bit / full 23-bit uniform variates (see ops/pallas_rng.py)
+    raw_bits = rng.make_raw_bits(
+        shape, intr_ref[0], pl.program_id(0) * BTILE, interpret
+    )
 
     def in_region(gi, gj, gk):
         # residency is the HALO box: bucketed by core, paused on leaving core+halo
@@ -662,11 +635,20 @@ def _grid_kernel(
     R_ref = SIGMA_REFRESH if scan_chunks > SIGMA_SCAN_MIN_CHUNKS else 1
     n_coef = (8 if use_ddmc else 2)  # es, ea[, 6 face probs] in the carry
 
+    inv_c = jnp.float32(1.0) / c
+    inv_cdt = jnp.float32(1.0) / (c * dt)
+    inv_dt = jnp.float32(1.0) / dt
+    # static cell sizes: divisions become multiplies by the host reciprocal
+    rdxc = jnp.float32(1.0 / cell_dx[0])
+    rdyc = jnp.float32(1.0 / cell_dx[1])
+    rdzc = jnp.float32(1.0 / cell_dx[2])
+
     def body(carry):
         (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face) = \
             carry[:13]
         coef_c = carry[13:13 + n_coef]
         stale, paused, it, ev = carry[-4], carry[-3], carry[-2], carry[-1]
+        pool = rng.DrawPool(raw_bits)
 
         li, lj, lk = gi - box, gj - boy, (gk - z0) - boz
         cell = (lk * sdy + lj) * sdx + li
@@ -722,12 +704,12 @@ def _grid_kernel(
             is_ddmc = jnp.zeros(shape, bool)
             act_imc = active
 
-        if has_absorption:
-            d_abs = expdraw(it, 0) / (ea + tiny)
-            d_sc = expdraw(it, 1) / (es + tiny)
-        else:
-            d_abs = jnp.full(shape, BIG)
-            d_sc = expdraw(it, 1) / (es + tiny)
+        # competing-risks collision sampling: one exponential at the total
+        # rate + a branch uniform (identical in distribution to the separate
+        # absorption/scattering exponential min; one log cheaper)
+        sig_c = (ea + es) if has_absorption else es
+        d_coll = pool.exp23(it) / (sig_c + tiny)
+        u_branch = pool.u16(it) if has_absorption else None
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -744,22 +726,29 @@ def _grid_kernel(
         fzd = face_dist(vz, zl, zu, z) if three_d else jnp.full(shape, BIG)
 
         d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
+        coll = act_imc & (d_coll < d_push)
         if has_absorption:
-            i_abs = act_imc & (d_abs < d_push) & (d_abs < d_sc)
+            i_abs = coll & (u_branch * sig_c < ea)
+            i_sc = coll & ~i_abs
         else:
             i_abs = jnp.zeros(shape, bool)
-        i_sc = act_imc & ~i_abs & (d_sc < d_push)
-        no_coll = act_imc & ~i_abs & ~i_sc
+            i_sc = coll
+        no_coll = act_imc & ~coll
         cr_x = no_coll & (fxd <= fyd) & (fxd <= fzd) & (fxd <= d_geom)
         cr_y = no_coll & ~cr_x & (fyd <= fzd) & (fyd <= d_geom)
         cr_z = no_coll & ~cr_x & ~cr_y & (fzd <= d_geom)
         i_census = no_coll & ~cr_x & ~cr_y & ~cr_z & (d_end <= dmin)
 
-        d = jnp.where(i_abs, d_abs, jnp.where(i_sc, d_sc, d_push))
-        ntau = jnp.where(i_census, 1.0, tau + d / (c * dt))
-        nx_ = x + vx * (d / c)
-        ny_ = y + vy * (d / c) if multi_d else y
-        nz_ = z + vz * (d / c) if three_d else z
+        d = jnp.where(coll, d_coll, d_push)
+        # zero the step for census/dead/paused/stale lanes: every downstream
+        # update degenerates to the identity, replacing the per-field
+        # end-of-body selects with this single one
+        d = jnp.where(active, d, 0.0)
+        ntau = jnp.where(i_census, 1.0, tau + d * inv_cdt)
+        step = d * inv_c
+        nx_ = x + vx * step
+        ny_ = y + vy * step if multi_d else y
+        nz_ = z + vz * step if three_d else z
         nx_ = jnp.where(cr_x, jnp.where(vx > 0, xu, xl), nx_)
         ny_ = jnp.where(cr_y, jnp.where(vy > 0, yu, yl), ny_)
         nz_ = jnp.where(cr_z, jnp.where(vz > 0, zu, zl), nz_)
@@ -767,8 +756,8 @@ def _grid_kernel(
         ngj = gj + jnp.where(cr_y, jnp.where(vy > 0, 1, -1), 0)
         ngk = gk + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
 
-        mu = 1.0 - 2.0 * uniform(it, 2)
-        phi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 3)
+        mu = 1.0 - 2.0 * pool.u16(it)
+        phi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
         st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
         nvx = jnp.where(i_sc, c * st * jnp.cos(phi), vx)
         nvy = jnp.where(i_sc, c * st * jnp.sin(phi), vy)
@@ -776,9 +765,13 @@ def _grid_kernel(
 
         nalive = jnp.where(i_abs, 0, alive)
         nabsorbed = jnp.where(i_abs, 1, absorbed)
-        nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
-        nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
-        nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
+        # only the DDMC at-face albedo test reads the face code — skip when off
+        if use_ddmc:
+            nface = jnp.where(cr_x, jnp.where(vx > 0, 1, -1), 0).astype(jnp.int32)
+            nface = jnp.where(cr_y, jnp.where(vy > 0, 2, -2), nface)
+            nface = jnp.where(cr_z, jnp.where(vz > 0, 3, -3), nface)
+        else:
+            nface = face
 
         # ================= DDMC branch (face-flag albedo + ptcl_ddmc_step) ====
         if use_ddmc:
@@ -795,18 +788,17 @@ def _grid_kernel(
 
             lam2 = jnp.float32(2.0 * 0.7104)
             P = jnp.zeros(shape)
-            for m, fdx_, fv, sgn in (
-                (sel[0], dxc, vx, 1.0), (sel[1], dxc, vx, -1.0),
-                (sel[2], dyc, vy, 1.0), (sel[3], dyc, vy, -1.0),
-                (sel[4], dzc, vz, 1.0), (sel[5], dzc, vz, -1.0),
-            ):
-                Pf = (2.0 / 3.0) / (sig_t * fdx_ + lam2)
-                P = jnp.where(m, 2.0 * Pf * (1.0 + jnp.float32(sgn) * 1.5 * fv / c), P)
-            rejected = at_face & (uniform(it, 4) > P)
+            for ax, (fdx_, fv) in enumerate(((dxc, vx), (dyc, vy), (dzc, vz))):
+                # one divide per axis feeds both face entries
+                Pf2 = 2.0 * (2.0 / 3.0) / (sig_t * fdx_ + lam2)
+                drift = 1.5 * fv * inv_c
+                P = jnp.where(sel[2 * ax], Pf2 * (1.0 + drift), P)
+                P = jnp.where(sel[2 * ax + 1], Pf2 * (1.0 - drift), P)
+            rejected = at_face & (pool.u16(it) > P)
 
-            amu = jnp.sqrt(uniform(it, 5))
+            amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
-            aphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 6)
+            aphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             a1, a2, a3 = amu, anu * jnp.cos(aphi), anu * jnp.sin(aphi)
 
             rj_x, rj_y, rj_z = x, y, z
@@ -843,17 +835,17 @@ def _grid_kernel(
 
             fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu = coefs[2:8]
 
-            lk_ = (fp_xl / dxc, fp_xu / dxc, fp_yl / dyc, fp_yu / dyc,
-                   fp_zl / dzc, fp_zu / dzc)
+            lk_ = (fp_xl * rdxc, fp_xu * rdxc, fp_yl * rdyc, fp_yu * rdyc,
+                   fp_zl * rdzc, fp_zu * rdzc)
             leak_tot = lk_[0] + lk_[1] + lk_[2] + lk_[3] + lk_[4] + lk_[5]
             cdf = ea + leak_tot + tiny
-            dt_ev = (-jnp.log(jnp.maximum(uniform(it, 7), tiny))) / (c * cdf)
+            dt_ev = pool.exp23(it) / (c * cdf)
             dt_rem = dt * (1.0 - tau)
             is_event = dt_ev < dt_rem
             do_step = is_ddmc & ~rejected
 
-            dd_tau = jnp.where(is_event, tau + dt_ev / dt, 1.0)
-            xi = cdf * uniform(it, 8)
+            dd_tau = jnp.where(is_event, tau + dt_ev * inv_dt, 1.0)
+            xi = cdf * pool.u16(it)
             dd_absorbed = do_step & is_event & (xi < ea)
             xim = xi - ea
             cum = jnp.zeros(shape)
@@ -872,9 +864,9 @@ def _grid_kernel(
             else:
                 leak_sel[1] = leak_sel[1] | fall
 
-            bmu = jnp.sqrt(uniform(it, 9))
+            bmu = jnp.sqrt(pool.u16(it))
             bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
-            bphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 10)
+            bphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             b1, b2, b3 = bmu, bnu * jnp.cos(bphi), bnu * jnp.sin(bphi)
 
             dd_x, dd_y, dd_z = x, y, z
@@ -917,12 +909,12 @@ def _grid_kernel(
                     dd_sk = jnp.where(m, -1 if lower else 1, dd_sk)
 
             dd_census = do_step & ~is_event
-            dd_x = jnp.where(dd_census, xl + uniform(it, 11) * dxc, dd_x)
-            dd_y = jnp.where(dd_census, yl + uniform(it, 12) * dyc, dd_y)
-            dd_z = jnp.where(dd_census, zl + uniform(it, 13) * dzc, dd_z)
-            cmu = 1.0 - 2.0 * uniform(it, 14)
+            dd_x = jnp.where(dd_census, xl + pool.u16(it) * dxc, dd_x)
+            dd_y = jnp.where(dd_census, yl + pool.u16(it) * dyc, dd_y)
+            dd_z = jnp.where(dd_census, zl + pool.u16(it) * dzc, dd_z)
+            cmu = 1.0 - 2.0 * pool.u16(it)
             cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
-            cphi = jnp.float32(2.0 * 3.14159265358979) * uniform(it, 15)
+            cphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
             dd_vx = jnp.where(dd_census, c * cst * jnp.cos(cphi), dd_vx)
             dd_vy = jnp.where(dd_census, c * cst * jnp.sin(cphi), dd_vy)
             dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
@@ -976,7 +968,8 @@ def _grid_kernel(
             if bc_lo == BC.reflecting:
                 g = jnp.where(hit_lo, jnp.clip(2.0 * lo - g, lo, hi), g)
                 v = jnp.where(hit_lo, -v, v)
-                fc = jnp.where(hit_lo, -fc, fc)
+                if fc is not None:  # None when DDMC is off (face unread)
+                    fc = jnp.where(hit_lo, -fc, fc)
                 ci = jnp.where(hit_lo, 0, ci)
             elif bc_lo != BC.periodic:  # outflow: dead; clamp for safe gathers
                 al = jnp.where(hit_lo, 0, al)
@@ -984,31 +977,35 @@ def _grid_kernel(
             if bc_hi == BC.reflecting:
                 g = jnp.where(hit_hi, jnp.clip(2.0 * hi - g, lo, hi), g)
                 v = jnp.where(hit_hi, -v, v)
-                fc = jnp.where(hit_hi, -fc, fc)
+                if fc is not None:
+                    fc = jnp.where(hit_hi, -fc, fc)
                 ci = jnp.where(hit_hi, N - 1, ci)
             elif bc_hi != BC.periodic:
                 al = jnp.where(hit_hi, 0, al)
                 ci = jnp.where(hit_hi, N - 1, ci)
             return g, v, ci, al, fc
 
-        nx_, nvx, ngi, nalive, nface = apply_bc(
-            nx_, nvx, ngi, NX, x1min, x1max, bcs[0], bcs[1], nalive, nface,
+        fc_bc = nface if use_ddmc else None
+        nx_, nvx, ngi, nalive, fc_bc = apply_bc(
+            nx_, nvx, ngi, NX, x1min, x1max, bcs[0], bcs[1], nalive, fc_bc,
             wrap_axes[0],
         )
         if multi_d:
-            ny_, nvy, ngj, nalive, nface = apply_bc(
-                ny_, nvy, ngj, NY, x2min, x2max, bcs[2], bcs[3], nalive, nface,
+            ny_, nvy, ngj, nalive, fc_bc = apply_bc(
+                ny_, nvy, ngj, NY, x2min, x2max, bcs[2], bcs[3], nalive, fc_bc,
                 wrap_axes[1],
             )
         else:
             ngj = jnp.clip(ngj, 0, NY - 1)
         if three_d:
-            nz_, nvz, ngk, nalive, nface = apply_bc(
-                nz_, nvz, ngk, NZ, x3min, x3max, bcs[4], bcs[5], nalive, nface,
+            nz_, nvz, ngk, nalive, fc_bc = apply_bc(
+                nz_, nvz, ngk, NZ, x3min, x3max, bcs[4], bcs[5], nalive, fc_bc,
                 wrap_axes[2],
             )
         else:
             ngk = jnp.clip(ngk, 0, NZ - 1)
+        if use_ddmc:
+            nface = fc_bc
 
         # pause when the particle's cell leaves the tile's region box (the
         # reference's off-block break, transport.cpp:151); int32 mask (Mosaic
@@ -1018,9 +1015,6 @@ def _grid_kernel(
             ((nalive != 0) & ~in_region(ngi, ngj, ngk)).astype(jnp.int32),
         )
 
-        def sel_act(new, old):
-            return jnp.where(active, new, old)
-
         # a cell change invalidates the carried coefficients until the next
         # refresh iteration (the stalled lane is masked out of `active`)
         if R_ref != 1:
@@ -1029,19 +1023,18 @@ def _grid_kernel(
         else:
             nstale = stale
 
+        # Inactive lanes already pass every field through unchanged (the d=0
+        # zeroing above degenerates all updates to the identity, every event/
+        # BC/pause mask includes ``active``) — no per-field final select.
+        # ``face`` is the exception: its IMC chain rebuilds from 0.
+        if use_ddmc:
+            nface = jnp.where(active, nface, face)
         return (
-            sel_act(nx_, x), sel_act(ny_, y), sel_act(nz_, z),
-            sel_act(nvx, vx), sel_act(nvy, vy), sel_act(nvz, vz),
-            sel_act(ntau, tau),
-            jnp.where(active, ngi, gi),
-            jnp.where(active, ngj, gj),
-            jnp.where(active, ngk, gk),
-            jnp.where(active, nalive, alive),
-            jnp.where(active, nabsorbed, absorbed),
-            jnp.where(active, nface, face),
+            nx_, ny_, nz_, nvx, nvy, nvz, ntau,
+            ngi, ngj, ngk, nalive, nabsorbed, nface,
         ) + tuple(coefs) + (
             nstale,
-            jnp.where(active, npaused, paused),
+            npaused,
             it + 1,
             ev + jnp.sum(active.astype(jnp.int32)),
         )

@@ -571,24 +571,28 @@ def _transport_kernel(
             dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
 
             # merge rejected-bounce (no time advance) with step results
+            # (1D/2D: the gated updates above never touch transverse y/z, so
+            # those merges are identities and are skipped)
             dd_x = jnp.where(rejected, rj_x, dd_x)
-            dd_y = jnp.where(rejected, rj_y, dd_y)
-            dd_z = jnp.where(rejected, rj_z, dd_z)
             dd_vx = jnp.where(rejected, rj_vx, dd_vx)
             dd_vy = jnp.where(rejected, rj_vy, dd_vy)
             dd_vz = jnp.where(rejected, rj_vz, dd_vz)
             dd_si = jnp.where(rejected, rj_si, dd_si)
             if multi_d:
+                dd_y = jnp.where(rejected, rj_y, dd_y)
                 dd_sj = jnp.where(rejected, rj_sj, dd_sj)
             if three_d:
+                dd_z = jnp.where(rejected, rj_z, dd_z)
                 dd_sk = jnp.where(rejected, rj_sk, dd_sk)
             dd_tau = jnp.where(rejected, tau, dd_tau)
             dd_leak = jnp.where(rejected, 0, dd_leak)
 
             # merge DDMC results over the IMC ones
             nx_ = jnp.where(is_ddmc, dd_x, nx_)
-            ny_ = jnp.where(is_ddmc, dd_y, ny_)
-            nz_ = jnp.where(is_ddmc, dd_z, nz_)
+            if multi_d:
+                ny_ = jnp.where(is_ddmc, dd_y, ny_)
+            if three_d:
+                nz_ = jnp.where(is_ddmc, dd_z, nz_)
             nvx = jnp.where(is_ddmc, dd_vx, nvx)
             nvy = jnp.where(is_ddmc, dd_vy, nvy)
             nvz = jnp.where(is_ddmc, dd_vz, nvz)

@@ -56,10 +56,14 @@ from . import pallas_rng as rng
 from .pallas_transport import (
     GREP,
     LANES,
+    _bf16_hi,
+    _bf16_lo,
     _chunk_table,
     _gather,
+    _face_pair_vectors,
     _n_bchunks,
     _n_tchunks,
+    _pack_bf16_pair,
 )
 
 BSUB = 16                  # sublane groups per bucketed tile. Trades lane
@@ -178,21 +182,17 @@ def _parity_tables(build, perm2):
     return jnp.stack([build(perm2[0]), build(perm2[1])])
 
 
-def _face_chunks(mesh, maxbpr):
-    nx, ny, nz = mesh.nx, mesh.ny, mesh.nz
-    fpb = (nz * ny * (nx + 1), nz * (ny + 1) * nx, (nz + 1) * ny * nx)
-    return tuple(-(-(maxbpr * n) // LANES) for n in fpb), fpb
 
 
 def supports(mesh, prm) -> bool:
     """Bucketed coverage: any mesh whose BLOCK-level tables fit the chunked-lane
     budget; cell tables are unbounded (region-sliced from HBM). SMR+DDMC is
-    handled via the pending-leak pause + host subface resample (module doc)."""
+    handled via the pending-leak pause + host subface resample (module doc).
+    Every region slab (coefficient pair + DDMC per-cell face pairs) is
+    cell-indexed, so K_reg is the only scan bound."""
     maxbpr, R, K_reg = _region_layout(mesh, prm.use_ddmc)
-    Kf, _ = _face_chunks(mesh, maxbpr)
     return (
         K_reg <= MAX_REGION_CHUNKS
-        and max(Kf) <= MAX_REGION_CHUNKS * 2
         and _n_bchunks(mesh) <= MAX_BLOCK_CHUNKS_BUCKETED
         and _n_tchunks(mesh) <= MAX_BLOCK_CHUNKS_BUCKETED
     )
@@ -220,10 +220,14 @@ def _bucketed_kernel(
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
     blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
     leak_ref,                     # pending coarse->fine DDMC leak code
-    ea_ref, es_ref,               # region slabs (blocked by index_map):
-    #   ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a; every coefficient
-    #   use derives from these two (sigma_t = ea + es) -> 2 gathered tables
-    fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs
+    pk_ref,                       # region slab (blocked by index_map): the
+    #   derived collision-rate PAIR ea = fleck*sigma_a and es = sigma_s +
+    #   (1-fleck)*sigma_a, bf16-packed into one i32 word per cell
+    #   (_pack_bf16_pair); every coefficient use derives from the pair
+    #   (sigma_t = ea + es) -> ONE gathered table
+    fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs, PER-CELL pairs:
+    #   word c of axis a holds (P_lower, P_upper) of cell c bf16-packed —
+    #   gathered with the same `cell` index as the coefficients (K_reg chunks)
     bdx_ref, bdy_ref, bdz_ref,    # fully resident block geometry (chunked)
     box_ref, boy_ref, boz_ref,
     lut_ref,
@@ -238,7 +242,7 @@ def _bucketed_kernel(
 ):
     (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
      has_absorption, interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc,
-     maxbpr, K_reg, Kf_reg, fpb, nb_chunks, nt_chunks, has_smr) = prm_static
+     maxbpr, K_reg, Kf_reg, nb_chunks, nt_chunks, has_smr) = prm_static
     multi_d = ndim >= 2
     three_d = ndim == 3
     dt = scal_ref[0]
@@ -273,7 +277,7 @@ def _bucketed_kernel(
 
     scan_chunks = K_reg + (sum(Kf_reg) if use_ddmc else 0)
     R_ref = _pg.SIGMA_REFRESH if scan_chunks > _pg.SIGMA_SCAN_MIN_CHUNKS else 1
-    n_coef = 8 if use_ddmc else 2
+    n_coef = 4 if use_ddmc else 1  # packed (ea,es)[, 3 face-pair words]
 
     def body(carry):
         (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
@@ -297,29 +301,22 @@ def _bucketed_kernel(
         cell = blk_rel * ncpb + (ck * ny + cj) * nx + ci
 
         def gather_coefs(_):
-            es = _gather(es_ref, cell, K_reg)
-            if has_absorption:
-                ea = _gather(ea_ref, cell, K_reg)
-            else:
-                ea = jnp.zeros(shape)
+            # every value the loop needs is a bf16-packed PAIR word gathered
+            # with the same per-cell index: (ea, es), then per-axis
+            # (P_lower, P_upper) DDMC leak probs — 1 (IMC) / 4 (DDMC) scans
+            pk = _gather(pk_ref, cell, K_reg)
             if not use_ddmc:
-                return (es, ea)
-            fx_l = (blk_rel * nz + ck) * ny * (nx + 1) + cj * (nx + 1) + ci
-            fp_xl = _gather(fpx_ref, fx_l, Kf_reg[0])
-            fp_xu = _gather(fpx_ref, fx_l + 1, Kf_reg[0])
-            if multi_d:
-                fy_l = ((blk_rel * nz + ck) * (ny + 1) + cj) * nx + ci
-                fp_yl = _gather(fpy_ref, fy_l, Kf_reg[1])
-                fp_yu = _gather(fpy_ref, fy_l + nx, Kf_reg[1])
-            else:
-                fp_yl = fp_yu = jnp.zeros(shape)
-            if three_d:
-                fz_l = ((blk_rel * (nz + 1) + ck) * ny + cj) * nx + ci
-                fp_zl = _gather(fpz_ref, fz_l, Kf_reg[2])
-                fp_zu = _gather(fpz_ref, fz_l + ny * nx, Kf_reg[2])
-            else:
-                fp_zl = fp_zu = jnp.zeros(shape)
-            return (es, ea, fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu)
+                return (pk,)
+            fpx = _gather(fpx_ref, cell, Kf_reg[0])
+            fpy = (
+                _gather(fpy_ref, cell, Kf_reg[1])
+                if multi_d else jnp.zeros(shape, jnp.int32)
+            )
+            fpz = (
+                _gather(fpz_ref, cell, Kf_reg[2])
+                if three_d else jnp.zeros(shape, jnp.int32)
+            )
+            return (pk, fpx, fpy, fpz)
 
         if R_ref == 1:
             coefs = gather_coefs(None)
@@ -330,7 +327,8 @@ def _bucketed_kernel(
                 refresh, gather_coefs, lambda _: tuple(coef_c), None
             )
             stale = jnp.where(refresh, jnp.zeros_like(stale), stale)
-        es, ea = coefs[0], coefs[1]
+        es = _bf16_lo(coefs[0])
+        ea = _bf16_hi(coefs[0]) if has_absorption else jnp.zeros(shape)
         active = (alive != 0) & (tau < 1.0) & (paused == 0) & (stale == 0)
 
         fi = ci.astype(jnp.float32)
@@ -476,7 +474,9 @@ def _bucketed_kernel(
                     rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzb, zu + eps_i * dzb), rj_z)
                     rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
 
-            fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu = coefs[2:8]
+            fp_xl, fp_xu = _bf16_hi(coefs[1]), _bf16_lo(coefs[1])
+            fp_yl, fp_yu = _bf16_hi(coefs[2]), _bf16_lo(coefs[2])
+            fp_zl, fp_zu = _bf16_hi(coefs[3]), _bf16_lo(coefs[3])
 
             # one reciprocal per axis feeds both face leak terms
             inv_dxb = 1.0 / dxb
@@ -759,7 +759,7 @@ def _bucketed_kernel(
         blk0, ci_ref[:], cj_ref[:], ck_ref[:],
         alive_ref[:], absorbed_ref[:], face_ref[:],
         leak_ref[:],
-    ) + tuple(jnp.zeros(shape) for _ in range(n_coef)) + (
+    ) + tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_coef)) + (
         jnp.zeros(shape, jnp.int32),  # stale (it=0 always refreshes)
         paused0,
         jnp.int32(0), jnp.int32(0),
@@ -784,7 +784,7 @@ def _bucketed_kernel(
     it_ref[0, 0] = jnp.maximum(it_ref[0, 0], it)
 
 
-def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, fpb, cap, interpret):
+def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret):
     """Build the pallas_call for a bucketed census round (shared between the
     single-shard ``transport_bucketed`` loop and the spatial-decomposition round).
     Returns ``(call, prm_static, bufcap, grid)``; callers pass the region id cap
@@ -801,7 +801,7 @@ def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, fpb, cap, interpret
         tuple(prm.swarm_bc), tuple(float(b) for b in mesh.bounds),
         mesh.tile_shape, mesh.finest, prm.has_absorption, interpret,
         prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
-        maxbpr, K_reg, Kf_reg, fpb, Kb, Kt, mesh.max_level > 0,
+        maxbpr, K_reg, Kf_reg, Kb, Kt, mesh.max_level > 0,
     )
     kernel = functools.partial(_bucketed_kernel, prm_static=prm_static)
 
@@ -825,7 +825,7 @@ def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, fpb, cap, interpret
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         + [part_spec] * 15
-        + [slab(K_reg * GREP)] * 2
+        + [slab(K_reg * GREP)]
         + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)]
         + [resident(Kb)] * 6   # bdx, bdy, bdz, box, boy, boz
         + [resident(Kt)]       # lookup
@@ -935,25 +935,30 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     )
     region_of_np, slot_np, perm_np, R, maxbpr = _build_regions(mesh, target)
     K_reg = -(-(maxbpr * ncpb) // LANES)
-    Kf_reg, fpb = _face_chunks(mesh, maxbpr)
     region_of2 = jnp.asarray(region_of_np)  # [2, B]: base / half-shifted parity
     perm2 = jnp.asarray(perm_np)            # [2, R, maxbpr]
 
     # region-sliced coefficient slabs, built once per step, one per parity;
-    # two derived tables cover every in-kernel coefficient use (sigma_t=ea+es)
+    # ONE bf16-packed derived table covers every in-kernel coefficient use
+    # (sigma_t = ea + es): word = pack(ea, es)
     ea_vec = coefs.fleck * coefs.sigma_a
     es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
-    ea_t2 = _parity_tables(lambda pm: _region_tables(ea_vec, pm, ncpb, K_reg, f32), perm2)
-    es_t2 = _parity_tables(lambda pm: _region_tables(es_vec, pm, ncpb, K_reg, f32), perm2)
+    pk_vec = _pack_bf16_pair(ea_vec, es_vec)
+    pk_t2 = _parity_tables(lambda pm: _region_tables(pk_vec, pm, ncpb, K_reg, i32), perm2)
     if prm.use_ddmc:
+        # DDMC leak probs as PER-CELL (P_lower, P_upper) packed pairs indexed
+        # by the same cell id as the coefficients (block face arrays carry
+        # their own +1 face, so no wrap handling is needed here)
+        pxp, pyp, pzp = _face_pair_vectors(coefs, mesh.nx, mesh.ny, mesh.nz)
         fpx_t2 = _parity_tables(
-            lambda pm: _region_tables(coefs.px.reshape(-1), pm, fpb[0], Kf_reg[0], f32), perm2)
+            lambda pm: _region_tables(pxp, pm, ncpb, K_reg, i32), perm2)
         fpy_t2 = _parity_tables(
-            lambda pm: _region_tables(coefs.py.reshape(-1), pm, fpb[1], Kf_reg[1], f32), perm2)
+            lambda pm: _region_tables(pyp, pm, ncpb, K_reg, i32), perm2)
         fpz_t2 = _parity_tables(
-            lambda pm: _region_tables(coefs.pz.reshape(-1), pm, fpb[2], Kf_reg[2], f32), perm2)
+            lambda pm: _region_tables(pzp, pm, ncpb, K_reg, i32), perm2)
+        Kf_reg = (K_reg, K_reg, K_reg)
     else:
-        fpx_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), f32)
+        fpx_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), i32)
         fpy_t2 = fpz_t2 = fpx_t2
         Kf_reg = (1, 1, 1)
 
@@ -965,7 +970,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     )
 
     call, bufcap, grid = _make_bucketed_call(
-        mesh, prm, R, maxbpr, K_reg, Kf_reg, fpb, cap, interpret
+        mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret
     )
 
     scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
@@ -979,12 +984,12 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         # tables passed explicitly (not closed over) so the eager-diag jit below
         # does not embed the multi-MB slabs as HLO constants (the tunneled
         # remote-compile endpoint rejects oversized request bodies)
-        ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2 = tables
+        pk_t2, fpx_t2, fpy_t2, fpz_t2 = tables
         p, rounds, it_acc, ev_acc = carry
         # alternate the base / half-shifted region grids: a particle that paused
         # random-walking at one parity's face is interior to the other parity
         parity = rounds & 1
-        slabs = (ea_t2[parity], es_t2[parity],
+        slabs = (pk_t2[parity],
                  fpx_t2[parity], fpy_t2[parity], fpz_t2[parity])
         # golden-ratio increment 0x9E3779B9 as a signed int32
         seed = (seed0 + rounds * jnp.int32(-1640531527))[None]
@@ -1021,7 +1026,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
             )
         return p, rounds + 1, it_acc + it, ev_acc + ev
 
-    tables = (ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2)
+    tables = (pk_t2, fpx_t2, fpy_t2, fpz_t2)
 
     def round_body(carry):
         return round_body_t(carry, tables)
@@ -1125,10 +1130,8 @@ def supports_spatial(mesh, prm, n_shards) -> bool:
         return False
     maxbpr = lay[5]
     K_reg = -(-(maxbpr * mesh.ncells_per_block) // LANES)
-    Kf, _ = _face_chunks(mesh, maxbpr)
     return (
         K_reg <= MAX_REGION_CHUNKS
-        and max(Kf) <= MAX_REGION_CHUNKS * 2
         and _n_bchunks(mesh) <= MAX_BLOCK_CHUNKS_BUCKETED
         and _n_tchunks(mesh) <= MAX_BLOCK_CHUNKS_BUCKETED
     )
@@ -1152,9 +1155,7 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False):
     lay = _spatial_layout(mesh, n_shards, prm.use_ddmc)
     reg_buck_np, reg_kern_np, slot_np, perm_np, R, maxbpr = lay
     K_reg = -(-(maxbpr * ncpb) // LANES)
-    Kf_reg, fpb = _face_chunks(mesh, maxbpr)
-    if not prm.use_ddmc:
-        Kf_reg = (1, 1, 1)
+    Kf_reg = (K_reg, K_reg, K_reg) if prm.use_ddmc else (1, 1, 1)
 
     reg_buck = jnp.asarray(reg_buck_np)  # [n, 2, B]
     reg_kern = jnp.asarray(reg_kern_np)
@@ -1164,29 +1165,28 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False):
     geom = _geometry_tables(mesh)
     Kb = _n_bchunks(mesh)
     call, bufcap, grid = _make_bucketed_call(
-        mesh, prm, R, maxbpr, K_reg, Kf_reg, fpb, cap, interpret
+        mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret
     )
 
     def build_tables(coefs, shard):
         perm2 = perm_all[shard]  # [2, R, maxbpr] — traced shard index
         ea_vec = coefs.fleck * coefs.sigma_a
         es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
-        ea_t2 = _parity_tables(
-            lambda pm: _region_tables(ea_vec, pm, ncpb, K_reg, f32), perm2)
-        es_t2 = _parity_tables(
-            lambda pm: _region_tables(es_vec, pm, ncpb, K_reg, f32), perm2)
+        pk_vec = _pack_bf16_pair(ea_vec, es_vec)
+        pk_t2 = _parity_tables(
+            lambda pm: _region_tables(pk_vec, pm, ncpb, K_reg, i32), perm2)
         if prm.use_ddmc:
+            pxp, pyp, pzp = _face_pair_vectors(
+                coefs, mesh.nx, mesh.ny, mesh.nz
+            )
             fpx_t2 = _parity_tables(
-                lambda pm: _region_tables(
-                    coefs.px.reshape(-1), pm, fpb[0], Kf_reg[0], f32), perm2)
+                lambda pm: _region_tables(pxp, pm, ncpb, K_reg, i32), perm2)
             fpy_t2 = _parity_tables(
-                lambda pm: _region_tables(
-                    coefs.py.reshape(-1), pm, fpb[1], Kf_reg[1], f32), perm2)
+                lambda pm: _region_tables(pyp, pm, ncpb, K_reg, i32), perm2)
             fpz_t2 = _parity_tables(
-                lambda pm: _region_tables(
-                    coefs.pz.reshape(-1), pm, fpb[2], Kf_reg[2], f32), perm2)
+                lambda pm: _region_tables(pzp, pm, ncpb, K_reg, i32), perm2)
         else:
-            fpx_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), f32)
+            fpx_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), i32)
             fpy_t2 = fpz_t2 = fpx_t2
         reg_t2 = jnp.stack(
             [_chunk_table(reg_kern[shard, pi], i32, Kb) for pi in (0, 1)]
@@ -1195,12 +1195,12 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False):
             [_chunk_table(slot_all[shard, pi], i32, Kb) for pi in (0, 1)]
         )
         regb2 = reg_buck[shard]  # [2, B]
-        return (ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2, reg_t2, slot_t2, regb2)
+        return (pk_t2, fpx_t2, fpy_t2, fpz_t2, reg_t2, slot_t2, regb2)
 
     def round_fn(p, tables, key, rounds, dt):
-        (ea_t2, es_t2, fpx_t2, fpy_t2, fpz_t2, reg_t2, slot_t2, regb2) = tables
+        (pk_t2, fpx_t2, fpy_t2, fpz_t2, reg_t2, slot_t2, regb2) = tables
         parity = rounds & 1
-        slabs = (ea_t2[parity], es_t2[parity],
+        slabs = (pk_t2[parity],
                  fpx_t2[parity], fpy_t2[parity], fpz_t2[parity])
         try:
             kd = jax.random.key_data(key)

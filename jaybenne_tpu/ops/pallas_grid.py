@@ -11,9 +11,10 @@ integer cell indices ``(gi, gj, gk)`` and global positions:
   * block transitions do not exist; a crossing is ``gi += 1``;
   * domain boundaries are exact integer tests (``gi < 0``, ``gi >= NX``) — no
     float face-tolerance machinery;
-  * the only in-kernel gathers left are the two derived coefficient slabs
-    ea = fleck*sigma_a and es = sigma_s + (1-fleck)*sigma_a (3 vector ops per
-    128-entry chunk; sigma_t = ea + es covers every other coefficient use).
+  * the only in-kernel gather left is ONE bf16-packed coefficient slab:
+    word = pack(ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a), 3
+    vector ops per 128-entry chunk (sigma_t = ea + es covers every other
+    coefficient use; DDMC adds 3 per-cell packed face-pair slabs).
 
 Census bucketing works as in ``pallas_bucketed``: particles are sorted by
 CORE region (an axis-aligned box of cells), a scalar-prefetched per-tile region
@@ -48,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BC
 from . import pallas_rng as rng
-from .pallas_transport import GREP, LANES, _chunk_table, _gather
+from .pallas_transport import (
+    GREP, LANES, _bf16_hi, _bf16_lo, _chunk_table, _gather, _pack_bf16_pair,
+)
 
 BSUB = 32                  # sublane groups per tile (4096-lane tiles).
 #   r3 v5e sweep at 64^3 (200k particles): the kernel cost is dominated by
@@ -62,7 +65,8 @@ BTILE = BSUB * LANES
 # exist for on-hardware sweeps only — committed defaults are the tuned values.
 REGION_CELLS_IMC = int(os.environ.get("JB_REGION_CELLS_IMC", "16384"))
 REGION_CELLS_DDMC = int(os.environ.get("JB_REGION_CELLS_DDMC", "2048"))
-# smaller for DDMC: 3 cell + 3 face tables per event
+# smaller for DDMC: 4 packed cell tables per refresh (coefficient pair + 3
+# per-cell face pairs) vs 1 for IMC
 MAX_REGION_CHUNKS = 128    # slab gather cost cap (3 vector ops per chunk scanned)
 MAX_BUCKET_ROUNDS = int(os.environ.get("JB_MAX_BUCKET_ROUNDS", "256"))
 #   outer re-bucketing rounds (hang backstop); the env override exists for
@@ -72,10 +76,11 @@ TAIL_DIV = 4               # tail-round buffer = bufcap/TAIL_DIV (tile-aligned):
 #   round 0) into this smaller buffer; overflow waits for the next round.
 
 # Coefficient-refresh cadence inside the kernel loop. The per-iteration cost
-# at big-region sizes is DOMINATED by the chunked slab lookups (K_reg ~ 108
-# chunks at 16384-cell regions x 3 vector ops per chunk x 2 tables, vs ~10x
-# fewer ops of event physics), but a particle's sigma only changes when its
-# CELL changes — every ~tau_cell events in the diffusive regime. So the
+# at big-region sizes is DOMINATED by the chunked slab lookup (K_reg ~ 108
+# chunks at 16384-cell regions x 3 vector ops per chunk; ONE bf16-packed
+# (ea, es) table since the pair packing, vs ~3x fewer ops of event physics),
+# but a particle's sigma only changes when its CELL changes — every ~tau_cell
+# events in the diffusive regime. So the
 # gathers run under a scalar lax.cond only on iterations where
 # it % SIGMA_REFRESH == 0; lanes whose cell changed since the last refresh
 # STALL (masked inactive, ~p_cross*R/2 extra iterations ~ 25%) until the next
@@ -329,11 +334,13 @@ def _grid_layout_dims(dims, dxc, use_ddmc=False):
 
 def supports(mesh, prm) -> bool:
     """Any SINGLE-LEVEL mesh whose region slab fits the chunk-scan budget —
-    the global cell count is unbounded (regions are sliced from HBM)."""
+    the global cell count is unbounded (regions are sliced from HBM). Every
+    in-kernel table (coefficient pair + DDMC per-cell face pairs) is
+    cell-indexed, so K_reg is the only scan bound."""
     if mesh.max_level > 0:
         return False
-    _, _, _, K_reg, Kf = _grid_layout(mesh, prm.use_ddmc)
-    return K_reg <= MAX_REGION_CHUNKS and max(Kf) <= MAX_REGION_CHUNKS * 2
+    _, _, _, K_reg, _ = _grid_layout(mesh, prm.use_ddmc)
+    return K_reg <= MAX_REGION_CHUNKS
 
 
 def _to_global(mesh, blocks_arr):
@@ -571,12 +578,16 @@ def _grid_kernel(
     intr_ref,     # SMEM i32[8]: seed (slots 1-7 reserved)
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
     gi_ref, gj_ref, gk_ref, alive_ref, absorbed_ref, face_ref,
-    ea_ref, es_ref,               # region slabs (blocked by index_map):
-    #   ea = fleck*sigma_a (effective absorption), es = sigma_s +
-    #   (1-fleck)*sigma_a (effective scattering). Every in-kernel coefficient
-    #   use derives from these two (sigma_t = ea + es), so the per-iteration
-    #   chunk-scan gather cost is 2 tables, not 3.
-    fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs
+    pk_ref,                       # region slab (blocked by index_map): the
+    #   derived collision-rate PAIR ea = fleck*sigma_a (effective absorption)
+    #   and es = sigma_s + (1-fleck)*sigma_a (effective scattering), bf16-
+    #   packed into one i32 word per cell (_pack_bf16_pair). Every in-kernel
+    #   coefficient use derives from the pair (sigma_t = ea + es), so the
+    #   per-refresh chunk-scan cost is ONE table, not two/three.
+    fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs, PER-CELL pairs:
+    #   word c of axis a holds (P_lower_face, P_upper_face) of cell c bf16-
+    #   packed — one scan with the same `cell` index serves both faces, and
+    #   the tables are cell-sized (K_reg chunks), not face-sized.
     ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
     ogi_ref, ogj_ref, ogk_ref, oalive_ref, oabsorbed_ref, oface_ref,
     ev_ref, it_ref,
@@ -633,7 +644,7 @@ def _grid_kernel(
     # sigma-refresh cadence: 1 disables the machinery (constant-folds away)
     scan_chunks = K_reg + (sum(Kf_reg) if use_ddmc else 0)
     R_ref = SIGMA_REFRESH if scan_chunks > SIGMA_SCAN_MIN_CHUNKS else 1
-    n_coef = (8 if use_ddmc else 2)  # es, ea[, 6 face probs] in the carry
+    n_coef = (4 if use_ddmc else 1)  # packed (ea,es)[, 3 face-pair words]
 
     inv_c = jnp.float32(1.0) / c
     inv_cdt = jnp.float32(1.0) / (c * dt)
@@ -654,29 +665,22 @@ def _grid_kernel(
         cell = (lk * sdy + lj) * sdx + li
 
         def gather_coefs(_):
-            es = _gather(es_ref, cell, K_reg)
-            if has_absorption:
-                ea = _gather(ea_ref, cell, K_reg)
-            else:
-                ea = jnp.zeros(shape)
+            # every value the loop needs is a bf16-packed PAIR word gathered
+            # with the same per-cell index: (ea, es), then per-axis
+            # (P_lower, P_upper) DDMC leak probs — 1 (IMC) / 4 (DDMC) scans
+            pk = _gather(pk_ref, cell, K_reg)
             if not use_ddmc:
-                return (es, ea)
-            fx_l = (lk * sdy + lj) * (sdx + 1) + li
-            fp_xl = _gather(fpx_ref, fx_l, Kf_reg[0])
-            fp_xu = _gather(fpx_ref, fx_l + 1, Kf_reg[0])
-            if multi_d:
-                fy_l = ((lk * (sdy + 1)) + lj) * sdx + li
-                fp_yl = _gather(fpy_ref, fy_l, Kf_reg[1])
-                fp_yu = _gather(fpy_ref, fy_l + sdx, Kf_reg[1])
-            else:
-                fp_yl = fp_yu = jnp.zeros(shape)
-            if three_d:
-                fz_l = ((lk * sdy) + lj) * sdx + li
-                fp_zl = _gather(fpz_ref, fz_l, Kf_reg[2])
-                fp_zu = _gather(fpz_ref, fz_l + sdy * sdx, Kf_reg[2])
-            else:
-                fp_zl = fp_zu = jnp.zeros(shape)
-            return (es, ea, fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu)
+                return (pk,)
+            fpx = _gather(fpx_ref, cell, Kf_reg[0])
+            fpy = (
+                _gather(fpy_ref, cell, Kf_reg[1])
+                if multi_d else jnp.zeros(shape, jnp.int32)
+            )
+            fpz = (
+                _gather(fpz_ref, cell, Kf_reg[2])
+                if three_d else jnp.zeros(shape, jnp.int32)
+            )
+            return (pk, fpx, fpy, fpz)
 
         if R_ref == 1:
             coefs = gather_coefs(None)
@@ -687,7 +691,8 @@ def _grid_kernel(
                 refresh, gather_coefs, lambda _: tuple(coef_c), None
             )
             stale = jnp.where(refresh, jnp.zeros_like(stale), stale)
-        es, ea = coefs[0], coefs[1]
+        es = _bf16_lo(coefs[0])
+        ea = _bf16_hi(coefs[0]) if has_absorption else jnp.zeros(shape)
         active = (alive != 0) & (tau < 1.0) & (paused == 0) & (stale == 0)
 
         fi = gi.astype(jnp.float32)
@@ -833,7 +838,9 @@ def _grid_kernel(
                     rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzc, zu + eps_i * dzc), rj_z)
                     rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
 
-            fp_xl, fp_xu, fp_yl, fp_yu, fp_zl, fp_zu = coefs[2:8]
+            fp_xl, fp_xu = _bf16_hi(coefs[1]), _bf16_lo(coefs[1])
+            fp_yl, fp_yu = _bf16_hi(coefs[2]), _bf16_lo(coefs[2])
+            fp_zl, fp_zu = _bf16_hi(coefs[3]), _bf16_lo(coefs[3])
 
             lk_ = (fp_xl * rdxc, fp_xu * rdxc, fp_yl * rdyc, fp_yu * rdyc,
                    fp_zl * rdzc, fp_zu * rdzc)
@@ -1053,7 +1060,7 @@ def _grid_kernel(
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
         gi0, gj0, gk0,
         alive_ref[:], absorbed_ref[:], face_ref[:],
-    ) + tuple(jnp.zeros(shape) for _ in range(n_coef)) + (
+    ) + tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_coef)) + (
         jnp.zeros(shape, jnp.int32),  # stale (it=0 always refreshes)
         paused0,
         jnp.int32(0), jnp.int32(0),
@@ -1099,25 +1106,41 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         prm.swarm_bc[4] == BC.periodic,
     )
     rsh = (sdz, sdy, sdx)
-    # two derived tables cover every in-kernel coefficient use (sigma_t=ea+es):
-    #   ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a
+    # ONE bf16-packed derived table covers every in-kernel coefficient use
+    # (sigma_t = ea + es): word = pack(ea = fleck*sigma_a,
+    #                                  es = sigma_s + (1-fleck)*sigma_a)
     ea_g = glob_cells(coefs.fleck * coefs.sigma_a)
     es_g = glob_cells(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
     lay = dict(rn=rn, ng=ng, halo=halo)
-    ea_t = _slab_tables(ea_g, rsh, K=K_reg, dtype=f32, periodic=per, **lay)
-    es_t = _slab_tables(es_g, rsh, K=K_reg, dtype=f32, periodic=per, **lay)
+    pk_t = _slab_tables(
+        _pack_bf16_pair(ea_g, es_g), rsh, K=K_reg, dtype=i32, periodic=per,
+        **lay)
     if prm.use_ddmc:
+        # DDMC leak probs as PER-CELL (P_lower, P_upper) packed pairs: the
+        # kernel reads them with the same cell index as the coefficients —
+        # cell-sized tables (K_reg chunks, not face-sized Kf) and one scan per
+        # axis instead of two. Upper faces on a periodic axis wrap to face 0
+        # (the old face-indexed tables' wrap=(NX,NY,NZ) semantics).
+        def cell_pairs(farr, axis, n_ax, wrap_ax):
+            lower = jax.lax.slice_in_dim(farr, 0, n_ax, axis=2 - axis)
+            upper = (
+                jnp.roll(lower, -1, axis=2 - axis) if wrap_ax
+                else jax.lax.slice_in_dim(farr, 1, n_ax + 1, axis=2 - axis)
+            )
+            return _pack_bf16_pair(lower, upper)
+
         fpx_t = _slab_tables(
-            _faces_to_global(mesh, coefs.px, 0), (sdz, sdy, sdx + 1),
-            K=Kf_reg[0], dtype=f32, periodic=per, wrap=(NX, NY, NZ), **lay)
+            cell_pairs(_faces_to_global(mesh, coefs.px, 0), 0, NX, per[0]),
+            rsh, K=K_reg, dtype=i32, periodic=per, **lay)
         fpy_t = _slab_tables(
-            _faces_to_global(mesh, coefs.py, 1), (sdz, sdy + 1, sdx),
-            K=Kf_reg[1], dtype=f32, periodic=per, wrap=(NX, NY, NZ), **lay)
+            cell_pairs(_faces_to_global(mesh, coefs.py, 1), 1, NY, per[1]),
+            rsh, K=K_reg, dtype=i32, periodic=per, **lay)
         fpz_t = _slab_tables(
-            _faces_to_global(mesh, coefs.pz, 2), (sdz + 1, sdy, sdx),
-            K=Kf_reg[2], dtype=f32, periodic=per, wrap=(NX, NY, NZ), **lay)
+            cell_pairs(_faces_to_global(mesh, coefs.pz, 2), 2, NZ, per[2]),
+            rsh, K=K_reg, dtype=i32, periodic=per, **lay)
+        Kf_reg = (K_reg, K_reg, K_reg)
     else:
-        fpx_t = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
+        fpx_t = jnp.zeros(((R_pad + 1) * GREP, LANES), i32)
         fpy_t = fpz_t = fpx_t
         Kf_reg = (1, 1, 1)
 
@@ -1179,7 +1202,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
             + [part_spec] * 13
-            + [slab(K_reg * GREP)] * 2
+            + [slab(K_reg * GREP)]
             + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP),
                slab(Kf_reg[2] * GREP)],
             out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
@@ -1398,7 +1421,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         Bm0, restore0, jnp.zeros((), i32),
         jnp.zeros((), i32), jnp.zeros((), i32),
     )
-    tabs = (ea_t, es_t, fpx_t, fpy_t, fpz_t)
+    tabs = (pk_t, fpx_t, fpy_t, fpz_t)
     if os.environ.get("JB_DIAG_ROUNDS"):  # eager per-round diagnostics
         import sys as _sys
         import time as _t
@@ -1573,7 +1596,7 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         + [part_spec] * 13
-        + [slab(K_reg * GREP)] * 2
+        + [slab(K_reg * GREP)]
         + [slab(GREP)] * 3,
         out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
     )
@@ -1601,20 +1624,18 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
     def build_tables(coefs, shard):
         ea_loc = _local_glob(coefs.fleck * coefs.sigma_a)
         es_loc = _local_glob(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
-        ea_t = _slab_tables(
-            ea_loc, rsh, rn, ng, halo, K_reg, f32, per_tab
+        pk_t = _slab_tables(
+            _pack_bf16_pair(ea_loc, es_loc), rsh, rn, ng, halo, K_reg, i32,
+            per_tab,
         )
-        es_t = _slab_tables(
-            es_loc, rsh, rn, ng, halo, K_reg, f32, per_tab
-        )
-        zero = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
+        zero = jnp.zeros(((R_pad + 1) * GREP, LANES), i32)
         z0 = (shard * KZ).astype(i32) if hasattr(shard, "astype") else jnp.int32(
             shard * KZ
         )
-        return (ea_t, es_t, zero, zero, zero, z0)
+        return (pk_t, zero, zero, zero, z0)
 
     def round_fn(p, tables, key, rounds, dt):
-        ea_t, es_t, fpx_t, fpy_t, fpz_t, z0 = tables
+        pk_t, fpx_t, fpy_t, fpz_t, z0 = tables
         del rounds  # halo slabs make parity alternation unnecessary
         # ledger -> global cells: integer tile arithmetic (exact), origin
         # gathers for the float rebase (match transport_grid's convention)
@@ -1658,7 +1679,7 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
             [jnp.asarray(dt, f32), jnp.asarray(prm.c, f32)]
             + [jnp.zeros((), f32)] * 6
         )
-        outs = call(tile_regions, scal, intr, *bufs, ea_t, es_t,
+        outs = call(tile_regions, scal, intr, *bufs, pk_t,
                     fpx_t, fpy_t, fpz_t)
         (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
          balive, babsorbed, bface, ev, it) = outs

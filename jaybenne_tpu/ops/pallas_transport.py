@@ -66,7 +66,6 @@ VMEM_BUDGET = 10 * 1024 * 1024  # soft cap for resident tables + particle tile
 # bucketed transport path (particles sorted by mesh region, region tables DMAd
 # per grid step) is the right tool instead.
 MAX_CELL_CHUNKS = 40
-MAX_FACE_CHUNKS = 72
 MAX_BLOCK_CHUNKS = 4
 
 
@@ -74,20 +73,13 @@ def _n_chunks(mesh) -> int:
     return -(-mesh.total_cells // LANES)
 
 
-def _face_sizes(mesh):
-    B, nx, ny, nz = mesh.n_blocks, mesh.nx, mesh.ny, mesh.nz
-    return (
-        B * nz * ny * (nx + 1),
-        B * nz * (ny + 1) * nx,
-        B * (nz + 1) * ny * nx,
-    )
-
-
 def _n_fchunks(mesh, prm):
+    # DDMC face probs are PER-CELL bf16-packed (P_lower, P_upper) pair tables
+    # (_face_pair_vectors), so their chunk count is the CELL chunk count
     if not prm.use_ddmc:
         return (1, 1, 1)
-    fx, fy, fz = _face_sizes(mesh)
-    return (-(-fx // LANES), -(-fy // LANES), -(-fz // LANES))
+    K = _n_chunks(mesh)
+    return (K, K, K)
 
 
 def _n_bchunks(mesh) -> int:
@@ -108,7 +100,10 @@ def supports(mesh, prm) -> bool:
     Kf = _n_fchunks(mesh, prm)
     nb = _n_bchunks(mesh)
     nt = _n_tchunks(mesh)
-    n_cell_tables = 3 if prm.has_absorption else 1
+    # gray ships ONE bf16-packed (ea, es) cell table, non-gray ships three
+    # (rho, T, fleck); budget for the larger case (prm doesn't carry the
+    # model kind — the ~2K-chunk over-estimate is noise vs VMEM_BUDGET)
+    n_cell_tables = 3
     n_block_tables = 7 + (1 if mesh.max_level > 0 else 0)  # +level for SMR
     table_bytes = (
         (n_cell_tables * K + n_block_tables * nb + nt + sum(Kf))
@@ -117,7 +112,6 @@ def supports(mesh, prm) -> bool:
     particle_bytes = 15 * SUBLANES * LANES * 4  # 14 carried + read-only energy
     return (
         K <= MAX_CELL_CHUNKS
-        and max(Kf) <= MAX_FACE_CHUNKS
         and nb <= MAX_BLOCK_CHUNKS
         and nt <= MAX_BLOCK_CHUNKS
         and table_bytes + particle_bytes <= VMEM_BUDGET
@@ -170,21 +164,70 @@ def _gather(tab_ref, idx, n_chunks=1):
 _gather_chunked = _gather  # call-site alias: explicit chunk count
 
 
+def _pack_bf16_pair(hi, lo):
+    """Two f32 arrays -> one i32 array: each value rounded (RNE) to bfloat16
+    and packed with ``hi`` in bits 31:16, ``lo`` in bits 15:0. Host-side prep
+    for paired-coefficient tables — ONE chunk scan then serves two values,
+    halving the dominant in-kernel gather cost. The ~0.4% bf16 quantization of
+    a sampling RATE (collision coefficients, DDMC leak probabilities) is a
+    relative perturbation far below Monte Carlo noise at production particle
+    counts; the analog estimators (absorbed-weight tallies) conserve energy
+    exactly for ANY rate values, so only sampling statistics shift."""
+    u16, u32 = jnp.uint16, jnp.uint32
+    h = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.float32).astype(jnp.bfloat16), u16
+    ).astype(u32)
+    l = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.float32).astype(jnp.bfloat16), u16
+    ).astype(u32)
+    return jax.lax.bitcast_convert_type((h << 16) | l, jnp.int32)
+
+
+def _bf16_hi(packed):
+    """Bits 31:16 of a packed pair as f32 (exact bf16 widening, 2 vector ops)."""
+    return jax.lax.bitcast_convert_type(
+        packed & jnp.int32(-65536), jnp.float32
+    )
+
+
+def _bf16_lo(packed):
+    """Bits 15:0 of a packed pair as f32 (exact bf16 widening, 2 vector ops)."""
+    return jax.lax.bitcast_convert_type(packed << 16, jnp.float32)
+
+
+def _face_pair_vectors(coefs, nx, ny, nz):
+    """Per-cell bf16-packed (P_lower, P_upper) DDMC leak-prob pairs per axis,
+    flattened to [B * ncells_per_block] i32 vectors in cell order — gathered
+    in-kernel with the same cell index as the coefficient pair (cell-sized
+    tables replace the face-sized ones: one scan serves both faces of an
+    axis, and the per-axis face-index arithmetic disappears). The block count
+    is inferred, so this serves global AND shard-local face arrays."""
+    px = coefs.px.reshape(-1, nz, ny, nx + 1)
+    py = coefs.py.reshape(-1, nz, ny + 1, nx)
+    pz = coefs.pz.reshape(-1, nz + 1, ny, nx)
+    pxp = _pack_bf16_pair(px[:, :, :, :nx], px[:, :, :, 1:]).reshape(-1)
+    pyp = _pack_bf16_pair(py[:, :, :ny, :], py[:, :, 1:, :]).reshape(-1)
+    pzp = _pack_bf16_pair(pz[:, :nz, :, :], pz[:, 1:, :, :]).reshape(-1)
+    return pxp, pyp, pzp
+
+
 def _transport_kernel(
     scal_ref,   # SMEM f32[8]: dt, c
     seed_ref,   # SMEM i32[1]
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
     blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
     en_ref,     # particle photon energy (read-only; per-event model input)
-    sa_ref, ss_ref, ff_ref,   # gray: (ea, es, unused) derived-rate cell tables
-    #   with ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a;
-    #   non-gray (prm ``nongray``): repurposed as (rho, temp, fleck) — the
+    sa_ref, ss_ref, ff_ref,   # gray: sa carries the bf16-packed derived-rate
+    #   PAIR word per cell (ea = fleck*sigma_a, es = sigma_s +
+    #   (1-fleck)*sigma_a; _pack_bf16_pair), ss/ff unused;
+    #   non-gray (prm ``nongray``): (rho, temp, fleck) f32 tables — the
     #   kernel evaluates the opacity/scattering models per EVENT at the
     #   particle's photon energy, like the reference (transport.cpp:122-127)
     bdx_ref, bdy_ref, bdz_ref,
     box_ref, boy_ref, boz_ref,
     lut_ref, blv_ref,
-    fpx_ref, fpy_ref, fpz_ref,
+    fpx_ref, fpy_ref, fpz_ref,  # DDMC leak probs: PER-CELL bf16-packed
+    #   (P_lower, P_upper) pair words per axis (_face_pair_vectors)
     ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
     oblk_ref, oci_ref, ocj_ref, ock_ref, oalive_ref, oabsorbed_ref, oface_ref,
     ev_ref, it_ref,
@@ -274,13 +317,14 @@ def _transport_kernel(
             )
             ea = ff * sa
             es = ss + (1.0 - ff) * sa
-        elif has_absorption:
-            ea = _gather_chunked(sa_ref, cell, n_chunks)
-            es = _gather_chunked(ss_ref, cell, n_chunks)
         else:
-            # opacity_model = none: sigma_a == 0, Fleck factor == 1 exactly
-            ea = None
-            es = _gather_chunked(ss_ref, cell, n_chunks)
+            # gray: ONE bf16-packed (ea, es) word per cell — sa_ref holds the
+            # pair table, ss_ref is unused (opacity_model = none packs ea = 0;
+            # sigma_a == 0 means the Fleck factor is exactly 1 and absorption
+            # never fires, so the unpack of the zero half is skipped)
+            pk = _gather_chunked(sa_ref, cell, n_chunks)
+            es = _bf16_lo(pk)
+            ea = _bf16_hi(pk) if has_absorption else None
         sig_t = es if ea is None else ea + es
 
         fi = ci.astype(jnp.float32)
@@ -467,21 +511,16 @@ def _transport_kernel(
                     rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzb, zu + eps_i * dzb), rj_z)
                     rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
 
-            # in-cell DDMC step: face-prob gathers
-            fx_l = (blk * nz + ck) * ny * (nx + 1) + cj * (nx + 1) + ci
-            fp_xl = _gather_chunked(fpx_ref, fx_l, n_fchunks[0])
-            fp_xu = _gather_chunked(fpx_ref, fx_l + 1, n_fchunks[0])
-            lk = [fp_xl * inv_dxb, fp_xu * inv_dxb]
+            # in-cell DDMC step: per-cell (P_lower, P_upper) pair gathers —
+            # one scan per axis with the SAME cell index as the coefficients
+            wx = _gather_chunked(fpx_ref, cell, n_fchunks[0])
+            lk = [_bf16_hi(wx) * inv_dxb, _bf16_lo(wx) * inv_dxb]
             if multi_d:
-                fy_l = ((blk * nz + ck) * (ny + 1) + cj) * nx + ci
-                fp_yl = _gather_chunked(fpy_ref, fy_l, n_fchunks[1])
-                fp_yu = _gather_chunked(fpy_ref, fy_l + nx, n_fchunks[1])
-                lk += [fp_yl * inv_dyb, fp_yu * inv_dyb]
+                wy = _gather_chunked(fpy_ref, cell, n_fchunks[1])
+                lk += [_bf16_hi(wy) * inv_dyb, _bf16_lo(wy) * inv_dyb]
             if three_d:
-                fz_l = ((blk * (nz + 1) + ck) * ny + cj) * nx + ci
-                fp_zl = _gather_chunked(fpz_ref, fz_l, n_fchunks[2])
-                fp_zu = _gather_chunked(fpz_ref, fz_l + ny * nx, n_fchunks[2])
-                lk += [fp_zl * inv_dzb, fp_zu * inv_dzb]
+                wz = _gather_chunked(fpz_ref, cell, n_fchunks[2])
+                lk += [_bf16_hi(wz) * inv_dzb, _bf16_lo(wz) * inv_dzb]
 
             leak_tot = lk[0] + lk[1]
             for l in lk[2:]:
@@ -777,21 +816,22 @@ def _transport_kernel(
                 dxs = [ndxb, ndyb, ndzb]
                 fprefs = (fpx_ref, fpy_ref, fpz_ref)
 
+                # per-cell pair tables: the entered face is the LOWER face of
+                # cell 0 when the particle leaked in +ax (lsgn > 0), else the
+                # UPPER face of cell dims[ax]-1
+                take_upper = lsgn < 0.0
+
                 def face_prob(ax, kk_, jj_, ii_):
-                    if ax == 0:
-                        flat = ((b_new * nz + kk_) * ny + jj_) * (nx + 1) + ii_
-                    elif ax == 1:
-                        flat = ((b_new * nz + kk_) * (ny + 1) + jj_) * nx + ii_
-                    else:
-                        flat = ((b_new * (nz + 1) + kk_) * ny + jj_) * nx + ii_
-                    return _gather(fprefs[ax], flat, n_fchunks[ax])
+                    flat = ((b_new * nz + kk_) * ny + jj_) * nx + ii_
+                    w = _gather(fprefs[ax], flat, n_fchunks[ax])
+                    return jnp.where(take_upper, _bf16_lo(w), _bf16_hi(w))
 
                 new_loc = list(locs)
                 new_idx = list(idxs)
                 new_v = [nvx, nvy, nvz]
                 for ax in range(ndim):
                     m_ax = refine & (lax_axis == ax)
-                    f_ax = jnp.where(lsgn > 0, 0, dims[ax]).astype(jnp.int32)
+                    f_ax = jnp.where(lsgn > 0, 0, dims[ax] - 1).astype(jnp.int32)
                     trans = [t for t in range(ndim) if t != ax]
                     if not trans:
                         continue
@@ -960,24 +1000,29 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
     else:
         # gray path: the kernel only ever needs the derived collision-rate
         # pair (ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a;
-        # sigma_t = ea + es), so it gathers TWO chunked tables per event
-        # instead of three (sa_ref carries ea, ss_ref carries es)
-        if prm.has_absorption:
-            sa_t = _chunk_table(coefs.fleck * coefs.sigma_a, f32, K)
-            ss_t = _chunk_table(
-                coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a, f32, K
-            )
-        else:
-            sa_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
-            ss_t = _chunk_table(coefs.sigma_s, f32, K)
+        # sigma_t = ea + es), bf16-packed into ONE chunked table per event
+        # (sa_ref carries the pair word; ss_ref is never read)
+        ea_vec = (
+            coefs.fleck * coefs.sigma_a if prm.has_absorption
+            else jnp.zeros_like(coefs.sigma_s)
+        )
+        es_vec = (
+            coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
+            if prm.has_absorption else coefs.sigma_s
+        )
+        sa_t = _chunk_table(_pack_bf16_pair(ea_vec, es_vec), i32, K)
+        ss_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
         ff_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
     Kf = _n_fchunks(mesh, prm)
     if prm.use_ddmc:
-        fpx_t = _chunk_table(coefs.px.reshape(-1), f32, Kf[0])
-        fpy_t = _chunk_table(coefs.py.reshape(-1), f32, Kf[1])
-        fpz_t = _chunk_table(coefs.pz.reshape(-1), f32, Kf[2])
+        # per-cell bf16-packed (P_lower, P_upper) pairs per axis (cell-sized
+        # tables gathered with the same cell index as the coefficients)
+        pxp, pyp, pzp = _face_pair_vectors(coefs, mesh.nx, mesh.ny, mesh.nz)
+        fpx_t = _chunk_table(pxp, i32, Kf[0])
+        fpy_t = _chunk_table(pyp, i32, Kf[1])
+        fpz_t = _chunk_table(pzp, i32, Kf[2])
     else:
-        fpx_t = fpy_t = fpz_t = jnp.zeros((GREP, LANES), f32)
+        fpx_t = fpy_t = fpz_t = jnp.zeros((GREP, LANES), i32)
     bdx_t = _chunk_table(mesh.block_dx[:, 0], f32, Kb)
     bdy_t = _chunk_table(mesh.block_dx[:, 1], f32, Kb)
     bdz_t = _chunk_table(mesh.block_dx[:, 2], f32, Kb)

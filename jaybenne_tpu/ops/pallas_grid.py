@@ -384,14 +384,16 @@ def _faces_to_global(mesh, farr, axis):
 _N_FCOLS = 7
 
 
-def _pack_rows(cols):
+def _pack_rows(cols, n_fcols=None):
     """Columns (f32 bitcast, others astype i32; any shape, flattened) ->
     one (n, C) i32 row matrix. Trace-time-asserts the layout convention
-    (exactly the first _N_FCOLS columns are f32) so a mis-typed column fails
-    loudly instead of round-tripping through _unpack_rows as bit garbage."""
+    (exactly the first ``n_fcols`` — default ``_N_FCOLS`` — columns are f32)
+    so a mis-typed column fails loudly instead of round-tripping through
+    _unpack_rows as bit garbage."""
     i32 = jnp.int32
+    nf = _N_FCOLS if n_fcols is None else n_fcols
     for c_i, c in enumerate(cols):
-        want_f32 = c_i < _N_FCOLS
+        want_f32 = c_i < nf
         assert (c.dtype == jnp.float32) == want_f32, (
             f"_pack_rows column {c_i} has dtype {c.dtype}; the packed-row "
             f"layout requires {'f32' if want_f32 else 'integer'} here"
@@ -406,13 +408,15 @@ def _pack_rows(cols):
     return jnp.stack(packed, axis=1)
 
 
-def _unpack_rows(rows, n_cols, shape=None):
-    """(n, C) i32 row matrix -> list of C columns (first _N_FCOLS bitcast back
-    to f32), each reshaped to ``shape`` when given."""
+def _unpack_rows(rows, n_cols, shape=None, n_fcols=None):
+    """(n, C) i32 row matrix -> list of C columns (first ``n_fcols`` — default
+    ``_N_FCOLS`` — bitcast back to f32), each reshaped to ``shape`` when
+    given."""
+    nf = _N_FCOLS if n_fcols is None else n_fcols
     cols = []
     for c in range(n_cols):
         v = rows[:, c]
-        if c < _N_FCOLS:
+        if c < nf:
             v = jax.lax.bitcast_convert_type(v, jnp.float32)
         cols.append(v.reshape(shape) if shape is not None else v)
     return cols
@@ -577,26 +581,36 @@ def _grid_kernel(
     scal_ref,     # SMEM f32[8]: dt, c
     intr_ref,     # SMEM i32[8]: seed (slots 1-7 reserved)
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
+    en_ref,                       # particle photon energy — read-only model
+    #   input for the non-gray path (per-event opacity evaluation); gray
+    #   configs pass one constant-index dummy block
     gi_ref, gj_ref, gk_ref, alive_ref, absorbed_ref, face_ref,
-    pk_ref,                       # region slab (blocked by index_map): the
-    #   derived collision-rate PAIR ea = fleck*sigma_a (effective absorption)
-    #   and es = sigma_s + (1-fleck)*sigma_a (effective scattering), bf16-
-    #   packed into one i32 word per cell (_pack_bf16_pair). Every in-kernel
-    #   coefficient use derives from the pair (sigma_t = ea + es), so the
-    #   per-refresh chunk-scan cost is ONE table, not two/three.
+    pk_ref,                       # region slab (blocked by index_map). Gray:
+    #   the derived collision-rate PAIR ea = fleck*sigma_a (effective
+    #   absorption) and es = sigma_s + (1-fleck)*sigma_a (effective
+    #   scattering), bf16-packed into one i32 word per cell (_pack_bf16_pair).
+    #   Every in-kernel coefficient use derives from the pair
+    #   (sigma_t = ea + es), so the per-refresh chunk-scan cost is ONE table.
+    #   Non-gray: rho (f32) — the kernel evaluates the opacity/scattering
+    #   models per refresh at the particle's photon energy, like the
+    #   reference (transport.cpp:122-127).
+    t2_ref, f3_ref,               # non-gray only: temperature / Fleck slabs
     fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs, PER-CELL pairs:
     #   word c of axis a holds (P_lower_face, P_upper_face) of cell c bf16-
     #   packed — one scan with the same `cell` index serves both faces, and
     #   the tables are cell-sized (K_reg chunks), not face-sized.
-    ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
+    ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref, oen_ref,
     ogi_ref, ogj_ref, ogk_ref, oalive_ref, oabsorbed_ref, oface_ref,
     ev_ref, it_ref,
     *,
     prm_static,
+    opacity=None,
+    scattering=None,
 ):
     (ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY, cell_dx,
      max_iters, bcs, bounds, has_absorption, interpret, use_ddmc, tau_ddmc,
-     eps_imc, eps_ddmc, K_reg, Kf_reg, wrap_axes, z_split, KZ) = prm_static
+     eps_imc, eps_ddmc, K_reg, Kf_reg, wrap_axes, z_split, KZ,
+     nongray) = prm_static
     sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz  # slab dims
     multi_d = ndim >= 2
     three_d = ndim == 3
@@ -644,7 +658,11 @@ def _grid_kernel(
     # sigma-refresh cadence: 1 disables the machinery (constant-folds away)
     scan_chunks = K_reg + (sum(Kf_reg) if use_ddmc else 0)
     R_ref = SIGMA_REFRESH if scan_chunks > SIGMA_SCAN_MIN_CHUNKS else 1
-    n_coef = (4 if use_ddmc else 1)  # packed (ea,es)[, 3 face-pair words]
+    # carried coefficients between refreshes: gray carries the packed (ea,es)
+    # word, non-gray carries the two f32 rates evaluated at refresh; DDMC
+    # adds 3 face-pair words
+    n_head = 2 if nongray else 1
+    n_coef = n_head + (3 if use_ddmc else 0)
 
     inv_c = jnp.float32(1.0) / c
     inv_cdt = jnp.float32(1.0) / (c * dt)
@@ -665,12 +683,33 @@ def _grid_kernel(
         cell = (lk * sdy + lj) * sdx + li
 
         def gather_coefs(_):
-            # every value the loop needs is a bf16-packed PAIR word gathered
-            # with the same per-cell index: (ea, es), then per-axis
-            # (P_lower, P_upper) DDMC leak probs — 1 (IMC) / 4 (DDMC) scans
-            pk = _gather(pk_ref, cell, K_reg)
+            # every value the loop needs is gathered with the same per-cell
+            # index. Gray: the bf16-packed (ea, es) PAIR word — 1 scan.
+            # Non-gray: (rho, T, fleck) — 3 scans — then the models evaluate
+            # at the particle's photon energy and the derived (ea, es) rates
+            # ride the carry until the next refresh (a particle's energy and
+            # cell are both constant between refreshes, so the rates are
+            # exactly as fresh as the gray path's). DDMC adds 3 per-axis
+            # (P_lower, P_upper) face-pair words.
+            if nongray:
+                rho_g = _gather(pk_ref, cell, K_reg)
+                tt_g = _gather(t2_ref, cell, K_reg)
+                ff = _gather(f3_ref, cell, K_reg)
+                sa = jnp.broadcast_to(
+                    opacity.absorption_coefficient(rho_g, tt_g, energy)
+                    .astype(jnp.float32),
+                    shape,
+                )
+                ss = jnp.broadcast_to(
+                    scattering.total_scattering_coefficient(rho_g, tt_g, energy)
+                    .astype(jnp.float32),
+                    shape,
+                )
+                head = (ff * sa, ss + (1.0 - ff) * sa)
+            else:
+                head = (_gather(pk_ref, cell, K_reg),)
             if not use_ddmc:
-                return (pk,)
+                return head
             fpx = _gather(fpx_ref, cell, Kf_reg[0])
             fpy = (
                 _gather(fpy_ref, cell, Kf_reg[1])
@@ -680,7 +719,7 @@ def _grid_kernel(
                 _gather(fpz_ref, cell, Kf_reg[2])
                 if three_d else jnp.zeros(shape, jnp.int32)
             )
-            return (pk, fpx, fpy, fpz)
+            return head + (fpx, fpy, fpz)
 
         if R_ref == 1:
             coefs = gather_coefs(None)
@@ -691,8 +730,11 @@ def _grid_kernel(
                 refresh, gather_coefs, lambda _: tuple(coef_c), None
             )
             stale = jnp.where(refresh, jnp.zeros_like(stale), stale)
-        es = _bf16_lo(coefs[0])
-        ea = _bf16_hi(coefs[0]) if has_absorption else jnp.zeros(shape)
+        if nongray:
+            ea, es = coefs[0], coefs[1]
+        else:
+            es = _bf16_lo(coefs[0])
+            ea = _bf16_hi(coefs[0]) if has_absorption else jnp.zeros(shape)
         active = (alive != 0) & (tau < 1.0) & (paused == 0) & (stale == 0)
 
         fi = gi.astype(jnp.float32)
@@ -838,9 +880,9 @@ def _grid_kernel(
                     rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzc, zu + eps_i * dzc), rj_z)
                     rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
 
-            fp_xl, fp_xu = _bf16_hi(coefs[1]), _bf16_lo(coefs[1])
-            fp_yl, fp_yu = _bf16_hi(coefs[2]), _bf16_lo(coefs[2])
-            fp_zl, fp_zu = _bf16_hi(coefs[3]), _bf16_lo(coefs[3])
+            fp_xl, fp_xu = _bf16_hi(coefs[n_head]), _bf16_lo(coefs[n_head])
+            fp_yl, fp_yu = _bf16_hi(coefs[n_head + 1]), _bf16_lo(coefs[n_head + 1])
+            fp_zl, fp_zu = _bf16_hi(coefs[n_head + 2]), _bf16_lo(coefs[n_head + 2])
 
             lk_ = (fp_xl * rdxc, fp_xu * rdxc, fp_yl * rdyc, fp_yu * rdyc,
                    fp_zl * rdzc, fp_zu * rdzc)
@@ -1053,14 +1095,21 @@ def _grid_kernel(
             (alive != 0) & (tau < 1.0) & (paused == 0)
         )
 
+    energy = en_ref[:]  # constant through the census loop (non-gray input)
     gi0, gj0, gk0 = gi_ref[:], gj_ref[:], gk_ref[:]
     paused0 = (~in_region(gi0, gj0, gk0)).astype(jnp.int32)
+    coef0 = tuple(jnp.zeros(shape) for _ in range(n_head)) if nongray else (
+        jnp.zeros(shape, jnp.int32),
+    )
+    coef0 = coef0 + tuple(
+        jnp.zeros(shape, jnp.int32) for _ in range(n_coef - n_head)
+    )
     init = (
         x_ref[:], y_ref[:], z_ref[:],
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
         gi0, gj0, gk0,
         alive_ref[:], absorbed_ref[:], face_ref[:],
-    ) + tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_coef)) + (
+    ) + coef0 + (
         jnp.zeros(shape, jnp.int32),  # stale (it=0 always refreshes)
         paused0,
         jnp.int32(0), jnp.int32(0),
@@ -1071,6 +1120,7 @@ def _grid_kernel(
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau
+    oen_ref[:] = energy  # unchanged pass-through (rides the row layout)
     ogi_ref[:], ogj_ref[:], ogk_ref[:] = gi, gj, gk
     oalive_ref[:], oabsorbed_ref[:], oface_ref[:] = alive, absorbed, face
 
@@ -1106,15 +1156,30 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         prm.swarm_bc[4] == BC.periodic,
     )
     rsh = (sdz, sdy, sdx)
-    # ONE bf16-packed derived table covers every in-kernel coefficient use
-    # (sigma_t = ea + es): word = pack(ea = fleck*sigma_a,
-    #                                  es = sigma_s + (1-fleck)*sigma_a)
-    ea_g = glob_cells(coefs.fleck * coefs.sigma_a)
-    es_g = glob_cells(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
     lay = dict(rn=rn, ng=ng, halo=halo)
-    pk_t = _slab_tables(
-        _pack_bf16_pair(ea_g, es_g), rsh, K=K_reg, dtype=i32, periodic=per,
-        **lay)
+    nongray = coefs.opacity is not None
+    if nongray:
+        # frequency-dependent models: ship (rho, T, fleck) slabs; the kernel
+        # evaluates the models per refresh at the particle's photon energy
+        pk_t = _slab_tables(
+            glob_cells(coefs.packed[:, 0]), rsh, K=K_reg, dtype=f32,
+            periodic=per, **lay)
+        t2_t = _slab_tables(
+            glob_cells(coefs.packed[:, 1]), rsh, K=K_reg, dtype=f32,
+            periodic=per, **lay)
+        f3_t = _slab_tables(
+            glob_cells(coefs.packed[:, 2]), rsh, K=K_reg, dtype=f32,
+            periodic=per, **lay)
+    else:
+        # gray: ONE bf16-packed derived table covers every in-kernel
+        # coefficient use (sigma_t = ea + es): word = pack(
+        #   ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a)
+        ea_g = glob_cells(coefs.fleck * coefs.sigma_a)
+        es_g = glob_cells(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
+        pk_t = _slab_tables(
+            _pack_bf16_pair(ea_g, es_g), rsh, K=K_reg, dtype=i32,
+            periodic=per, **lay)
+        t2_t = f3_t = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
     if prm.use_ddmc:
         # DDMC leak probs as PER-CELL (P_lower, P_upper) packed pairs: the
         # kernel reads them with the same cell index as the coefficients —
@@ -1174,8 +1239,12 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         prm.has_absorption, interpret, prm.use_ddmc, prm.tau_ddmc,
         prm.eps_imc, prm.eps_ddmc, K_reg, Kf_reg, wrap_axes,
         False, NZ,  # z_split, KZ (the spatial factory shards z)
+        nongray,
     )
-    kernel = functools.partial(_grid_kernel, prm_static=prm_static)
+    kernel = functools.partial(
+        _grid_kernel, prm_static=prm_static,
+        opacity=coefs.opacity, scattering=coefs.scattering,
+    )
 
     scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
     try:
@@ -1184,16 +1253,32 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         kd = key
     seed0 = kd.reshape(-1)[-1].astype(i32)
 
+    # Row layout: non-gray carries the (constant) photon energy as an extra
+    # f32 column right after tau — the kernel evaluates the models at it per
+    # refresh. Gray keeps the 13-column layout (no bandwidth cost) and the
+    # kernel's energy ref binds to one constant-index dummy block.
+    NFC = 8 if nongray else 7   # leading f32 columns (x y z vx vy vz tau [en])
+    NCOL = NFC + 6              # + gi gj gk alive absorbed face
+    IGI, IGJ, IGK = NFC, NFC + 1, NFC + 2
+    IAL = NFC + 3
+
     part_spec = pl.BlockSpec(
         (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
     )
+    dummy_spec = pl.BlockSpec(
+        (BSUB, LANES), lambda g, rr: (0, 0), memory_space=pltpu.VMEM
+    )
+    en_spec = part_spec if nongray else dummy_spec
     slab = lambda rows: pl.BlockSpec(
         (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R_pad), 0),
         memory_space=pltpu.VMEM,
     )
+    coef_slab = slab(K_reg * GREP) if nongray else slab(GREP)
     stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
 
     def mk_call(g):
+        buf_rows = g * BTILE // LANES
+        en_rows = buf_rows if nongray else BSUB
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(g,),
@@ -1201,22 +1286,26 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
-            + [part_spec] * 13
-            + [slab(K_reg * GREP)]
+            + [part_spec] * 7 + [en_spec] + [part_spec] * 6
+            + [slab(K_reg * GREP), coef_slab, coef_slab]
             + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP),
                slab(Kf_reg[2] * GREP)],
-            out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
+            out_specs=tuple(
+                [part_spec] * 7 + [en_spec] + [part_spec] * 6
+                + [stat_spec] * 2
+            ),
         )
         shapes = tuple(
-            [jax.ShapeDtypeStruct((g * BTILE // LANES, LANES), f32)] * 7
-            + [jax.ShapeDtypeStruct((g * BTILE // LANES, LANES), i32)] * 6
+            [jax.ShapeDtypeStruct((buf_rows, LANES), f32)] * 7
+            + [jax.ShapeDtypeStruct((en_rows, LANES), f32)]
+            + [jax.ShapeDtypeStruct((buf_rows, LANES), i32)] * 6
             + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
         )
         return pl.pallas_call(
             kernel,
             grid_spec=gs,
             out_shape=shapes,
-            input_output_aliases={i + 3: i for i in range(13)},
+            input_output_aliases={i + 3: i for i in range(14)},
             interpret=interpret,
         )
 
@@ -1266,35 +1355,43 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         return slot_src, tile_regions
 
     def rewrap_cols(cols_):
-        """Re-wrap kernel-unwrapped coordinates on periodic axes (13 columns;
-        positions f32, cells i32)."""
+        """Re-wrap kernel-unwrapped coordinates on periodic axes (NCOL
+        columns; positions f32, cells i32)."""
         cols_ = list(cols_)
         if per[0]:
-            w = cols_[7] // NX
-            cols_[7] = cols_[7] - w * NX
+            w = cols_[IGI] // NX
+            cols_[IGI] = cols_[IGI] - w * NX
             cols_[0] = cols_[0] - w.astype(f32) * jnp.float32(x1max_ - x1min_)
         if per[1]:
-            w = cols_[8] // NY
-            cols_[8] = cols_[8] - w * NY
+            w = cols_[IGJ] // NY
+            cols_[IGJ] = cols_[IGJ] - w * NY
             cols_[1] = cols_[1] - w.astype(f32) * jnp.float32(x2max_ - x2min_)
         if per[2]:
-            w = cols_[9] // NZ
-            cols_[9] = cols_[9] - w * NZ
+            w = cols_[IGK] // NZ
+            cols_[IGK] = cols_[IGK] - w * NZ
             cols_[2] = cols_[2] - w.astype(f32) * jnp.float32(x3max_ - x3min_)
         return cols_
 
     def rows_to_cols(rows):
-        return _unpack_rows(rows, 13)
+        return _unpack_rows(rows, NCOL, n_fcols=NFC)
 
     def cols_to_rows(cols_):
-        return _pack_rows(cols_)
+        return _pack_rows(cols_, n_fcols=NFC)
+
+    zero_en = jnp.zeros((BSUB, LANES), f32)  # gray: constant-index dummy
 
     def rows_to_bufs(rows, n):
-        return _unpack_rows(rows, 13, shape=(n // LANES, LANES))
+        cols_ = _unpack_rows(rows, NCOL, shape=(n // LANES, LANES), n_fcols=NFC)
+        if nongray:
+            return cols_
+        return cols_[:7] + [zero_en] + cols_[7:]
 
     def outs_to_rows(outs, n):
         del n
-        return _pack_rows(outs[:13])
+        cols_ = list(outs[:14])
+        if not nongray:
+            cols_ = cols_[:7] + cols_[8:]  # drop the dummy energy output
+        return _pack_rows(cols_, n_fcols=NFC)
 
     def run_kernel(callee, tile_regions, rounds, bufs, tabs):
         # golden-ratio increment 0x9E3779B9 as a signed int32
@@ -1311,7 +1408,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
 
     def buf_unfinished(Bm):
         tau = jax.lax.bitcast_convert_type(Bm[:, 6], f32)
-        return (Bm[:, 10] != 0) & (tau < 1.0)
+        return (Bm[:, IAL] != 0) & (tau < 1.0)
 
     def full_round(Bm, tabs):
         """Round 0: bucket the whole ledger (rows [:cap] of Bm) into the
@@ -1320,9 +1417,9 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         gather backend) for the final restore."""
         M = Bm[:cap]
         tau = jax.lax.bitcast_convert_type(M[:, 6], f32)
-        unfinished = (M[:, 10] != 0) & (tau < 1.0)
+        unfinished = (M[:, IAL] != 0) & (tau < 1.0)
         keyv = jnp.where(
-            unfinished, region_of(M[:, 7], M[:, 8], M[:, 9]), R_pad
+            unfinished, region_of(M[:, IGI], M[:, IGJ], M[:, IGK]), R_pad
         ).astype(i32)
         if BUCKET_APPLY == "sort":
             rows_in, restore, tile_regions = _bucket_sort_apply(
@@ -1331,7 +1428,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         else:
             src_of_slot, restore, tile_regions = bucket(keyv)
             rows_in = jnp.concatenate(
-                [M, jnp.zeros((1, 13), i32)]
+                [M, jnp.zeros((1, NCOL), i32)]
             )[src_of_slot]
         outs = run_kernel(
             call, tile_regions, jnp.int32(0), rows_to_bufs(rows_in, bufcap),
@@ -1339,7 +1436,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         )
         return (
             outs_to_rows(outs, bufcap), restore,
-            outs[14][0, 0], outs[13][0, 0],
+            outs[15][0, 0], outs[14][0, 0],
         )
 
     def tail_round(Bm, rounds, tabs):
@@ -1348,7 +1445,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         coordinates stay unwrapped between rounds; region keying wraps
         transiently and the rows handed to the kernel are re-wrapped."""
         unfinished = buf_unfinished(Bm)
-        gi, gj, gk = Bm[:, 7], Bm[:, 8], Bm[:, 9]
+        gi, gj, gk = Bm[:, IGI], Bm[:, IGJ], Bm[:, IGK]
         if per[0]:
             gi = gi - gi // NX * NX
         if per[1]:
@@ -1357,7 +1454,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
             gk = gk - gk // NZ * NZ
         keyv = jnp.where(unfinished, region_of(gi, gj, gk), R_pad).astype(i32)
         slot_src, tile_regions = bucket_tail(keyv)
-        rows = jnp.concatenate([Bm, jnp.zeros((1, 13), i32)])[slot_src]
+        rows = jnp.concatenate([Bm, jnp.zeros((1, NCOL), i32)])[slot_src]
         if per[0] or per[1] or per[2]:
             rows = cols_to_rows(rewrap_cols(rows_to_cols(rows)))
         outs = run_kernel(
@@ -1366,25 +1463,27 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         )
         rows_out = outs_to_rows(outs, tail_bufcap)
         Bm_new = (
-            jnp.concatenate([Bm, jnp.zeros((1, 13), i32)])
+            jnp.concatenate([Bm, jnp.zeros((1, NCOL), i32)])
             .at[slot_src].set(rows_out)
         )[:bufcap]
-        return Bm_new, outs[14][0, 0], outs[13][0, 0]
+        return Bm_new, outs[15][0, 0], outs[14][0, 0]
 
     # ledger -> global-cell cols (once per step; tile ids are arithmetic)
     b = p.block
     tx = b % ntx
     ty = (b // ntx) % nty
     tz = b // (ntx * nty)
+    en_col = (p.energy.astype(f32),) if nongray else ()
     cols = (
         p.x + orgx[b], p.y + orgy[b], p.z + orgz[b],
         p.vx, p.vy, p.vz, p.tau.astype(f32),
+    ) + en_col + (
         tx * nxb + p.i, ty * nyb + p.j, tz * nzb + p.k,
         p.alive.astype(i32), p.absorbed.astype(i32), p.face,
     )
 
     M0 = cols_to_rows(cols)
-    Bm0 = jnp.concatenate([M0, jnp.zeros((bufcap - cap, 13), i32)])
+    Bm0 = jnp.concatenate([M0, jnp.zeros((bufcap - cap, NCOL), i32)])
 
     def loop_body(carry, tabs):
         # tables ride as ARGUMENTS (not closure constants) so the diag path's
@@ -1421,7 +1520,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         Bm0, restore0, jnp.zeros((), i32),
         jnp.zeros((), i32), jnp.zeros((), i32),
     )
-    tabs = (pk_t, fpx_t, fpy_t, fpz_t)
+    tabs = (pk_t, t2_t, f3_t, fpx_t, fpy_t, fpz_t)
     if os.environ.get("JB_DIAG_ROUNDS"):  # eager per-round diagnostics
         import sys as _sys
         import time as _t
@@ -1468,7 +1567,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         cols = rewrap_cols(rows_to_cols(Bm[restore]))
 
     # global-cell cols -> ledger (tile ids arithmetic; origins gathered once)
-    gi_n, gj_n, gk_n = cols[7], cols[8], cols[9]
+    gi_n, gj_n, gk_n = cols[IGI], cols[IGJ], cols[IGK]
     txn = jnp.clip(gi_n // nxb, 0, ntx - 1)
     tyn = jnp.clip(gj_n // nyb, 0, nty - 1)
     tzn = jnp.clip(gk_n // nzb, 0, ntz - 1)
@@ -1482,9 +1581,9 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         "y": cols[1] - orgy[tb],
         "z": cols[2] - orgz[tb],
         "vx": cols[3], "vy": cols[4], "vz": cols[5], "tau": cols[6],
-        "alive": cols[10].astype(jnp.bool_),
-        "absorbed": cols[11].astype(jnp.bool_),
-        "face": cols[12],
+        "alive": cols[IAL].astype(jnp.bool_),
+        "absorbed": cols[IAL + 1].astype(jnp.bool_),
+        "face": cols[IAL + 2],
     }
     p = dataclasses.replace(
         p, **{k: v.astype(getattr(p, k).dtype) for k, v in back.items()}
@@ -1577,11 +1676,15 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         prm.has_absorption, interpret, False, prm.tau_ddmc,
         prm.eps_imc, prm.eps_ddmc, K_reg, (1, 1, 1), wrap_axes,
         z_split, KZ,
+        False,  # nongray (spatial decomposition: gray coefficient tables)
     )
     kernel = functools.partial(_grid_kernel, prm_static=prm_static)
 
     part_spec = pl.BlockSpec(
         (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
+    )
+    dummy_spec = pl.BlockSpec(
+        (BSUB, LANES), lambda g, rr: (0, 0), memory_space=pltpu.VMEM
     )
     slab = lambda rows: pl.BlockSpec(
         (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R_pad), 0),
@@ -1595,13 +1698,17 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        + [part_spec] * 13
+        + [part_spec] * 7 + [dummy_spec] + [part_spec] * 6
         + [slab(K_reg * GREP)]
-        + [slab(GREP)] * 3,
-        out_specs=tuple([part_spec] * 13 + [stat_spec] * 2),
+        + [slab(GREP)] * 5,
+        out_specs=tuple(
+            [part_spec] * 7 + [dummy_spec] + [part_spec] * 6
+            + [stat_spec] * 2
+        ),
     )
     out_shapes = tuple(
         [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
+        + [jax.ShapeDtypeStruct((BSUB, LANES), f32)]
         + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 6
         + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
     )
@@ -1609,7 +1716,7 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases={i + 3: i for i in range(13)},
+        input_output_aliases={i + 3: i for i in range(14)},
         interpret=interpret,
     )
 
@@ -1628,14 +1735,15 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
             _pack_bf16_pair(ea_loc, es_loc), rsh, rn, ng, halo, K_reg, i32,
             per_tab,
         )
+        zero_f = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
         zero = jnp.zeros(((R_pad + 1) * GREP, LANES), i32)
         z0 = (shard * KZ).astype(i32) if hasattr(shard, "astype") else jnp.int32(
             shard * KZ
         )
-        return (pk_t, zero, zero, zero, z0)
+        return (pk_t, zero_f, zero_f, zero, zero, zero, z0)
 
     def round_fn(p, tables, key, rounds, dt):
-        pk_t, fpx_t, fpy_t, fpz_t, z0 = tables
+        pk_t, t2_t, f3_t, fpx_t, fpy_t, fpz_t, z0 = tables
         del rounds  # halo slabs make parity alternation unnecessary
         # ledger -> global cells: integer tile arithmetic (exact), origin
         # gathers for the float rebase (match transport_grid's convention)
@@ -1679,9 +1787,10 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
             [jnp.asarray(dt, f32), jnp.asarray(prm.c, f32)]
             + [jnp.zeros((), f32)] * 6
         )
-        outs = call(tile_regions, scal, intr, *bufs, pk_t,
-                    fpx_t, fpy_t, fpz_t)
-        (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
+        zero_en = jnp.zeros((BSUB, LANES), f32)  # gray: constant-index dummy
+        outs = call(tile_regions, scal, intr, *bufs[:7], zero_en, *bufs[7:],
+                    pk_t, t2_t, f3_t, fpx_t, fpy_t, fpz_t)
+        (bx, by, bz, bvx, bvy, bvz, btau, _ben, bgi, bgj, bgk,
          balive, babsorbed, bface, ev, it) = outs
 
         buf_cols = [a.reshape(bufcap) for a in

@@ -124,12 +124,15 @@ def build_step_core(
             # per event at the particle energy, like the reference
             # (transport.cpp:122-127)
             mode = "full"
-        elif not gray_models:
-            # the bucketed kernels precompute two derived coefficient tables,
-            # which requires frequency-independent models
-            return None, False
         elif p.capacity % pg.BTILE == 0 and pg.supports(mesh, prm):
+            # the grid kernel covers frequency-dependent models too: it ships
+            # (rho, T, fleck) slabs and evaluates the models per refresh at
+            # the particle's (constant) photon energy
             mode = "grid"
+        elif not gray_models:
+            # the bucketed (SMR) kernel precomputes derived coefficient
+            # tables, which requires frequency-independent models
+            return None, False
         elif p.capacity % pb.BTILE == 0 and pb.supports(mesh, prm):
             mode = "bucketed"
         if mode is None:

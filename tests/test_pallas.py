@@ -942,6 +942,66 @@ def test_epbremss_per_event_in_kernel():
     )
 
 
+def test_grid_nongray_per_event(monkeypatch):
+    """Frequency-dependent models on a mesh BEYOND VMEM residency run the
+    grid kernel (step.py routes non-gray big meshes there): (rho, T, fleck)
+    slabs, models evaluated per refresh at the particle's photon energy —
+    the reference's device-side ``AbsorptionCoefficient(rho, T, ee)``
+    (transport.cpp:122-127) at bucketed scale. Energy conserves exactly and
+    the nu^-3 spectral bias (soft photons die first) must appear; kernel vs
+    XLA survivor statistics agree."""
+    from jaybenne_tpu.driver import Simulation
+    from jaybenne_tpu.ops import pallas_grid as pg
+    from jaybenne_tpu.ops import pallas_transport as pt
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    mods = {
+        "parthenon/mesh/nx1": "8192",
+        "parthenon/meshblock/nx1": "256",
+        "mcblock/opacity_model": "ep_bremss",
+        "mcblock/initial_temperature": "1.0e6",
+        "mcblock/scattering_constant_value": "1.0e2",
+        "jaybenne/do_emission": "false",
+        "jaybenne/do_feedback": "false",
+        "jaybenne/dt": "1.e-12",
+        "parthenon/time/tlim": "1.e-12",
+    }
+    out = {}
+    for mode in ("on", "off"):
+        deck = Deck.parse(DECK).update({**mods, "jaybenne/use_pallas": mode})
+        cfg = cm.from_deck(deck)
+        assert not cfg.mcblock.build_opacity().is_gray
+        mesh = build_mesh(cfg.mesh)
+        prm = make_transport_params(cfg, jnp.float32)
+        # beyond the mega-kernel's residency cap -> the grid kernel covers it
+        assert not pt.supports(mesh, prm)
+        assert pg.supports(mesh, prm)
+        sim = Simulation(cfg, quiet=True)
+        p0 = sim.state.particles
+        w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+        sim.run()
+        p = sim.state.particles
+        alive = np.asarray(p.alive)
+        w_live = float(np.asarray(p.weight)[alive].sum())
+        absorbed = float(np.asarray(sim.state.fields.energy_delta).sum())
+        assert np.isclose(w_live + absorbed, w0, rtol=1e-4), mode
+        assert absorbed > 0, mode
+        out[mode] = {
+            "surv": int(alive.sum()),
+            "mean_E": float(np.asarray(p.energy)[alive].mean()),
+            "mean_E0": float(np.asarray(p0.energy)[np.asarray(p0.alive)].mean()),
+        }
+    for mode, o in out.items():
+        # nu^-3: low-energy photons absorb preferentially, survivors harden
+        assert o["mean_E"] > o["mean_E0"], (mode, o)
+    n_on, n_off = out["on"]["surv"], out["off"]["surv"]
+    assert abs(n_on - n_off) < 4.0 * np.sqrt(max(n_on + n_off, 1)), (n_on, n_off)
+    assert (
+        abs(out["on"]["mean_E"] - out["off"]["mean_E"]) / out["off"]["mean_E"]
+        < 0.3
+    )
+
+
 def test_slab_tables_separable_matches_gather_oracle():
     """The separable (three axis-take) slab-table build must reproduce the
     flat-gather reference bitwise: cell tables and face tables (+1-sized axis,

@@ -756,7 +756,7 @@ def _grid_kernel(
         # absorption/scattering exponential min; one log cheaper)
         sig_c = (ea + es) if has_absorption else es
         d_coll = pool.exp23(it) / (sig_c + tiny)
-        u_branch = pool.u16(it) if has_absorption else None
+        u_branch = pool.u23(it) if has_absorption else None
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -841,7 +841,7 @@ def _grid_kernel(
                 drift = 1.5 * fv * inv_c
                 P = jnp.where(sel[2 * ax], Pf2 * (1.0 + drift), P)
                 P = jnp.where(sel[2 * ax + 1], Pf2 * (1.0 - drift), P)
-            rejected = at_face & (pool.u16(it) > P)
+            rejected = at_face & (pool.u23(it) > P)
 
             amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
@@ -894,7 +894,7 @@ def _grid_kernel(
             do_step = is_ddmc & ~rejected
 
             dd_tau = jnp.where(is_event, tau + dt_ev * inv_dt, 1.0)
-            xi = cdf * pool.u16(it)
+            xi = cdf * pool.u23(it)
             dd_absorbed = do_step & is_event & (xi < ea)
             xim = xi - ea
             cum = jnp.zeros(shape)

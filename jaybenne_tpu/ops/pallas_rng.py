@@ -11,9 +11,17 @@ lowering.
 * ``u23(it)`` burns a full 32-bit word for a 23-bit-mantissa uniform — used
   for the exponential distance/time draws, where tail resolution matters
   (``exp23`` wraps the -log);
-* ``u16(it)`` packs TWO 16-bit variates per word (angles, in-cell positions,
-  branch/face selectors — their 1.5e-5 resolution is far below Monte Carlo
-  noise), halving the PRNG op count on those call sites.
+* ``u16(it)`` packs TWO 16-bit variates per word (angles, in-cell positions —
+  smooth transforms where 1.5e-5 resolution is far below Monte Carlo noise),
+  halving the PRNG op count on those call sites.
+
+u16 MUST NOT feed probability-THRESHOLD tests (``u < p``): the comparison
+quantizes p to multiples of 1/65536, so rare branches (p ≲ 1e-4 — e.g. the
+absorption fraction sigma_a/sigma_t in scattering-dominated cells, DDMC
+albedo acceptance at large sigma_t*dx, the DDMC event selector) inherit O(1)
+relative bias — P(u16 < 1e-5) = 1/65536, +53%. Threshold draws use ``u23``
+(granularity 1.2e-7); ``tests/test_pallas.py::test_rare_absorption_unbiased``
+is the regression gate.
 
 The pool is a Python-side trace helper: the census loop body is traced once,
 so each call site gets a fixed word/half assignment. Tags are allocated from

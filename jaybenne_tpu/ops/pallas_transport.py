@@ -349,7 +349,7 @@ def _transport_kernel(
         # the two distances separately — identical in distribution, one log
         # and one divide cheaper here).
         d_coll = pool.exp23(it) / (sig_t + tiny)
-        u_branch = pool.u16(it) if has_absorption else None
+        u_branch = pool.u23(it) if has_absorption else None
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -472,7 +472,7 @@ def _transport_kernel(
                 drift = 1.5 * fv * inv_c
                 P = jnp.where(sel[2 * ax], Pf2 * (1.0 + drift), P)
                 P = jnp.where(sel[2 * ax + 1], Pf2 * (1.0 - drift), P)
-            rejected = at_face & (pool.u16(it) > P)
+            rejected = at_face & (pool.u23(it) > P)
 
             # hemisphere direction for bounce-back / leak
             amu = jnp.sqrt(pool.u16(it))
@@ -532,7 +532,7 @@ def _transport_kernel(
             do_step = is_ddmc & ~rejected
 
             dd_tau = jnp.where(is_event, tau + dt_ev * (1.0 / dt), 1.0)
-            xi = cdf * pool.u16(it)
+            xi = cdf * pool.u23(it)
             dd_absorbed = do_step & is_event & (xi < ea_dd)
             xim = xi - ea_dd
             cum = jnp.zeros(shape)

@@ -215,6 +215,48 @@ def test_pallas_interpret_absorption():
     assert 0.2 < frac < 0.4, frac
 
 
+def test_rare_absorption_unbiased():
+    """Probability-threshold draws in the kernels must be 23-bit, not 16-bit.
+
+    With sigma_a/sigma_t ~ 7.5e-6 (scattering-dominated, like ``inf.in``'s
+    1/1e5), a 16-bit branch uniform quantizes the absorption probability to
+    P(u16 < p) = 1/65536 — a +103% bias at this ratio (it tripped the inf.in
+    TPU gate at +53%). The 23-bit draw resolves p to 1.2e-7. Expected absorbed
+    over one step: n*(1 - exp(-f*sigma_a*c*dt)) = 16000*0.0015 = 24, sd ~ 4.9;
+    the gate at +-3.2 sd rejects the biased mean of ~49 at ~5 sd."""
+    sigma_a, sigma_s = 0.0015, 200.0
+    cfg, mesh, prm, p, coefs, key = _setup(sigma_s=sigma_s)
+    prm = dataclasses.replace(prm, has_absorption=True)
+    NC = mesh.total_cells
+    n = 16000
+    c = 2.99792458e10
+    ks = jr.split(jr.PRNGKey(7), 4)
+    nx_, ny_, nz_ = (
+        1.0 - 2.0 * jr.uniform(ks[1], (n,)),
+        jr.uniform(ks[2], (n,)) - 0.5,
+        jr.uniform(ks[3], (n,)) - 0.5,
+    )
+    nrm = jnp.sqrt(nx_**2 + ny_**2 + nz_**2)
+    dxc = 1.0 / 100
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set((25.0 + jr.uniform(ks[0], (n,))) * dxc),
+        vx=p.vx.at[:n].set(c * nx_ / nrm),
+        vy=p.vy.at[:n].set(c * ny_ / nrm),
+        vz=p.vz.at[:n].set(c * nz_ / nrm),
+        i=p.i.at[:n].set(25),
+        alive=jnp.zeros_like(p.alive).at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    coefs = dataclasses.replace(coefs, sigma_a=jnp.full((NC,), sigma_a))
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = transport_pallas(p, coefs, mesh, key, prm, dt, interpret=True)
+    absorbed = int(np.asarray(pp.absorbed).sum())
+    expect = n * (1.0 - np.exp(-sigma_a * c * float(dt)))  # c*dt = 1 cm
+    sd = np.sqrt(expect)
+    assert abs(absorbed - expect) < 3.2 * sd, (absorbed, expect)
+
+
 def test_pallas_interpret_smr_ddmc_conserves_energy():
     """SMR + DDMC through the kernel: exercises the in-kernel coarse->fine subface
     resample and level-aware transitions (reference sample_ddmc_bface.cpp). Energy

@@ -218,13 +218,19 @@ def _bucketed_kernel(
     scal_ref,     # SMEM f32[8]: dt, c
     seed_ref,     # SMEM i32[1]
     x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref, tau_ref,
+    en_ref,                       # particle photon energy — read-only model
+    #   input for the non-gray path (per-refresh opacity evaluation); gray
+    #   configs pass one constant-index dummy block
     blk_ref, ci_ref, cj_ref, ck_ref, alive_ref, absorbed_ref, face_ref,
     leak_ref,                     # pending coarse->fine DDMC leak code
-    pk_ref,                       # region slab (blocked by index_map): the
-    #   derived collision-rate PAIR ea = fleck*sigma_a and es = sigma_s +
+    pk_ref,                       # region slab (blocked by index_map). Gray:
+    #   the derived collision-rate PAIR ea = fleck*sigma_a and es = sigma_s +
     #   (1-fleck)*sigma_a, bf16-packed into one i32 word per cell
     #   (_pack_bf16_pair); every coefficient use derives from the pair
-    #   (sigma_t = ea + es) -> ONE gathered table
+    #   (sigma_t = ea + es) -> ONE gathered table. Non-gray: rho (f32) — the
+    #   kernel evaluates the models per refresh at the particle's photon
+    #   energy, like the reference (transport.cpp:122-127).
+    t2_ref, f3_ref,               # non-gray only: temperature / Fleck slabs
     fpx_ref, fpy_ref, fpz_ref,    # region face-prob slabs, PER-CELL pairs:
     #   word c of axis a holds (P_lower, P_upper) of cell c bf16-packed —
     #   gathered with the same `cell` index as the coefficients (K_reg chunks)
@@ -233,16 +239,19 @@ def _bucketed_kernel(
     lut_ref,
     reg_ref, slot_ref,            # block -> region id / slab slot (chunked)
     blv_ref,                      # block refinement level (chunked)
-    ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref,
+    ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref, otau_ref, oen_ref,
     oblk_ref, oci_ref, ocj_ref, ock_ref, oalive_ref, oabsorbed_ref, oface_ref,
     oleak_ref,
     ev_ref, it_ref,
     *,
     prm_static,
+    opacity=None,
+    scattering=None,
 ):
     (ndim, nx, ny, nz, max_iters, bcs, bounds, tile_shape, finest,
      has_absorption, interpret, use_ddmc, tau_ddmc, eps_imc, eps_ddmc,
-     maxbpr, K_reg, Kf_reg, nb_chunks, nt_chunks, has_smr) = prm_static
+     maxbpr, K_reg, Kf_reg, nb_chunks, nt_chunks, has_smr,
+     nongray) = prm_static
     multi_d = ndim >= 2
     three_d = ndim == 3
     dt = scal_ref[0]
@@ -277,7 +286,11 @@ def _bucketed_kernel(
 
     scan_chunks = K_reg + (sum(Kf_reg) if use_ddmc else 0)
     R_ref = _pg.SIGMA_REFRESH if scan_chunks > _pg.SIGMA_SCAN_MIN_CHUNKS else 1
-    n_coef = 4 if use_ddmc else 1  # packed (ea,es)[, 3 face-pair words]
+    # carried coefficients between refreshes: gray carries the packed (ea,es)
+    # word, non-gray the two f32 rates evaluated at refresh; DDMC adds 3
+    # face-pair words
+    n_head = 2 if nongray else 1
+    n_coef = n_head + (3 if use_ddmc else 0)
 
     def body(carry):
         (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
@@ -301,12 +314,31 @@ def _bucketed_kernel(
         cell = blk_rel * ncpb + (ck * ny + cj) * nx + ci
 
         def gather_coefs(_):
-            # every value the loop needs is a bf16-packed PAIR word gathered
-            # with the same per-cell index: (ea, es), then per-axis
-            # (P_lower, P_upper) DDMC leak probs — 1 (IMC) / 4 (DDMC) scans
-            pk = _gather(pk_ref, cell, K_reg)
+            # every value the loop needs is gathered with the same per-cell
+            # index. Gray: the bf16-packed (ea, es) PAIR word — 1 scan.
+            # Non-gray: (rho, T, fleck) — 3 scans — then the models evaluate
+            # at the particle's photon energy and the derived rates ride the
+            # carry until the next refresh (energy and cell are both constant
+            # between refreshes). DDMC adds 3 (P_lower, P_upper) face words.
+            if nongray:
+                rho_g = _gather(pk_ref, cell, K_reg)
+                tt_g = _gather(t2_ref, cell, K_reg)
+                ff = _gather(f3_ref, cell, K_reg)
+                sa = jnp.broadcast_to(
+                    opacity.absorption_coefficient(rho_g, tt_g, energy)
+                    .astype(jnp.float32),
+                    shape,
+                )
+                ss = jnp.broadcast_to(
+                    scattering.total_scattering_coefficient(rho_g, tt_g, energy)
+                    .astype(jnp.float32),
+                    shape,
+                )
+                head = (ff * sa, ss + (1.0 - ff) * sa)
+            else:
+                head = (_gather(pk_ref, cell, K_reg),)
             if not use_ddmc:
-                return (pk,)
+                return head
             fpx = _gather(fpx_ref, cell, Kf_reg[0])
             fpy = (
                 _gather(fpy_ref, cell, Kf_reg[1])
@@ -316,7 +348,7 @@ def _bucketed_kernel(
                 _gather(fpz_ref, cell, Kf_reg[2])
                 if three_d else jnp.zeros(shape, jnp.int32)
             )
-            return (pk, fpx, fpy, fpz)
+            return head + (fpx, fpy, fpz)
 
         if R_ref == 1:
             coefs = gather_coefs(None)
@@ -327,8 +359,11 @@ def _bucketed_kernel(
                 refresh, gather_coefs, lambda _: tuple(coef_c), None
             )
             stale = jnp.where(refresh, jnp.zeros_like(stale), stale)
-        es = _bf16_lo(coefs[0])
-        ea = _bf16_hi(coefs[0]) if has_absorption else jnp.zeros(shape)
+        if nongray:
+            ea, es = coefs[0], coefs[1]
+        else:
+            es = _bf16_lo(coefs[0])
+            ea = _bf16_hi(coefs[0]) if has_absorption else jnp.zeros(shape)
         active = (alive != 0) & (tau < 1.0) & (paused == 0) & (stale == 0)
 
         fi = ci.astype(jnp.float32)
@@ -350,7 +385,7 @@ def _bucketed_kernel(
         # absorption/scattering exponential min; one log cheaper)
         sig_c = (ea + es) if has_absorption else es
         d_coll = pool.exp23(it) / (sig_c + tiny)
-        u_branch = pool.u16(it) if has_absorption else None
+        u_branch = pool.u23(it) if has_absorption else None
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
@@ -435,7 +470,7 @@ def _bucketed_kernel(
                 drift = 1.5 * fv * inv_c
                 P = jnp.where(sel[2 * ax], Pf2 * (1.0 + drift), P)
                 P = jnp.where(sel[2 * ax + 1], Pf2 * (1.0 - drift), P)
-            rejected = at_face & (pool.u16(it) > P)
+            rejected = at_face & (pool.u23(it) > P)
 
             amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
@@ -474,9 +509,9 @@ def _bucketed_kernel(
                     rj_z = jnp.where(m, jnp.where(lower, zl - eps_i * dzb, zu + eps_i * dzb), rj_z)
                     rj_sk = jnp.where(m, -1 if lower else 1, rj_sk)
 
-            fp_xl, fp_xu = _bf16_hi(coefs[1]), _bf16_lo(coefs[1])
-            fp_yl, fp_yu = _bf16_hi(coefs[2]), _bf16_lo(coefs[2])
-            fp_zl, fp_zu = _bf16_hi(coefs[3]), _bf16_lo(coefs[3])
+            fp_xl, fp_xu = _bf16_hi(coefs[n_head]), _bf16_lo(coefs[n_head])
+            fp_yl, fp_yu = _bf16_hi(coefs[n_head + 1]), _bf16_lo(coefs[n_head + 1])
+            fp_zl, fp_zu = _bf16_hi(coefs[n_head + 2]), _bf16_lo(coefs[n_head + 2])
 
             # one reciprocal per axis feeds both face leak terms
             inv_dxb = 1.0 / dxb
@@ -492,7 +527,7 @@ def _bucketed_kernel(
             do_step = is_ddmc & ~rejected
 
             dd_tau = jnp.where(is_event, tau + dt_ev * inv_dt, 1.0)
-            xi = cdf * pool.u16(it)
+            xi = cdf * pool.u23(it)
             dd_absorbed = do_step & is_event & (xi < ea)
             xim = xi - ea
             cum = jnp.zeros(shape)
@@ -751,15 +786,22 @@ def _bucketed_kernel(
             (alive != 0) & (tau < 1.0) & (paused == 0)
         )
 
+    energy = en_ref[:]  # constant through the census loop (non-gray input)
     blk0 = blk_ref[:]
     paused0 = (_gather(reg_ref, blk0, nb_chunks) != tr).astype(jnp.int32)
+    coef0 = tuple(jnp.zeros(shape) for _ in range(n_head)) if nongray else (
+        jnp.zeros(shape, jnp.int32),
+    )
+    coef0 = coef0 + tuple(
+        jnp.zeros(shape, jnp.int32) for _ in range(n_coef - n_head)
+    )
     init = (
         x_ref[:], y_ref[:], z_ref[:],
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
         blk0, ci_ref[:], cj_ref[:], ck_ref[:],
         alive_ref[:], absorbed_ref[:], face_ref[:],
         leak_ref[:],
-    ) + tuple(jnp.zeros(shape, jnp.int32) for _ in range(n_coef)) + (
+    ) + coef0 + (
         jnp.zeros(shape, jnp.int32),  # stale (it=0 always refreshes)
         paused0,
         jnp.int32(0), jnp.int32(0),
@@ -771,6 +813,7 @@ def _bucketed_kernel(
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau
+    oen_ref[:] = energy  # unchanged pass-through (rides the row layout)
     oblk_ref[:], oci_ref[:], ocj_ref[:], ock_ref[:] = blk, ci, cj, ck
     oalive_ref[:], oabsorbed_ref[:], oface_ref[:] = alive, absorbed, face
     oleak_ref[:] = leak
@@ -784,7 +827,10 @@ def _bucketed_kernel(
     it_ref[0, 0] = jnp.maximum(it_ref[0, 0], it)
 
 
-def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret):
+def _make_bucketed_call(
+    mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret,
+    nongray=False, opacity=None, scattering=None,
+):
     """Build the pallas_call for a bucketed census round (shared between the
     single-shard ``transport_bucketed`` loop and the spatial-decomposition round).
     Returns ``(call, prm_static, bufcap, grid)``; callers pass the region id cap
@@ -802,16 +848,26 @@ def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret):
         mesh.tile_shape, mesh.finest, prm.has_absorption, interpret,
         prm.use_ddmc, prm.tau_ddmc, prm.eps_imc, prm.eps_ddmc,
         maxbpr, K_reg, Kf_reg, Kb, Kt, mesh.max_level > 0,
+        nongray,
     )
-    kernel = functools.partial(_bucketed_kernel, prm_static=prm_static)
+    kernel = functools.partial(
+        _bucketed_kernel, prm_static=prm_static,
+        opacity=opacity, scattering=scattering,
+    )
 
     part_spec = pl.BlockSpec(
         (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
     )
+    dummy_spec = pl.BlockSpec(
+        (BSUB, LANES), lambda g, rr: (0, 0), memory_space=pltpu.VMEM
+    )
+    en_spec = part_spec if nongray else dummy_spec
+    en_rows = bufcap // LANES if nongray else BSUB
     slab = lambda rows: pl.BlockSpec(
         (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R), 0),
         memory_space=pltpu.VMEM,
     )
+    coef_slab = slab(K_reg * GREP) if nongray else slab(GREP)
     resident = lambda Kc: pl.BlockSpec(
         (Kc * GREP, LANES), lambda g, rr: (0, 0), memory_space=pltpu.VMEM
     )
@@ -824,16 +880,19 @@ def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        + [part_spec] * 15
-        + [slab(K_reg * GREP)]
+        + [part_spec] * 7 + [en_spec] + [part_spec] * 8
+        + [slab(K_reg * GREP), coef_slab, coef_slab]
         + [slab(Kf_reg[0] * GREP), slab(Kf_reg[1] * GREP), slab(Kf_reg[2] * GREP)]
         + [resident(Kb)] * 6   # bdx, bdy, bdz, box, boy, boz
         + [resident(Kt)]       # lookup
         + [resident(Kb)] * 3,  # region-of, slot, level
-        out_specs=tuple([part_spec] * 15 + [stat_spec] * 2),
+        out_specs=tuple(
+            [part_spec] * 7 + [en_spec] + [part_spec] * 8 + [stat_spec] * 2
+        ),
     )
     out_shapes = tuple(
         [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
+        + [jax.ShapeDtypeStruct((en_rows, LANES), f32)]
         + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 8
         + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
     )
@@ -842,7 +901,7 @@ def _make_bucketed_call(mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret):
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases={i + 3: i for i in range(15)},
+        input_output_aliases={i + 3: i for i in range(16)},
         interpret=interpret,
     )
     return call, bufcap, grid
@@ -866,10 +925,13 @@ def _geometry_tables(mesh):
 
 
 def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
-                    geom_tables, reg_t, slot_t):
+                    geom_tables, reg_t, slot_t, nongray=False):
     """One bucketed census round: bucket unfinished particles by ``regb[p.block]``
     into the tile-aligned buffer, run the kernel grid, permute results back to
-    ledger order. Returns ``(p, iters, events)`` (per-tile max / summed)."""
+    ledger order. Returns ``(p, iters, events)`` (per-tile max / summed).
+    Non-gray carries the (constant) photon energy as an extra f32 row column
+    (the kernel's model input); gray keeps the 15-column layout and binds the
+    kernel's energy ref to one constant-index dummy block."""
     f32, i32 = jnp.float32, jnp.int32
     cap = p.capacity
     unfinished = p.alive & (p.tau < 1.0)
@@ -880,17 +942,21 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
         _permute_pack, _permute_unpack, _unbucket_sort, _unpack_rows,
     )
 
-    FNAMES = ("x", "y", "z", "vx", "vy", "vz", "tau")
+    FNAMES = ("x", "y", "z", "vx", "vy", "vz", "tau") + (
+        ("energy",) if nongray else ()
+    )
+    nfc = len(FNAMES)
     INAMES = ("block", "i", "j", "k")
     cols = (
         [getattr(p, n).astype(f32) for n in FNAMES]
         + [getattr(p, n) for n in INAMES]
         + [p.alive.astype(i32), p.absorbed.astype(i32), p.face, p.leak]
     )
+    ncol = len(cols)
     if BUCKET_APPLY == "sort":
         rows_in, buf_lid, tile_regions = _bucket_sort_apply(
-            keyv, _pack_rows(cols), jnp.arange(cap, dtype=i32), R, grid,
-            btile=BTILE,
+            keyv, _pack_rows(cols, n_fcols=nfc), jnp.arange(cap, dtype=i32),
+            R, grid, btile=BTILE,
         )
     else:
         src_of_slot, tile_regions, dest_of_src = _bucket_plan(
@@ -898,17 +964,23 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
             btile=BTILE,
         )
         rows_in = _permute_pack(cols, src_of_slot)
-    bufs = _unpack_rows(rows_in, 15, shape=(bufcap // LANES, LANES))
+    bufs = _unpack_rows(
+        rows_in, ncol, shape=(bufcap // LANES, LANES), n_fcols=nfc
+    )
+    if not nongray:
+        bufs = bufs[:7] + [jnp.zeros((BSUB, LANES), f32)] + bufs[7:]
     outs = call(tile_regions, scal, seed, *bufs, *slab_tables, *geom_tables[:7],
                 reg_t, slot_t, geom_tables[7])
-    (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
-     balive, babsorbed, bface, bleak, ev, it) = outs
+    parts = list(outs[:16])
+    ev, it = outs[16], outs[17]
+    if not nongray:
+        parts = parts[:7] + parts[8:]  # drop the dummy energy output
 
-    buf_cols = [b.reshape(bufcap) for b in
-                (bx, by, bz, bvx, bvy, bvz, btau, bblk, bci, bcj, bck,
-                 balive, babsorbed, bface, bleak)]
+    buf_cols = [b.reshape(bufcap) for b in parts]
     if BUCKET_APPLY == "sort":
-        rows_out = _unbucket_sort(_pack_rows(buf_cols), buf_lid, cap)
+        rows_out = _unbucket_sort(
+            _pack_rows(buf_cols, n_fcols=nfc), buf_lid, cap
+        )
     else:
         rows_out = _permute_pack(buf_cols, dest_of_src, n_extra_zero_rows=0)
     names = list(FNAMES) + list(INAMES) + ["alive", "absorbed", "face", "leak"]
@@ -938,13 +1010,29 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     region_of2 = jnp.asarray(region_of_np)  # [2, B]: base / half-shifted parity
     perm2 = jnp.asarray(perm_np)            # [2, R, maxbpr]
 
-    # region-sliced coefficient slabs, built once per step, one per parity;
-    # ONE bf16-packed derived table covers every in-kernel coefficient use
-    # (sigma_t = ea + es): word = pack(ea, es)
-    ea_vec = coefs.fleck * coefs.sigma_a
-    es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
-    pk_vec = _pack_bf16_pair(ea_vec, es_vec)
-    pk_t2 = _parity_tables(lambda pm: _region_tables(pk_vec, pm, ncpb, K_reg, i32), perm2)
+    # region-sliced coefficient slabs, built once per step, one per parity
+    nongray = coefs.opacity is not None
+    if nongray:
+        # frequency-dependent models: ship (rho, T, fleck) slabs; the kernel
+        # evaluates the models per refresh at the particle's photon energy
+        pk_t2 = _parity_tables(
+            lambda pm: _region_tables(coefs.packed[:, 0], pm, ncpb, K_reg, f32),
+            perm2)
+        t2_t2 = _parity_tables(
+            lambda pm: _region_tables(coefs.packed[:, 1], pm, ncpb, K_reg, f32),
+            perm2)
+        f3_t2 = _parity_tables(
+            lambda pm: _region_tables(coefs.packed[:, 2], pm, ncpb, K_reg, f32),
+            perm2)
+    else:
+        # gray: ONE bf16-packed derived table covers every in-kernel
+        # coefficient use (sigma_t = ea + es): word = pack(ea, es)
+        ea_vec = coefs.fleck * coefs.sigma_a
+        es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
+        pk_vec = _pack_bf16_pair(ea_vec, es_vec)
+        pk_t2 = _parity_tables(
+            lambda pm: _region_tables(pk_vec, pm, ncpb, K_reg, i32), perm2)
+        t2_t2 = f3_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), f32)
     if prm.use_ddmc:
         # DDMC leak probs as PER-CELL (P_lower, P_upper) packed pairs indexed
         # by the same cell id as the coefficients (block face arrays carry
@@ -970,7 +1058,8 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     )
 
     call, bufcap, grid = _make_bucketed_call(
-        mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret
+        mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret,
+        nongray=nongray, opacity=coefs.opacity, scattering=coefs.scattering,
     )
 
     scal = jnp.array([dt, prm.c, 0, 0, 0, 0, 0, 0], dtype=f32)
@@ -984,18 +1073,18 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
         # tables passed explicitly (not closed over) so the eager-diag jit below
         # does not embed the multi-MB slabs as HLO constants (the tunneled
         # remote-compile endpoint rejects oversized request bodies)
-        pk_t2, fpx_t2, fpy_t2, fpz_t2 = tables
+        pk_t2, t2_t2, f3_t2, fpx_t2, fpy_t2, fpz_t2 = tables
         p, rounds, it_acc, ev_acc = carry
         # alternate the base / half-shifted region grids: a particle that paused
         # random-walking at one parity's face is interior to the other parity
         parity = rounds & 1
-        slabs = (pk_t2[parity],
+        slabs = (pk_t2[parity], t2_t2[parity], f3_t2[parity],
                  fpx_t2[parity], fpy_t2[parity], fpz_t2[parity])
         # golden-ratio increment 0x9E3779B9 as a signed int32
         seed = (seed0 + rounds * jnp.int32(-1640531527))[None]
         p, it, ev = _bucket_and_run(
             p, call, R, bufcap, grid, region_of2[parity], scal, seed, slabs,
-            geom, reg_t2[parity], slot_t2[parity],
+            geom, reg_t2[parity], slot_t2[parity], nongray=nongray,
         )
         if prm.use_ddmc and mesh.max_level > 0 and prm.ndim >= 2:
             # host half of the coarse->fine DDMC leak: subface resample for
@@ -1026,7 +1115,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
             )
         return p, rounds + 1, it_acc + it, ev_acc + ev
 
-    tables = (pk_t2, fpx_t2, fpy_t2, fpz_t2)
+    tables = (pk_t2, t2_t2, f3_t2, fpx_t2, fpy_t2, fpz_t2)
 
     def round_body(carry):
         return round_body_t(carry, tables)
@@ -1137,7 +1226,8 @@ def supports_spatial(mesh, prm, n_shards) -> bool:
     )
 
 
-def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False):
+def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False,
+                           nongray=False, opacity=None, scattering=None):
     """Build the kernel-backed census round for ``parallel.spatial``.
 
     Returns ``(build_tables, round_fn)``:
@@ -1165,16 +1255,32 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False):
     geom = _geometry_tables(mesh)
     Kb = _n_bchunks(mesh)
     call, bufcap, grid = _make_bucketed_call(
-        mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret
+        mesh, prm, R, maxbpr, K_reg, Kf_reg, cap, interpret,
+        nongray=nongray, opacity=opacity, scattering=scattering,
     )
 
     def build_tables(coefs, shard):
         perm2 = perm_all[shard]  # [2, R, maxbpr] — traced shard index
-        ea_vec = coefs.fleck * coefs.sigma_a
-        es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
-        pk_vec = _pack_bf16_pair(ea_vec, es_vec)
-        pk_t2 = _parity_tables(
-            lambda pm: _region_tables(pk_vec, pm, ncpb, K_reg, i32), perm2)
+        if nongray:
+            # frequency-dependent models: (rho, T, fleck) slabs from the
+            # shard's LOCAL packed matter state; the kernel evaluates the
+            # models per refresh at the particle's photon energy
+            pk_t2 = _parity_tables(
+                lambda pm: _region_tables(
+                    coefs.packed[:, 0], pm, ncpb, K_reg, f32), perm2)
+            t2_t2 = _parity_tables(
+                lambda pm: _region_tables(
+                    coefs.packed[:, 1], pm, ncpb, K_reg, f32), perm2)
+            f3_t2 = _parity_tables(
+                lambda pm: _region_tables(
+                    coefs.packed[:, 2], pm, ncpb, K_reg, f32), perm2)
+        else:
+            ea_vec = coefs.fleck * coefs.sigma_a
+            es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
+            pk_vec = _pack_bf16_pair(ea_vec, es_vec)
+            pk_t2 = _parity_tables(
+                lambda pm: _region_tables(pk_vec, pm, ncpb, K_reg, i32), perm2)
+            t2_t2 = f3_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), f32)
         if prm.use_ddmc:
             pxp, pyp, pzp = _face_pair_vectors(
                 coefs, mesh.nx, mesh.ny, mesh.nz
@@ -1195,12 +1301,14 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False):
             [_chunk_table(slot_all[shard, pi], i32, Kb) for pi in (0, 1)]
         )
         regb2 = reg_buck[shard]  # [2, B]
-        return (pk_t2, fpx_t2, fpy_t2, fpz_t2, reg_t2, slot_t2, regb2)
+        return (pk_t2, t2_t2, f3_t2, fpx_t2, fpy_t2, fpz_t2,
+                reg_t2, slot_t2, regb2)
 
     def round_fn(p, tables, key, rounds, dt):
-        (pk_t2, fpx_t2, fpy_t2, fpz_t2, reg_t2, slot_t2, regb2) = tables
+        (pk_t2, t2_t2, f3_t2, fpx_t2, fpy_t2, fpz_t2,
+         reg_t2, slot_t2, regb2) = tables
         parity = rounds & 1
-        slabs = (pk_t2[parity],
+        slabs = (pk_t2[parity], t2_t2[parity], f3_t2[parity],
                  fpx_t2[parity], fpy_t2[parity], fpz_t2[parity])
         try:
             kd = jax.random.key_data(key)
@@ -1213,7 +1321,7 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False):
         )
         return _bucket_and_run(
             p, call, R, bufcap, grid, regb2[parity], scal, seed, slabs,
-            geom, reg_t2[parity], slot_t2[parity],
+            geom, reg_t2[parity], slot_t2[parity], nongray=nongray,
         )
 
     return build_tables, round_fn

@@ -1624,7 +1624,8 @@ def supports_spatial(mesh, prm, n_shards) -> bool:
     return K_reg <= MAX_REGION_CHUNKS
 
 
-def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
+def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
+                      nongray=False, opacity=None, scattering=None):
     """(build_tables, round_fn) with the same contract as
     ``pallas_bucketed.make_spatial_transport``: per-step slab tables from the
     shard's LOCAL coefficients, one kernel bucket-round per migration round."""
@@ -1676,9 +1677,12 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         prm.has_absorption, interpret, False, prm.tau_ddmc,
         prm.eps_imc, prm.eps_ddmc, K_reg, (1, 1, 1), wrap_axes,
         z_split, KZ,
-        False,  # nongray (spatial decomposition: gray coefficient tables)
+        nongray,
     )
-    kernel = functools.partial(_grid_kernel, prm_static=prm_static)
+    kernel = functools.partial(
+        _grid_kernel, prm_static=prm_static,
+        opacity=opacity, scattering=scattering,
+    )
 
     part_spec = pl.BlockSpec(
         (BSUB, LANES), lambda g, rr: (g, 0), memory_space=pltpu.VMEM
@@ -1691,6 +1695,9 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         memory_space=pltpu.VMEM,
     )
     stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
+    en_spec = part_spec if nongray else dummy_spec
+    en_rows = bufcap // LANES if nongray else BSUB
+    coef_slab = slab(K_reg * GREP) if nongray else slab(GREP)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
@@ -1698,17 +1705,17 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        + [part_spec] * 7 + [dummy_spec] + [part_spec] * 6
-        + [slab(K_reg * GREP)]
-        + [slab(GREP)] * 5,
+        + [part_spec] * 7 + [en_spec] + [part_spec] * 6
+        + [slab(K_reg * GREP), coef_slab, coef_slab]
+        + [slab(GREP)] * 3,
         out_specs=tuple(
-            [part_spec] * 7 + [dummy_spec] + [part_spec] * 6
+            [part_spec] * 7 + [en_spec] + [part_spec] * 6
             + [stat_spec] * 2
         ),
     )
     out_shapes = tuple(
         [jax.ShapeDtypeStruct((bufcap // LANES, LANES), f32)] * 7
-        + [jax.ShapeDtypeStruct((BSUB, LANES), f32)]
+        + [jax.ShapeDtypeStruct((en_rows, LANES), f32)]
         + [jax.ShapeDtypeStruct((bufcap // LANES, LANES), i32)] * 6
         + [jax.ShapeDtypeStruct((1, 1), i32)] * 2
     )
@@ -1729,18 +1736,31 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
     rsh = (sdz, sdy, sdx)
 
     def build_tables(coefs, shard):
-        ea_loc = _local_glob(coefs.fleck * coefs.sigma_a)
-        es_loc = _local_glob(coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a)
-        pk_t = _slab_tables(
-            _pack_bf16_pair(ea_loc, es_loc), rsh, rn, ng, halo, K_reg, i32,
-            per_tab,
-        )
         zero_f = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
         zero = jnp.zeros(((R_pad + 1) * GREP, LANES), i32)
+        if nongray:
+            # frequency-dependent models: (rho, T, fleck) slabs from the
+            # shard's LOCAL packed matter state; the kernel evaluates the
+            # models per refresh at the particle's photon energy
+            mk = lambda col: _slab_tables(
+                _local_glob(coefs.packed[:, col]), rsh, rn, ng, halo, K_reg,
+                f32, per_tab,
+            )
+            pk_t, t2_t, f3_t = mk(0), mk(1), mk(2)
+        else:
+            ea_loc = _local_glob(coefs.fleck * coefs.sigma_a)
+            es_loc = _local_glob(
+                coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
+            )
+            pk_t = _slab_tables(
+                _pack_bf16_pair(ea_loc, es_loc), rsh, rn, ng, halo, K_reg, i32,
+                per_tab,
+            )
+            t2_t = f3_t = zero_f
         z0 = (shard * KZ).astype(i32) if hasattr(shard, "astype") else jnp.int32(
             shard * KZ
         )
-        return (pk_t, zero_f, zero_f, zero, zero, zero, z0)
+        return (pk_t, t2_t, f3_t, zero, zero, zero, z0)
 
     def round_fn(p, tables, key, rounds, dt):
         pk_t, t2_t, f3_t, fpx_t, fpy_t, fpz_t, z0 = tables
@@ -1763,11 +1783,13 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         region = (gkl // rnz * NGY + gj // rny) * NGX + gi // rnx
         keyv = jnp.where(unfinished, region, R_pad).astype(i32)
 
-        cols = (gx, gy, gz, p.vx, p.vy, p.vz, p.tau.astype(f32),
+        en_col = (p.energy.astype(f32),) if nongray else ()
+        nfc = 7 + len(en_col)
+        cols = (gx, gy, gz, p.vx, p.vy, p.vz, p.tau.astype(f32)) + en_col + (
                 gi, gj, gk, p.alive.astype(i32), p.absorbed.astype(i32), p.face)
         if BUCKET_APPLY == "sort":
             rows_in, buf_lid, tile_regions = _bucket_sort_apply(
-                keyv, _pack_rows(cols), jnp.arange(cap, dtype=i32),
+                keyv, _pack_rows(cols, n_fcols=nfc), jnp.arange(cap, dtype=i32),
                 R_pad, grid,
             )
         else:
@@ -1775,7 +1797,9 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
                 keyv, R_pad, grid, include_dump=True, want_dest_of_src=True
             )
             rows_in = _permute_pack(cols, src_of_slot)
-        bufs = _unpack_rows(rows_in, 13, shape=(bufcap // LANES, LANES))
+        bufs = _unpack_rows(
+            rows_in, len(cols), shape=(bufcap // LANES, LANES), n_fcols=nfc
+        )
         try:
             kd = jax.random.key_data(key)
         except (TypeError, AttributeError):
@@ -1787,17 +1811,23 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
             [jnp.asarray(dt, f32), jnp.asarray(prm.c, f32)]
             + [jnp.zeros((), f32)] * 6
         )
-        zero_en = jnp.zeros((BSUB, LANES), f32)  # gray: constant-index dummy
-        outs = call(tile_regions, scal, intr, *bufs[:7], zero_en, *bufs[7:],
+        if nongray:
+            kin = bufs
+        else:
+            zero_en = jnp.zeros((BSUB, LANES), f32)  # constant-index dummy
+            kin = bufs[:7] + [zero_en] + bufs[7:]
+        outs = call(tile_regions, scal, intr, *kin,
                     pk_t, t2_t, f3_t, fpx_t, fpy_t, fpz_t)
-        (bx, by, bz, bvx, bvy, bvz, btau, _ben, bgi, bgj, bgk,
-         balive, babsorbed, bface, ev, it) = outs
+        parts = list(outs[:14])
+        ev, it = outs[14], outs[15]
+        if not nongray:
+            parts = parts[:7] + parts[8:]  # drop the dummy energy output
 
-        buf_cols = [a.reshape(bufcap) for a in
-                    (bx, by, bz, bvx, bvy, bvz, btau, bgi, bgj, bgk,
-                     balive, babsorbed, bface)]
+        buf_cols = [a.reshape(bufcap) for a in parts]
         if BUCKET_APPLY == "sort":
-            rows_out = _unbucket_sort(_pack_rows(buf_cols), buf_lid, cap)
+            rows_out = _unbucket_sort(
+                _pack_rows(buf_cols, n_fcols=nfc), buf_lid, cap
+            )
         else:
             rows_out = _permute_pack(
                 buf_cols, dest_of_src, n_extra_zero_rows=0
@@ -1806,9 +1836,9 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
         def from_buf(c, dtype):
             return _permute_unpack(rows_out, c, dtype)
 
-        gi_n = from_buf(7, i32)
-        gj_n = from_buf(8, i32)
-        gk_n = from_buf(9, i32)
+        gi_n = from_buf(nfc, i32)
+        gj_n = from_buf(nfc + 1, i32)
+        gk_n = from_buf(nfc + 2, i32)
         gx_n = from_buf(0, f32)
         gy_n = from_buf(1, f32)
         gz_n = from_buf(2, f32)
@@ -1846,9 +1876,9 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False):
             "z": gz_n - orgz[tb],
             "vx": from_buf(3, f32), "vy": from_buf(4, f32),
             "vz": from_buf(5, f32), "tau": from_buf(6, f32),
-            "alive": from_buf(10, jnp.bool_),
-            "absorbed": from_buf(11, jnp.bool_),
-            "face": from_buf(12, i32),
+            "alive": from_buf(nfc + 3, jnp.bool_),
+            "absorbed": from_buf(nfc + 4, jnp.bool_),
+            "face": from_buf(nfc + 5, i32),
         }
         p = dataclasses.replace(
             p, **{k: v.astype(getattr(p, k).dtype) for k, v in upd.items()}

@@ -254,10 +254,10 @@ def _spatial_pallas_ok(jb, mesh, prm, n_shards, opacity, scattering):
     from ..ops import pallas_bucketed as pb
     from ..ops import pallas_grid as pg
 
-    gray = getattr(opacity, "is_gray", True) and getattr(
-        scattering, "is_gray", True
-    )
-    if jb.use_pallas == "off" or jb.dtype != jnp.float32 or not gray:
+    # frequency-dependent models run the kernels too: the round builders ship
+    # (rho, T, fleck) slabs and the kernels evaluate the models per refresh at
+    # the particle's photon energy (same surface as step.py's single-shard path)
+    if jb.use_pallas == "off" or jb.dtype != jnp.float32:
         return None
     if pg.supports_spatial(mesh, prm, n_shards):
         kind = "grid"
@@ -404,17 +404,22 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
 
         if kernel_mode is not None:
             kind, interp = kernel_mode
+            nongray = coefs_local.opacity is not None
+            models = dict(
+                nongray=nongray,
+                opacity=coefs_local.opacity, scattering=coefs_local.scattering,
+            )
             if kind == "grid":
                 from ..ops import pallas_grid as pg
 
                 build_tables, kernel_round = pg.make_spatial_grid(
-                    mesh, prm, n_shards, p.capacity, interpret=interp
+                    mesh, prm, n_shards, p.capacity, interpret=interp, **models
                 )
             else:
                 from ..ops import pallas_bucketed as pb
 
                 build_tables, kernel_round = pb.make_spatial_transport(
-                    mesh, prm, n_shards, p.capacity, interpret=interp
+                    mesh, prm, n_shards, p.capacity, interpret=interp, **models
                 )
             tables = build_tables(coefs_local, shard)
 

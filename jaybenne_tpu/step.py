@@ -101,10 +101,6 @@ def build_step_core(
         if ext_num is None:
             ext_num = jb.external_source_num or jb.num_particles
 
-    gray_models = getattr(opacity, "is_gray", True) and getattr(
-        scattering, "is_gray", True
-    )
-
     def _pallas_ok(p):
         """(mode, interpret): mode is 'full' (VMEM-resident census kernel),
         'grid' (uniform-mesh global-cell bucketed kernel), 'bucketed'
@@ -125,14 +121,10 @@ def build_step_core(
             # (transport.cpp:122-127)
             mode = "full"
         elif p.capacity % pg.BTILE == 0 and pg.supports(mesh, prm):
-            # the grid kernel covers frequency-dependent models too: it ships
-            # (rho, T, fleck) slabs and evaluates the models per refresh at
-            # the particle's (constant) photon energy
+            # the grid and bucketed kernels cover frequency-dependent models
+            # too: they ship (rho, T, fleck) slabs and evaluate the models
+            # per refresh at the particle's (constant) photon energy
             mode = "grid"
-        elif not gray_models:
-            # the bucketed (SMR) kernel precomputes derived coefficient
-            # tables, which requires frequency-independent models
-            return None, False
         elif p.capacity % pb.BTILE == 0 and pb.supports(mesh, prm):
             mode = "bucketed"
         if mode is None:

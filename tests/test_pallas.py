@@ -945,6 +945,12 @@ def test_epbremss_per_event_in_kernel():
     mods = {
         "mcblock/opacity_model": "ep_bremss",
         "mcblock/initial_temperature": "1.0e6",
+        # cv is the LIVE heat-capacity key (the decks' `specific_heat` is dead
+        # in the reference too, mcblock.cpp:79). Without it cv = 1/(gamma-1) =
+        # 1.5 -> fleck ~ 1e-7, and ep_bremss soft photons become pure
+        # effective-scatterers at sigma ~ 1e20/cm: census physically cannot
+        # complete (the reference trips max_transport_iterations identically).
+        "mcblock/cv": "1.0e8",
         "mcblock/scattering_constant_value": "1.0e2",
         "jaybenne/do_emission": "false",
         "jaybenne/do_feedback": "false",
@@ -1002,6 +1008,12 @@ def test_grid_nongray_per_event(monkeypatch):
         "parthenon/meshblock/nx1": "256",
         "mcblock/opacity_model": "ep_bremss",
         "mcblock/initial_temperature": "1.0e6",
+        # cv is the LIVE heat-capacity key (the decks' `specific_heat` is dead
+        # in the reference too, mcblock.cpp:79). Without it cv = 1/(gamma-1) =
+        # 1.5 -> fleck ~ 1e-7, and ep_bremss soft photons become pure
+        # effective-scatterers at sigma ~ 1e20/cm: census physically cannot
+        # complete (the reference trips max_transport_iterations identically).
+        "mcblock/cv": "1.0e8",
         "mcblock/scattering_constant_value": "1.0e2",
         "jaybenne/do_emission": "false",
         "jaybenne/do_feedback": "false",
@@ -1018,6 +1030,76 @@ def test_grid_nongray_per_event(monkeypatch):
         # beyond the mega-kernel's residency cap -> the grid kernel covers it
         assert not pt.supports(mesh, prm)
         assert pg.supports(mesh, prm)
+        sim = Simulation(cfg, quiet=True)
+        p0 = sim.state.particles
+        w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+        sim.run()
+        p = sim.state.particles
+        alive = np.asarray(p.alive)
+        w_live = float(np.asarray(p.weight)[alive].sum())
+        absorbed = float(np.asarray(sim.state.fields.energy_delta).sum())
+        assert np.isclose(w_live + absorbed, w0, rtol=1e-4), mode
+        assert absorbed > 0, mode
+        out[mode] = {
+            "surv": int(alive.sum()),
+            "mean_E": float(np.asarray(p.energy)[alive].mean()),
+            "mean_E0": float(np.asarray(p0.energy)[np.asarray(p0.alive)].mean()),
+        }
+    for mode, o in out.items():
+        # nu^-3: low-energy photons absorb preferentially, survivors harden
+        assert o["mean_E"] > o["mean_E0"], (mode, o)
+    n_on, n_off = out["on"]["surv"], out["off"]["surv"]
+    assert abs(n_on - n_off) < 4.0 * np.sqrt(max(n_on + n_off, 1)), (n_on, n_off)
+    assert (
+        abs(out["on"]["mean_E"] - out["off"]["mean_E"]) / out["off"]["mean_E"]
+        < 0.3
+    )
+
+
+def test_bucketed_nongray_per_event(monkeypatch):
+    """Frequency-dependent models on an SMR mesh run the BUCKETED kernel
+    (step.py no longer gates non-gray off the kernel path): (rho, T, fleck)
+    region slabs, models evaluated per refresh at the particle's photon
+    energy. Energy conserves exactly; the nu^-3 spectral bias appears; kernel
+    vs XLA survivor statistics agree. Routing past the VMEM mega-kernel is
+    FORCED (supports -> False): its real big-mesh trigger needs a mesh whose
+    interpret-mode rounds cost tens of minutes on CPU — the selection logic
+    itself is covered by test_routing_* on production sizes."""
+    from jaybenne_tpu.driver import Simulation
+    from jaybenne_tpu.ops import pallas_bucketed as pb
+    from jaybenne_tpu.ops import pallas_grid as pg
+    from jaybenne_tpu.ops import pallas_transport as pt
+
+    monkeypatch.setattr(pt, "supports", lambda *a, **k: False)
+    mods = {
+        "mcblock/opacity_model": "ep_bremss",
+        "mcblock/initial_temperature": "1.0e6",
+        # cv is the LIVE heat-capacity key (the decks' `specific_heat` is dead
+        # in the reference too, mcblock.cpp:79). Without it cv = 1/(gamma-1) =
+        # 1.5 -> fleck ~ 1e-7, and ep_bremss soft photons become pure
+        # effective-scatterers at sigma ~ 1e20/cm: census physically cannot
+        # complete (the reference trips max_transport_iterations identically).
+        "mcblock/cv": "1.0e8",
+        "mcblock/scattering_constant_value": "1.0e2",
+        "jaybenne/num_particles": "2000",
+        "jaybenne/use_ddmc": "false",
+        "jaybenne/do_emission": "false",
+        "jaybenne/do_feedback": "false",
+        "jaybenne/dt": "1.e-12",
+        "parthenon/time/tlim": "1.e-12",
+    }
+    out = {}
+    for mode in ("on", "off"):
+        deck = Deck.from_file(
+            os.path.join(_ROOT, "inputs/stepdiff_smr.in")
+        ).update({**mods, "jaybenne/use_pallas": mode})
+        cfg = cm.from_deck(deck)
+        assert not cfg.mcblock.build_opacity().is_gray
+        mesh = build_mesh(cfg.mesh)
+        prm = make_transport_params(cfg, jnp.float32)
+        assert mesh.max_level > 0
+        assert not pg.supports(mesh, prm)  # refined -> not the grid kernel
+        assert pb.supports(mesh, prm)      # bucketed covers non-gray SMR
         sim = Simulation(cfg, quiet=True)
         p0 = sim.state.particles
         w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())

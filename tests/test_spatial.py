@@ -340,6 +340,117 @@ def test_boundary_surface_face_probs_bitwise():
     assert surf_glob.shape[1] < mesh.ncells_per_block
 
 
+def test_spatial_kernel_nongray_per_event():
+    """Frequency-dependent models inside the spatial decomposition's kernel
+    census rounds: the round builders ship (rho, T, fleck) slabs per shard and
+    the kernel evaluates the models per refresh at the particle's photon
+    energy (reference analog: device-side AbsorptionCoefficient(rho,T,nu),
+    transport.cpp:122-127, on every rank of the block decomposition). Energy
+    conserves; the nu^-3 spectral bias appears; kernel vs XLA survivor
+    statistics agree."""
+    import jax.numpy as jnp
+
+    from jaybenne_tpu.parallel.spatial import _spatial_pallas_ok
+    from jaybenne_tpu.step import make_transport_params
+
+    mods = {
+        "parthenon/mesh/nx1": 16,
+        "parthenon/meshblock/nx1": 4,
+        "parthenon/time/tlim": "1.e-12",
+        "jaybenne/dt": "1.e-12",
+        "jaybenne/num_particles": 4000,
+        "mcblock/opacity_model": "ep_bremss",
+        "mcblock/initial_temperature": "1.0e6",
+        "mcblock/cv": "1.0e8",  # live heat-capacity key: fleck ~ 1, census completes
+        "mcblock/scattering_constant_value": "1.0e2",
+    }
+    out = {}
+    for mode in ("on", "off"):
+        deck = Deck.parse(DECK).update({**mods, "jaybenne/use_pallas": mode})
+        cfg = cfg_mod.from_deck(deck)
+        opac = cfg.mcblock.build_opacity()
+        assert not opac.is_gray
+        sim = Simulation(cfg, quiet=True)
+        if mode == "on":
+            prm = make_transport_params(cfg, jnp.float32)
+            km = _spatial_pallas_ok(
+                cfg.jaybenne, sim.mesh, prm, 2, opac,
+                cfg.mcblock.build_scattering(),
+            )
+            assert km is not None and km[1] is True  # kernel, interpret mode
+        p0 = sim.state.particles
+        w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+        sim.run()
+        p = sim.state.particles
+        alive = np.asarray(p.alive)
+        w_live = float(np.asarray(p.weight)[alive].sum())
+        absorbed = float(np.asarray(sim.state.fields.energy_delta).sum())
+        assert np.isclose(w_live + absorbed, w0, rtol=1e-4), mode
+        assert absorbed > 0, mode
+        out[mode] = {
+            "surv": int(alive.sum()),
+            "mean_E": float(np.asarray(p.energy)[alive].mean()),
+            "mean_E0": float(
+                np.asarray(p0.energy)[np.asarray(p0.alive)].mean()
+            ),
+        }
+    for mode, o in out.items():
+        # nu^-3: low-energy photons absorb preferentially, survivors harden
+        assert o["mean_E"] > o["mean_E0"], (mode, o)
+    n_on, n_off = out["on"]["surv"], out["off"]["surv"]
+    assert abs(n_on - n_off) < 4.0 * np.sqrt(max(n_on + n_off, 1)), (n_on, n_off)
+
+
+def test_spatial_grid_kernel_nongray_per_event():
+    """The GRID variant of the spatial decomposition (z-slab-sharded uniform
+    mesh) also covers frequency-dependent models: build_tables ships
+    (rho, T, fleck) z-slab tables and the kernel evaluates the models per
+    refresh at the particle energy carried as an extra bucketed f32 column."""
+    import jax.numpy as jnp
+
+    from jaybenne_tpu.parallel.spatial import _spatial_pallas_ok
+    from jaybenne_tpu.step import make_transport_params
+
+    mods = {
+        "parthenon/mesh/nx1": 8,
+        "parthenon/mesh/nx2": 8,
+        "parthenon/mesh/nx3": 8,
+        "parthenon/meshblock/nx1": 4,
+        "parthenon/meshblock/nx2": 4,
+        "parthenon/meshblock/nx3": 4,
+        "parthenon/time/tlim": "1.e-12",
+        "jaybenne/dt": "1.e-12",
+        "jaybenne/num_particles": 2000,
+        "jaybenne/use_pallas": "on",
+        "mcblock/opacity_model": "ep_bremss",
+        "mcblock/initial_temperature": "1.0e6",
+        "mcblock/cv": "1.0e8",
+        "mcblock/scattering_constant_value": "1.0e2",
+    }
+    deck = Deck.parse(DECK).update(mods)
+    cfg = cfg_mod.from_deck(deck)
+    opac = cfg.mcblock.build_opacity()
+    assert not opac.is_gray
+    sim = Simulation(cfg, quiet=True)
+    prm = make_transport_params(cfg, jnp.float32)
+    km = _spatial_pallas_ok(
+        cfg.jaybenne, sim.mesh, prm, 2, opac, cfg.mcblock.build_scattering()
+    )
+    assert km == ("grid", True)  # the z-slab grid variant, interpret mode
+    p0 = sim.state.particles
+    w0 = float(np.asarray(p0.weight)[np.asarray(p0.alive)].sum())
+    e0 = float(np.asarray(p0.energy)[np.asarray(p0.alive)].mean())
+    sim.run()
+    p = sim.state.particles
+    alive = np.asarray(p.alive)
+    w_live = float(np.asarray(p.weight)[alive].sum())
+    absorbed = float(np.asarray(sim.state.fields.energy_delta).sum())
+    assert np.isclose(w_live + absorbed, w0, rtol=1e-4)
+    assert absorbed > 0
+    # nu^-3 spectral bias: survivors harden
+    assert float(np.asarray(p.energy)[alive].mean()) > e0
+
+
 @pytest.mark.slow
 def test_spatial_kernel_matches_xla_smr_ddmc():
     """Spatial + SMR + DDMC through the kernel (pending-leak pause + post-round

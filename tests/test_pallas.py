@@ -26,6 +26,26 @@ from jaybenne_tpu.utils.deck import Deck
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.fixture(autouse=True)
+def _restore_region_sizes():
+    """Tests shrink the bucketing-region targets (pb/pg.REGION_CELLS_*) so
+    interpret-mode compiles stay affordable; restore the production values
+    afterwards so later tests in the same process see the shipped layout."""
+    from jaybenne_tpu.ops import pallas_bucketed as pb
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    saved = [
+        (mod, name, getattr(mod, name))
+        for mod in (pb, pg)
+        for name in ("REGION_CELLS_IMC", "REGION_CELLS_DDMC")
+    ]
+    try:
+        yield
+    finally:
+        for mod, name, val in saved:
+            setattr(mod, name, val)
+
+
 DECK = """
 <parthenon/job>
 problem_id = stepdiff

@@ -98,8 +98,14 @@ def supports(mesh, prm) -> bool:
     plus the VMEM budget — uniform AND refined (SMR) meshes, IMC and DDMC alike."""
     K = _n_chunks(mesh)
     Kf = _n_fchunks(mesh, prm)
-    nb = _n_bchunks(mesh)
-    nt = _n_tchunks(mesh)
+    if mesh.max_level == 0:
+        # uniform forests collapse to ONE synthetic block in-kernel (see
+        # transport_pallas): block geometry/lookup tables are never gathered,
+        # so the block/tile chunk caps don't bind
+        nb = nt = 1
+    else:
+        nb = _n_bchunks(mesh)
+        nt = _n_tchunks(mesh)
     # gray ships ONE bf16-packed (ea, es) cell table, non-gray ships three
     # (rho, T, fleck); budget for the larger case (prm doesn't carry the
     # model kind — the ~2K-chunk over-estimate is noise vs VMEM_BUDGET)
@@ -209,6 +215,53 @@ def _face_pair_vectors(coefs, nx, ny, nz):
     pyp = _pack_bf16_pair(py[:, :, :ny, :], py[:, :, 1:, :]).reshape(-1)
     pzp = _pack_bf16_pair(pz[:, :nz, :, :], pz[:, 1:, :, :]).reshape(-1)
     return pxp, pyp, pzp
+
+
+def _uniform_view(mesh):
+    """Synthetic single-block ``MeshGeometry`` covering a uniform (max_level == 0)
+    block forest: one block of ``root_grid * block_shape`` cells with the domain
+    bounds. Block ids in a uniform forest are row-major in (z, y, x) logical
+    location (``build_mesh`` sorts by (level, z, y, x)), so cell tables remap by
+    a pure reshape/transpose (``_to_global_cells``) and particle state by an
+    affine shift (``transport_pallas``) — the kernel's ``single_block`` path then
+    skips EVERY per-iteration block-geometry/lookup gather (~5 chunked gathers:
+    cell size, origin x2, lookup probe) and interior block faces stop being
+    transitions at all. The reference pays a neighbor-table hop per block
+    crossing (``transport.cpp:150``); a uniform TPU mesh needs neither."""
+    from ..mesh import MeshGeometry
+
+    b = mesh.bounds
+    nrbz, nrby, nrbx = mesh.root_grid
+    NX, NY, NZ = nrbx * mesh.nx, nrby * mesh.ny, nrbz * mesh.nz
+    f32, i32 = jnp.float32, jnp.int32
+    return MeshGeometry(
+        ndim=mesh.ndim,
+        nx=NX, ny=NY, nz=NZ,
+        n_blocks=1,
+        max_level=0,
+        bounds=b,
+        tile_shape=(1, 1, 1),
+        root_grid=(1, 1, 1),
+        finest=mesh.finest,
+        block_origin=jnp.asarray([[b[0], b[2], b[4]]], f32),
+        block_dx=jnp.asarray(
+            [[(b[1] - b[0]) / NX, (b[3] - b[2]) / NY, (b[5] - b[4]) / NZ]], f32
+        ),
+        block_level=jnp.zeros((1,), i32),
+        lookup=jnp.zeros((1, 1, 1), i32),
+    )
+
+
+def _to_global_cells(vec, mesh):
+    """Per-cell vector in block order ([B * nz*ny*nx], i fastest) -> global
+    row-major cell order of the uniform synthetic block — a reshape/transpose
+    (no gather), valid because uniform block ids are (z, y, x) row-major."""
+    nrbz, nrby, nrbx = mesh.root_grid
+    return (
+        vec.reshape(nrbz, nrby, nrbx, mesh.nz, mesh.ny, mesh.nx)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1)
+    )
 
 
 def _transport_kernel(
@@ -987,6 +1040,36 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
 
     f32 = jnp.float32
     i32 = jnp.int32
+    mesh_b = mesh  # the block forest the ledger/coefs live on
+    uniform = mesh.n_blocks > 1 and mesh.max_level == 0
+    if uniform:
+        # Uniform forest -> ONE synthetic block (see _uniform_view): shift the
+        # ledger's block-local state to global-in-domain (O(n) elementwise, no
+        # gathers — block decomposition is affine for a uniform root grid).
+        # f32 shift round-trip error is <= nrb * extent * 2^-24, orders below
+        # the eps_imc/eps_ddmc face offsets.
+        nrbz, nrby, nrbx = mesh_b.root_grid
+        bnds = mesh_b.bounds
+        Dx = f32((bnds[1] - bnds[0]) / nrbx)
+        Dy = f32((bnds[3] - bnds[2]) / nrby)
+        Dz = f32((bnds[5] - bnds[4]) / nrbz)
+        bx = p.block % nrbx
+        by = (p.block // nrbx) % nrby
+        bz = p.block // (nrbx * nrby)
+        p = dataclasses.replace(
+            p,
+            x=p.x + bx.astype(f32) * Dx,
+            y=p.y + by.astype(f32) * Dy,
+            z=p.z + bz.astype(f32) * Dz,
+            i=p.i + bx * mesh_b.nx,
+            j=p.j + by * mesh_b.ny,
+            k=p.k + bz * mesh_b.nz,
+            block=jnp.zeros_like(p.block),
+        )
+        mesh = _uniform_view(mesh_b)
+        remap = functools.partial(_to_global_cells, mesh=mesh_b)
+    else:
+        remap = lambda v: v  # noqa: E731
     K = _n_chunks(mesh)
     Kb = _n_bchunks(mesh)
     Kt = _n_tchunks(mesh)
@@ -994,9 +1077,9 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
     if nongray:
         # per-event model evaluation: ship (rho, temp, fleck) instead of
         # precomputed coefficients (coefs.packed columns, see TransportCoefs)
-        sa_t = _chunk_table(coefs.packed[:, 0], f32, K)
-        ss_t = _chunk_table(coefs.packed[:, 1], f32, K)
-        ff_t = _chunk_table(coefs.packed[:, 2], f32, K)
+        sa_t = _chunk_table(remap(coefs.packed[:, 0]), f32, K)
+        ss_t = _chunk_table(remap(coefs.packed[:, 1]), f32, K)
+        ff_t = _chunk_table(remap(coefs.packed[:, 2]), f32, K)
     else:
         # gray path: the kernel only ever needs the derived collision-rate
         # pair (ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a;
@@ -1010,17 +1093,18 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
             coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
             if prm.has_absorption else coefs.sigma_s
         )
-        sa_t = _chunk_table(_pack_bf16_pair(ea_vec, es_vec), i32, K)
+        sa_t = _chunk_table(remap(_pack_bf16_pair(ea_vec, es_vec)), i32, K)
         ss_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
         ff_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
     Kf = _n_fchunks(mesh, prm)
     if prm.use_ddmc:
         # per-cell bf16-packed (P_lower, P_upper) pairs per axis (cell-sized
-        # tables gathered with the same cell index as the coefficients)
-        pxp, pyp, pzp = _face_pair_vectors(coefs, mesh.nx, mesh.ny, mesh.nz)
-        fpx_t = _chunk_table(pxp, i32, Kf[0])
-        fpy_t = _chunk_table(pyp, i32, Kf[1])
-        fpz_t = _chunk_table(pzp, i32, Kf[2])
+        # tables gathered with the same cell index as the coefficients; built
+        # on the BLOCK forest's face arrays, then remapped like cell tables)
+        pxp, pyp, pzp = _face_pair_vectors(coefs, mesh_b.nx, mesh_b.ny, mesh_b.nz)
+        fpx_t = _chunk_table(remap(pxp), i32, Kf[0])
+        fpy_t = _chunk_table(remap(pyp), i32, Kf[1])
+        fpz_t = _chunk_table(remap(pzp), i32, Kf[2])
     else:
         fpx_t = fpy_t = fpz_t = jnp.zeros((GREP, LANES), i32)
     bdx_t = _chunk_table(mesh.block_dx[:, 0], f32, Kb)
@@ -1109,6 +1193,19 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
 
     (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, ev, it) = results
     flat = lambda a: a.reshape(cap)
+    if uniform:
+        # global-in-domain -> block-local: the kernel keeps (ci, cj, ck) inside
+        # the synthetic block, so integer division recovers the owning block
+        bx = ci // mesh_b.nx
+        by = cj // mesh_b.ny
+        bz = ck // mesh_b.nz
+        blk = (bz * nrby + by) * nrbx + bx
+        ci = ci - bx * mesh_b.nx
+        cj = cj - by * mesh_b.ny
+        ck = ck - bz * mesh_b.nz
+        x = x - bx.astype(f32) * Dx
+        y = y - by.astype(f32) * Dy
+        z = z - bz.astype(f32) * Dz
     p = dataclasses.replace(
         p,
         x=flat(x).astype(p.x.dtype), y=flat(y).astype(p.y.dtype), z=flat(z).astype(p.z.dtype),

@@ -317,6 +317,123 @@ def test_pallas_interpret_smr_ddmc_conserves_energy():
     assert np.isclose(totals["on"], totals["off"], rtol=1e-5)
 
 
+def test_uniform_view_remap_matches_lookup():
+    """The mega-kernel's uniform synthetic-block remap (_to_global_cells, a pure
+    reshape/transpose keyed on the (z, y, x) row-major block ordering) must
+    agree with the INDEPENDENT lookup-grid-based block->global mapping the grid
+    kernel uses (pallas_grid._to_global) on every uniform forest shape."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+    from jaybenne_tpu.ops import pallas_transport as pt
+
+    for mods in (
+        {},  # 100 cells / 2 blocks (1D)
+        {"parthenon/mesh/nx1": 32, "parthenon/mesh/nx2": 16,
+         "parthenon/meshblock/nx1": 8, "parthenon/meshblock/nx2": 8},
+        {"parthenon/mesh/nx1": 8, "parthenon/mesh/nx2": 8,
+         "parthenon/mesh/nx3": 8, "parthenon/meshblock/nx1": 4,
+         "parthenon/meshblock/nx2": 4, "parthenon/meshblock/nx3": 4},
+    ):
+        cfg = cm.from_deck(Deck.parse(DECK).update(mods))
+        mesh = build_mesh(cfg.mesh)
+        assert mesh.max_level == 0 and mesh.n_blocks > 1
+        v = jnp.arange(mesh.total_cells, dtype=jnp.int32)
+        got = np.asarray(pt._to_global_cells(v, mesh))
+        want = np.asarray(
+            pg._to_global(
+                mesh, v.reshape(mesh.n_blocks, mesh.nz, mesh.ny, mesh.nx)
+            )
+        ).reshape(-1)
+        assert np.array_equal(got, want), mods
+
+
+def test_pallas_uniform_view_3d():
+    """3D uniform multi-block forest through the mega-kernel's synthetic
+    single-block path: the block/position round-trip must land every survivor
+    back on a consistent (block, i, j, k, block-local position) tuple, and the
+    diffusion statistics must match the XLA loop's."""
+    mods = {
+        "parthenon/mesh/nx1": 8, "parthenon/mesh/nx2": 8,
+        "parthenon/mesh/nx3": 8, "parthenon/meshblock/nx1": 4,
+        "parthenon/meshblock/nx2": 4, "parthenon/meshblock/nx3": 4,
+        "parthenon/swarm/ix2_bc": "jaybenne_reflecting",
+        "parthenon/swarm/ox2_bc": "jaybenne_reflecting",
+        "parthenon/swarm/ix3_bc": "jaybenne_reflecting",
+        "parthenon/swarm/ox3_bc": "jaybenne_reflecting",
+    }
+    cfg = cm.from_deck(Deck.parse(DECK).update(mods))
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    assert mesh.n_blocks == 8 and mesh.max_level == 0
+    assert supports(mesh, prm)
+    n = 4000
+    c = 2.99792458e10
+    ks = jr.split(jr.PRNGKey(3), 4)
+    nx_, ny_, nz_ = (
+        1.0 - 2.0 * jr.uniform(ks[1], (n,)),
+        1.0 - 2.0 * jr.uniform(ks[2], (n,)),
+        1.0 - 2.0 * jr.uniform(ks[3], (n,)),
+    )
+    nrm = jnp.sqrt(nx_**2 + ny_**2 + nz_**2)
+    dxc = 1.0 / 8
+    p = empty_ledger(TILE)
+    # start in block 0, local cell (3, 3, 3) — adjacent to interior block faces
+    # in every axis, so the synthetic view's cell tracking crosses them all
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set((3.0 + jr.uniform(ks[0], (n,))) * dxc),
+        y=p.y.at[:n].set((3.0 + jr.uniform(ks[1], (n,))) * dxc),
+        z=p.z.at[:n].set((3.0 + jr.uniform(ks[2], (n,))) * dxc),
+        vx=p.vx.at[:n].set(c * nx_ / nrm),
+        vy=p.vy.at[:n].set(c * ny_ / nrm),
+        vz=p.vz.at[:n].set(c * nz_ / nrm),
+        i=p.i.at[:n].set(3),
+        j=p.j.at[:n].set(3),
+        k=p.k.at[:n].set(3),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    NC = mesh.total_cells
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)),
+        sigma_s=jnp.full((NC,), 2.0e2),
+        fleck=jnp.ones((NC,)),
+        px=jnp.zeros((8, 4, 4, 5)),
+        py=jnp.zeros((8, 4, 5, 4)),
+        pz=jnp.zeros((8, 5, 4, 4)),
+    )
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = transport_pallas(p, coefs, mesh, jr.PRNGKey(1), prm, dt,
+                                interpret=True)
+    px_, _, _ = T.transport(p, coefs, mesh, jr.PRNGKey(1), prm, dt)
+    bdx = np.asarray(mesh.block_dx)
+    for out, name in ((pp, "pallas"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+        blk = np.asarray(out.block)[alive]
+        assert (blk >= 0).all() and (blk < 8).all(), name
+        for idx, pos, nloc, ax in (
+            (np.asarray(out.i)[alive], np.asarray(out.x)[alive], mesh.nx, 0),
+            (np.asarray(out.j)[alive], np.asarray(out.y)[alive], mesh.ny, 1),
+            (np.asarray(out.k)[alive], np.asarray(out.z)[alive], mesh.nz, 2),
+        ):
+            assert (idx >= 0).all() and (idx < nloc).all(), name
+            # the f32 global->local rebase leaves survivors within ~1e-4 of the
+            # block box (both paths; measured XLA-loop excursion ~6e-5)
+            ext = bdx[blk, ax] * nloc
+            assert (pos >= -1e-3 * ext).all(), name
+            assert (pos <= ext * (1.0 + 1e-3)).all(), name
+            # block-local position lands in (or within an eps offset of) the
+            # integer-tracked cell
+            cell_err = pos / bdx[blk, ax] - idx
+            assert (cell_err > -0.1).all() and (cell_err < 1.1).all(), name
+    for axis in range(3):
+        g_p = np.asarray(pp.global_position(mesh)[axis])[np.asarray(pp.alive)]
+        g_x = np.asarray(px_.global_position(mesh)[axis])[np.asarray(px_.alive)]
+        assert abs(g_p.mean() - g_x.mean()) < 0.015, axis
+        assert abs(g_p.std() - g_x.std()) / g_x.std() < 0.15, axis
+
+
 def _setup_big(nx_total=8192, nblk=256, sigma_s=2.0e2, n=4000, use_ddmc=False):
     """A mesh past VMEM residency (32 blocks x 256 cells), with the region target
     shrunk so multiple bucketing regions are exercised at a compile size interpret

@@ -334,7 +334,15 @@ def _bucketed_kernel(
                     .astype(jnp.float32),
                     shape,
                 )
-                head = (ff * sa, ss + (1.0 - ff) * sa)
+                ea_r = ff * sa
+                es_r = ss + (1.0 - ff) * sa
+                if use_ddmc:
+                    head = (ea_r, es_r)
+                else:
+                    # non-DDMC consumes only (branch prob, 1/sig_t): derive
+                    # them at refresh so the divide leaves the iteration
+                    inv_r = 1.0 / (ea_r + es_r + tiny)
+                    head = (ea_r * inv_r, inv_r)
             else:
                 head = (_gather(pk_ref, cell, K_reg),)
             if not use_ddmc:
@@ -359,11 +367,19 @@ def _bucketed_kernel(
                 refresh, gather_coefs, lambda _: tuple(coef_c), None
             )
             stale = jnp.where(refresh, jnp.zeros_like(stale), stale)
+        inv_sigt = p_abs = None  # non-DDMC carries these instead of (ea, es)
         if nongray:
-            ea, es = coefs[0], coefs[1]
-        else:
+            if use_ddmc:
+                ea, es = coefs[0], coefs[1]
+            else:
+                p_abs, inv_sigt = coefs[0], coefs[1]
+        elif use_ddmc:
             es = _bf16_lo(coefs[0])
             ea = _bf16_hi(coefs[0]) if has_absorption else jnp.zeros(shape)
+        else:
+            # gray non-DDMC pair word is (p_abs, 1/sig_t), packed host-side
+            inv_sigt = _bf16_lo(coefs[0])
+            p_abs = _bf16_hi(coefs[0]) if has_absorption else None
         active = (alive != 0) & (tau < 1.0) & (paused == 0) & (stale == 0)
 
         fi = ci.astype(jnp.float32)
@@ -382,20 +398,24 @@ def _bucketed_kernel(
 
         # competing-risks collision sampling: one exponential at the total
         # rate + a branch uniform (identical in distribution to the separate
-        # absorption/scattering exponential min; one log cheaper)
-        sig_c = (ea + es) if has_absorption else es
-        d_coll = pool.exp23(it) / (sig_c + tiny)
+        # absorption/scattering exponential min; one log cheaper). Non-DDMC
+        # paths carry 1/sig_t, turning the divide into a multiply.
+        if inv_sigt is not None:
+            d_coll = pool.exp23(it) * inv_sigt
+        else:
+            sig_c = (ea + es) if has_absorption else es
+            d_coll = pool.exp23(it) / (sig_c + tiny)
         u_branch = pool.u23(it) if has_absorption else None
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
         def face_dist(v, lo, hi, q):
-            vsafe_p = jnp.where(v > 0, v, 1.0)
-            vsafe_n = jnp.where(v < 0, v, -1.0)
-            return jnp.where(
-                v > 0, c * (hi - q) / vsafe_p,
-                jnp.where(v < 0, c * (lo - q) / vsafe_n, BIG),
-            )
+            # one select + one divide: the exit face is hi for v > 0, lo for
+            # v < 0, and either signed difference over v is >= 0; v == 0
+            # lanes divide by the guard value and are overridden to BIG
+            tgt = jnp.where(v > 0, hi, lo)
+            d = c * (tgt - q) / jnp.where(v != 0, v, 1.0)
+            return jnp.where(v != 0, d, BIG)
 
         fxd = face_dist(vx, xl, xu, x)
         fyd = face_dist(vy, yl, yu, y) if multi_d else jnp.full(shape, BIG)
@@ -404,7 +424,10 @@ def _bucketed_kernel(
         d_push = jnp.minimum(jnp.minimum(d_geom, fxd), jnp.minimum(fyd, fzd))
         coll = act_imc & (d_coll < d_push)
         if has_absorption:
-            i_abs = coll & (u_branch * sig_c < ea)
+            if p_abs is not None:
+                i_abs = coll & (u_branch < p_abs)
+            else:
+                i_abs = coll & (u_branch * sig_c < ea)
             i_sc = coll & ~i_abs
         else:
             i_abs = jnp.zeros(shape, bool)
@@ -775,7 +798,9 @@ def _bucketed_kernel(
             nstale,
             npaused,
             it + 1,
-            ev + jnp.sum(active.astype(jnp.int32)),
+            # per-lane active-iteration counter: one elementwise add per
+            # iteration; the cross-lane event total reduces ONCE after the loop
+            ev + active.astype(jnp.int32),
         )
 
     def cond(carry):
@@ -804,12 +829,12 @@ def _bucketed_kernel(
     ) + coef0 + (
         jnp.zeros(shape, jnp.int32),  # stale (it=0 always refreshes)
         paused0,
-        jnp.int32(0), jnp.int32(0),
+        jnp.int32(0), jnp.zeros(shape, jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
     (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
      leak) = out[:15]
-    it, ev = out[-2], out[-1]
+    it, ev = out[-2], jnp.sum(out[-1])
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau
@@ -1026,10 +1051,16 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
             perm2)
     else:
         # gray: ONE bf16-packed derived table covers every in-kernel
-        # coefficient use (sigma_t = ea + es): word = pack(ea, es)
+        # coefficient use. DDMC needs the rate pair itself (sigma_t = ea + es
+        # feeds leak math); the pure-IMC loop consumes only (branch prob,
+        # 1/sig_t), so the divide moves here, out of the census iteration.
         ea_vec = coefs.fleck * coefs.sigma_a
         es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
-        pk_vec = _pack_bf16_pair(ea_vec, es_vec)
+        if prm.use_ddmc:
+            pk_vec = _pack_bf16_pair(ea_vec, es_vec)
+        else:
+            inv_vec = 1.0 / (ea_vec + es_vec + jnp.float32(1.0e-37))
+            pk_vec = _pack_bf16_pair(ea_vec * inv_vec, inv_vec)
         pk_t2 = _parity_tables(
             lambda pm: _region_tables(pk_vec, pm, ncpb, K_reg, i32), perm2)
         t2_t2 = f3_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), f32)
@@ -1277,7 +1308,12 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False,
         else:
             ea_vec = coefs.fleck * coefs.sigma_a
             es_vec = coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
-            pk_vec = _pack_bf16_pair(ea_vec, es_vec)
+            if prm.use_ddmc:
+                pk_vec = _pack_bf16_pair(ea_vec, es_vec)
+            else:
+                # pure-IMC pair word is (p_abs, 1/sig_t) — see transport_bucketed
+                inv_vec = 1.0 / (ea_vec + es_vec + jnp.float32(1.0e-37))
+                pk_vec = _pack_bf16_pair(ea_vec * inv_vec, inv_vec)
             pk_t2 = _parity_tables(
                 lambda pm: _region_tables(pk_vec, pm, ncpb, K_reg, i32), perm2)
             t2_t2 = f3_t2 = jnp.zeros((2, (R + 1) * GREP, LANES), f32)

@@ -352,6 +352,7 @@ def _transport_kernel(
         #   ea = fleck * sigma_a          (effective absorption rate)
         #   es = sigma_s + (1-fleck)*sigma_a  (effective scattering rate)
         # sigma_t = ea + es, so the gray path gathers TWO tables, not three.
+        inv_sigt = p_abs = None  # gray non-DDMC carries these instead
         if nongray:
             # frequency-dependent surface: gather (rho, T, fleck) and evaluate
             # the models at the particle's photon energy, per event
@@ -370,15 +371,26 @@ def _transport_kernel(
             )
             ea = ff * sa
             es = ss + (1.0 - ff) * sa
-        else:
-            # gray: ONE bf16-packed (ea, es) word per cell — sa_ref holds the
-            # pair table, ss_ref is unused (opacity_model = none packs ea = 0;
-            # sigma_a == 0 means the Fleck factor is exactly 1 and absorption
-            # never fires, so the unpack of the zero half is skipped)
+        elif use_ddmc:
+            # gray + DDMC: ONE bf16-packed (ea, es) word per cell — sa_ref
+            # holds the pair table, ss_ref is unused (opacity_model = none
+            # packs ea = 0; sigma_a == 0 means the Fleck factor is exactly 1
+            # and absorption never fires, so the zero half's unpack is skipped)
             pk = _gather_chunked(sa_ref, cell, n_chunks)
             es = _bf16_lo(pk)
             ea = _bf16_hi(pk) if has_absorption else None
-        sig_t = es if ea is None else ea + es
+        else:
+            # gray, no DDMC: the loop only ever consumes the total collision
+            # rate (as a DIVISOR of the exponential draw) and the absorption
+            # branch probability, so the pair table carries
+            # (p_abs = fleck*sigma_a/sig_t, 1/sig_t) directly — no add, no
+            # divide, no threshold multiply per iteration. Same bf16
+            # rate-quantization class as the (ea, es) pack.
+            pk = _gather_chunked(sa_ref, cell, n_chunks)
+            inv_sigt = _bf16_lo(pk)
+            p_abs = _bf16_hi(pk) if has_absorption else None
+        if nongray or use_ddmc:
+            sig_t = es if ea is None else ea + es
 
         fi = ci.astype(jnp.float32)
         xl, xu = fi * dxb, (fi + 1.0) * dxb
@@ -400,19 +412,23 @@ def _transport_kernel(
         # scattering exponentials is one exponential at the total rate; the
         # branch is chosen with probability ea/(ea+es) (transport.cpp draws
         # the two distances separately — identical in distribution, one log
-        # and one divide cheaper here).
-        d_coll = pool.exp23(it) / (sig_t + tiny)
+        # and one divide cheaper here). Non-DDMC gray tables carry
+        # (p_abs, 1/sig_t) directly, turning the divide into a multiply.
+        if inv_sigt is not None:
+            d_coll = pool.exp23(it) * inv_sigt
+        else:
+            d_coll = pool.exp23(it) / (sig_t + tiny)
         u_branch = pool.u23(it) if has_absorption else None
         d_end = c * dt * (1.0 - tau)
         d_geom = jnp.minimum(dmin, d_end)
 
         def face_dist(v, lo, hi, q):
-            vsafe_p = jnp.where(v > 0, v, 1.0)
-            vsafe_n = jnp.where(v < 0, v, -1.0)
-            return jnp.where(
-                v > 0, c * (hi - q) / vsafe_p,
-                jnp.where(v < 0, c * (lo - q) / vsafe_n, BIG),
-            )
+            # one select + one divide: the exit face is hi for v > 0, lo for
+            # v < 0, and either signed difference over v is >= 0; v == 0
+            # lanes divide by the guard value and are overridden to BIG
+            tgt = jnp.where(v > 0, hi, lo)
+            d = c * (tgt - q) / jnp.where(v != 0, v, 1.0)
+            return jnp.where(v != 0, d, BIG)
 
         fxd = face_dist(vx, xl, xu, x)
         if multi_d:
@@ -428,7 +444,10 @@ def _transport_kernel(
             d_push = jnp.minimum(d_geom, fxd)
         coll = act_imc & (d_coll < d_push)
         if has_absorption:
-            i_abs = coll & (u_branch * sig_t < ea)
+            if p_abs is not None:
+                i_abs = coll & (u_branch < p_abs)
+            else:
+                i_abs = coll & (u_branch * sig_t < ea)
             i_sc = coll & ~i_abs
         else:
             i_abs = jnp.zeros(shape, bool)
@@ -777,17 +796,27 @@ def _transport_kernel(
         out = out & (nalive != 0)
         if single_block:
             # transitions are BC-only: rebase the (possibly reflected/wrapped)
-            # global position into the single block
+            # global position into the single block (cell size is static, so
+            # the divides fold to reciprocal multiplies)
             lx = gx - jnp.float32(block_org0[0])
-            ri = jnp.clip((lx / dxb).astype(jnp.int32), 0, nx - 1)
+            ri = jnp.clip(
+                (lx * jnp.float32(1.0 / block_dx0[0])).astype(jnp.int32),
+                0, nx - 1,
+            )
             if multi_d:
                 ly = gy - jnp.float32(block_org0[1])
-                rj = jnp.clip((ly / dyb).astype(jnp.int32), 0, ny - 1)
+                rj = jnp.clip(
+                    (ly * jnp.float32(1.0 / block_dx0[1])).astype(jnp.int32),
+                    0, ny - 1,
+                )
             else:
                 ly, rj = ny_, cj
             if three_d:
                 lz = gz - jnp.float32(block_org0[2])
-                rk = jnp.clip((lz / dzb).astype(jnp.int32), 0, nz - 1)
+                rk = jnp.clip(
+                    (lz * jnp.float32(1.0 / block_dx0[2])).astype(jnp.int32),
+                    0, nz - 1,
+                )
             else:
                 lz, rk = nz_, ck
             nblk = blk
@@ -990,7 +1019,9 @@ def _transport_kernel(
             nx_, ny_, nz_, nvx, nvy, nvz, ntau,
             nblk, nci, ncj, nck, nalive, nabsorbed, nface,
             it + 1,
-            ev + jnp.sum(active.astype(jnp.int32)),
+            # per-lane active-iteration counter: one elementwise add per
+            # iteration; the cross-lane event total reduces ONCE after the loop
+            ev + active.astype(jnp.int32),
         )
 
     def cond(carry):
@@ -1003,11 +1034,12 @@ def _transport_kernel(
         vx_ref[:], vy_ref[:], vz_ref[:], tau_ref[:],
         blk_ref[:], ci_ref[:], cj_ref[:], ck_ref[:],
         alive_ref[:], absorbed_ref[:], face_ref[:],
-        jnp.int32(0), jnp.int32(0),
+        jnp.int32(0), jnp.zeros(shape, jnp.int32),
     )
     (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, it, ev) = (
         jax.lax.while_loop(cond, body, init)
     )
+    ev = jnp.sum(ev)
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z
     ovx_ref[:], ovy_ref[:], ovz_ref[:] = vx, vy, vz
     otau_ref[:] = tau
@@ -1084,7 +1116,10 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
         # gray path: the kernel only ever needs the derived collision-rate
         # pair (ea = fleck*sigma_a, es = sigma_s + (1-fleck)*sigma_a;
         # sigma_t = ea + es), bf16-packed into ONE chunked table per event
-        # (sa_ref carries the pair word; ss_ref is never read)
+        # (sa_ref carries the pair word; ss_ref is never read). Without DDMC
+        # the loop consumes only sig_t-as-divisor and the absorption branch
+        # probability, so the pair is (p_abs = ea/sig_t, 1/sig_t) instead —
+        # the divides move here, out of the census loop.
         ea_vec = (
             coefs.fleck * coefs.sigma_a if prm.has_absorption
             else jnp.zeros_like(coefs.sigma_s)
@@ -1093,7 +1128,12 @@ def transport_pallas(particles, coefs, mesh, key, prm, dt, interpret=False):
             coefs.sigma_s + (1.0 - coefs.fleck) * coefs.sigma_a
             if prm.has_absorption else coefs.sigma_s
         )
-        sa_t = _chunk_table(remap(_pack_bf16_pair(ea_vec, es_vec)), i32, K)
+        if prm.use_ddmc:
+            pair_vec = _pack_bf16_pair(ea_vec, es_vec)
+        else:
+            inv_vec = 1.0 / (ea_vec + es_vec + jnp.float32(1.0e-37))
+            pair_vec = _pack_bf16_pair(ea_vec * inv_vec, inv_vec)
+        sa_t = _chunk_table(remap(pair_vec), i32, K)
         ss_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
         ff_t = jnp.zeros((GREP, LANES), f32)  # never read in the kernel
     Kf = _n_fchunks(mesh, prm)

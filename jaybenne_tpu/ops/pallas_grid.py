@@ -827,10 +827,10 @@ def _grid_kernel(
         ngk = gk + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
 
         mu = 1.0 - 2.0 * pool.u16(it)
-        phi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
+        cph, sph = pool.circle(it)  # one transcendental instead of cos+sin
         st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
-        nvx = jnp.where(i_sc, c * st * jnp.cos(phi), vx)
-        nvy = jnp.where(i_sc, c * st * jnp.sin(phi), vy)
+        nvx = jnp.where(i_sc, c * st * cph, vx)
+        nvy = jnp.where(i_sc, c * st * sph, vy)
         nvz = jnp.where(i_sc, c * mu, vz)
 
         nalive = jnp.where(i_abs, 0, alive)
@@ -868,8 +868,8 @@ def _grid_kernel(
 
             amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
-            aphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
-            a1, a2, a3 = amu, anu * jnp.cos(aphi), anu * jnp.sin(aphi)
+            aph, ash = pool.circle(it)
+            a1, a2, a3 = amu, anu * aph, anu * ash
 
             rj_x, rj_y, rj_z = x, y, z
             rj_vx, rj_vy, rj_vz = vx, vy, vz
@@ -938,8 +938,8 @@ def _grid_kernel(
 
             bmu = jnp.sqrt(pool.u16(it))
             bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
-            bphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
-            b1, b2, b3 = bmu, bnu * jnp.cos(bphi), bnu * jnp.sin(bphi)
+            bph, bsh = pool.circle(it)
+            b1, b2, b3 = bmu, bnu * bph, bnu * bsh
 
             dd_x, dd_y, dd_z = x, y, z
             dd_vx, dd_vy, dd_vz = vx, vy, vz
@@ -986,9 +986,9 @@ def _grid_kernel(
             dd_z = jnp.where(dd_census, zl + pool.u16(it) * dzc, dd_z)
             cmu = 1.0 - 2.0 * pool.u16(it)
             cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
-            cphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
-            dd_vx = jnp.where(dd_census, c * cst * jnp.cos(cphi), dd_vx)
-            dd_vy = jnp.where(dd_census, c * cst * jnp.sin(cphi), dd_vy)
+            cph, csh = pool.circle(it)
+            dd_vx = jnp.where(dd_census, c * cst * cph, dd_vx)
+            dd_vy = jnp.where(dd_census, c * cst * csh, dd_vy)
             dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
 
             dd_x = jnp.where(rejected, rj_x, dd_x)

@@ -110,3 +110,18 @@ class DrawPool:
 
     def exp23(self, it):
         return -jnp.log(jnp.maximum(self.u23(it), _TINY))
+
+    def circle(self, it):
+        """(cos phi, sin phi) for phi ~ U[0, 2pi) from ONE word, with a single
+        transcendental: c = cos(pi*u) over a 23-bit u covers (-1, 1] with
+        exactly the arccos density of the cosine of a uniform angle, and
+        |sin| = sqrt(1 - c^2) takes its sign from an independent raw bit.
+        Replaces the cos+sin pair at every azimuth-sampling site (sin lowers
+        to a full polynomial approximation on the VPU; sqrt is hardware)."""
+        b = self._bits(it)
+        u = ((b >> 9) & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 23)
+        )
+        ch = jnp.cos(jnp.float32(3.14159265358979) * u)
+        sh = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
+        return ch, jnp.where((b & 1) != 0, -sh, sh)

@@ -491,12 +491,13 @@ def _transport_kernel(
         else:
             nck = ck
 
-        # isotropic scatter redraw (scattering.hpp:21-29)
+        # isotropic scatter redraw (scattering.hpp:21-29); the azimuth pair
+        # comes from pool.circle — one transcendental instead of cos+sin
         mu = 1.0 - 2.0 * pool.u16(it)
-        phi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
+        cph, sph = pool.circle(it)
         st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
-        nvx = jnp.where(i_sc, c * st * jnp.cos(phi), vx)
-        nvy = jnp.where(i_sc, c * st * jnp.sin(phi), vy)
+        nvx = jnp.where(i_sc, c * st * cph, vx)
+        nvy = jnp.where(i_sc, c * st * sph, vy)
         nvz = jnp.where(i_sc, c * mu, vz)
 
         nalive = jnp.where(i_abs, 0, alive)
@@ -549,8 +550,8 @@ def _transport_kernel(
             # hemisphere direction for bounce-back / leak
             amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
-            aphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
-            a1, a2, a3 = amu, anu * jnp.cos(aphi), anu * jnp.sin(aphi)
+            aph, ash = pool.circle(it)
+            a1, a2, a3 = amu, anu * aph, anu * ash
 
             rj_x, rj_y, rj_z = x, y, z
             rj_vx, rj_vy, rj_vz = vx, vy, vz
@@ -621,8 +622,8 @@ def _transport_kernel(
 
             bmu = jnp.sqrt(pool.u16(it))
             bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
-            bphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
-            b1, b2, b3 = bmu, bnu * jnp.cos(bphi), bnu * jnp.sin(bphi)
+            bph, bsh = pool.circle(it)
+            b1, b2, b3 = bmu, bnu * bph, bnu * bsh
 
             dd_x, dd_y, dd_z = x, y, z
             dd_vx, dd_vy, dd_vz = vx, vy, vz
@@ -676,9 +677,9 @@ def _transport_kernel(
                 dd_z = jnp.where(dd_census, zl + pool.u16(it) * dzb, dd_z)
             cmu = 1.0 - 2.0 * pool.u16(it)
             cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
-            cphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
-            dd_vx = jnp.where(dd_census, c * cst * jnp.cos(cphi), dd_vx)
-            dd_vy = jnp.where(dd_census, c * cst * jnp.sin(cphi), dd_vy)
+            cph, csh = pool.circle(it)
+            dd_vx = jnp.where(dd_census, c * cst * cph, dd_vx)
+            dd_vy = jnp.where(dd_census, c * cst * csh, dd_vy)
             dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
 
             # merge rejected-bounce (no time advance) with step results
@@ -889,8 +890,8 @@ def _transport_kernel(
                 u_t2 = pool.u16(it) if three_d else None
                 smu = jnp.sqrt(pool.u16(it))
                 snu = jnp.sqrt(jnp.maximum(1.0 - smu * smu, 0.0))
-                sphi = jnp.float32(2.0 * 3.14159265358979) * pool.u16(it)
-                a1, a2, a3 = smu, snu * jnp.cos(sphi), snu * jnp.sin(sphi)
+                sph, ssh = pool.circle(it)
+                a1, a2, a3 = smu, snu * sph, snu * ssh
 
                 dims = (nx, ny, nz)
                 locs = [lx, ly, lz]

@@ -43,3 +43,26 @@ def test_uniform_pos_strictly_positive():
     u = np.asarray(rng.uniform_pos(KEY, (N,), jnp.float32))
     assert (u > 0).all() and (u < 1.0).all()
     assert np.isfinite(np.log(u)).all()
+
+
+def test_pool_circle_uniform_on_circle():
+    """DrawPool.circle must sample (cos phi, sin phi) exactly uniform on the
+    unit circle: on-circle to f32 precision, zero means, half-unit second
+    moments, uncorrelated components, and a sign-balanced sine."""
+    from jaybenne_tpu.ops import pallas_rng as prng
+
+    shape = (512, 128)  # 65536 samples
+    raw = prng.make_raw_bits(
+        shape, jnp.uint32(1234), 0, interpret=True
+    )
+    pool = prng.DrawPool(raw)
+    ch, sh = pool.circle(jnp.int32(0))
+    c = np.asarray(ch).reshape(-1).astype(np.float64)
+    s = np.asarray(sh).reshape(-1).astype(np.float64)
+    n = c.size
+    assert np.abs(c * c + s * s - 1.0).max() < 1e-6
+    sd = 1.0 / np.sqrt(2 * n)  # var(cos) = 1/2
+    assert abs(c.mean()) < 5 * sd and abs(s.mean()) < 5 * sd
+    assert abs((c * c).mean() - 0.5) < 10 * sd
+    assert abs((c * s).mean()) < 5 * sd  # components uncorrelated
+    assert abs((s > 0).mean() - 0.5) < 5 / np.sqrt(n)

@@ -60,6 +60,7 @@ from .pallas_transport import (
     _bf16_lo,
     _chunk_table,
     _gather,
+    census_while,
     _face_pair_vectors,
     _n_bchunks,
     _n_tchunks,
@@ -831,7 +832,7 @@ def _bucketed_kernel(
         paused0,
         jnp.int32(0), jnp.zeros(shape, jnp.int32),
     )
-    out = jax.lax.while_loop(cond, body, init)
+    out = census_while(cond, body, init)
     (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
      leak) = out[:15]
     it, ev = out[-2], jnp.sum(out[-1])

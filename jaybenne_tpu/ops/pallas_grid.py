@@ -51,6 +51,7 @@ from ..config import BC
 from . import pallas_rng as rng
 from .pallas_transport import (
     GREP, LANES, _bf16_hi, _bf16_lo, _chunk_table, _gather, _pack_bf16_pair,
+    census_while,
 )
 
 BSUB = 32                  # sublane groups per tile (4096-lane tiles).
@@ -1139,7 +1140,7 @@ def _grid_kernel(
         paused0,
         jnp.int32(0), jnp.zeros(shape, jnp.int32),
     )
-    out = jax.lax.while_loop(cond, body, init)
+    out = census_while(cond, body, init)
     (x, y, z, vx, vy, vz, tau, gi, gj, gk, alive, absorbed, face) = out[:13]
     it, ev = out[-2], jnp.sum(out[-1])
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z

@@ -59,6 +59,24 @@ SUBLANES = int(os.environ.get("JB_SUBLANES", "128"))
 LANES = 128
 GREP = 8                 # sublane rows per stored table chunk (one f32 vreg)
 TILE = SUBLANES * LANES  # particles per grid tile
+# Census-loop cond cadence: every while_loop iteration pays a cross-lane
+# reduction plus a vector->scalar sync for the "any lane still active?" test.
+# COND_EVERY > 1 runs that many body iterations per cond check through an
+# inner fori_loop — the body is the identity for inactive lanes (documented at
+# each kernel's carry return), so the <= COND_EVERY-1 overshoot iterations per
+# tile are harmless (and max_iters overshoots by the same bounded amount).
+COND_EVERY = int(os.environ.get("JB_COND_EVERY", "1"))
+
+
+def census_while(cond, body, init):
+    """``lax.while_loop(cond, body, init)`` with the cond checked every
+    COND_EVERY body iterations (see above; 1 = plain while_loop)."""
+    if COND_EVERY <= 1:
+        return jax.lax.while_loop(cond, body, init)
+    chunk = lambda c: jax.lax.fori_loop(
+        0, COND_EVERY, lambda _, cc: body(cc), c
+    )
+    return jax.lax.while_loop(cond, chunk, init)
 VMEM_BUDGET = 10 * 1024 * 1024  # soft cap for resident tables + particle tile
 # A lane-mode dynamic gather touches one 128-entry chunk per op, so reads from an
 # N-entry table scan ceil(N/128) chunks with a range-select each. Beyond this many
@@ -1038,7 +1056,7 @@ def _transport_kernel(
         jnp.int32(0), jnp.zeros(shape, jnp.int32),
     )
     (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face, it, ev) = (
-        jax.lax.while_loop(cond, body, init)
+        census_while(cond, body, init)
     )
     ev = jnp.sum(ev)
     ox_ref[:], oy_ref[:], oz_ref[:] = x, y, z

@@ -827,12 +827,20 @@ def _grid_kernel(
         ngj = gj + jnp.where(cr_y, jnp.where(vy > 0, 1, -1), 0)
         ngk = gk + jnp.where(cr_z, jnp.where(vz > 0, 1, -1), 0)
 
+        # 1D: azimuth is unobservable (slab symmetry) — draw the x-projection
+        # directly and park the transverse magnitude in vy (|v| = c holds);
+        # skips the circle word + cos (see pallas_transport.py)
         mu = 1.0 - 2.0 * pool.u16(it)
-        cph, sph = pool.circle(it)  # one transcendental instead of cos+sin
         st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
-        nvx = jnp.where(i_sc, c * st * cph, vx)
-        nvy = jnp.where(i_sc, c * st * sph, vy)
-        nvz = jnp.where(i_sc, c * mu, vz)
+        if multi_d:
+            cph, sph = pool.circle(it)  # one transcendental, not cos+sin
+            nvx = jnp.where(i_sc, c * st * cph, vx)
+            nvy = jnp.where(i_sc, c * st * sph, vy)
+            nvz = jnp.where(i_sc, c * mu, vz)
+        else:
+            nvx = jnp.where(i_sc, c * mu, vx)
+            nvy = jnp.where(i_sc, c * st, vy)
+            nvz = jnp.where(i_sc, 0.0, vz)
 
         nalive = jnp.where(i_abs, 0, alive)
         nabsorbed = jnp.where(i_abs, 1, absorbed)
@@ -869,8 +877,11 @@ def _grid_kernel(
 
             amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
-            aph, ash = pool.circle(it)
-            a1, a2, a3 = amu, anu * aph, anu * ash
+            if multi_d:
+                aph, ash = pool.circle(it)
+                a1, a2, a3 = amu, anu * aph, anu * ash
+            else:  # 1D: azimuth unobservable
+                a1, a2, a3 = amu, anu, jnp.zeros(shape)
 
             rj_x, rj_y, rj_z = x, y, z
             rj_vx, rj_vy, rj_vz = vx, vy, vz
@@ -939,8 +950,11 @@ def _grid_kernel(
 
             bmu = jnp.sqrt(pool.u16(it))
             bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
-            bph, bsh = pool.circle(it)
-            b1, b2, b3 = bmu, bnu * bph, bnu * bsh
+            if multi_d:
+                bph, bsh = pool.circle(it)
+                b1, b2, b3 = bmu, bnu * bph, bnu * bsh
+            else:  # 1D: azimuth unobservable
+                b1, b2, b3 = bmu, bnu, jnp.zeros(shape)
 
             dd_x, dd_y, dd_z = x, y, z
             dd_vx, dd_vy, dd_vz = vx, vy, vz
@@ -987,10 +1001,15 @@ def _grid_kernel(
             dd_z = jnp.where(dd_census, zl + pool.u16(it) * dzc, dd_z)
             cmu = 1.0 - 2.0 * pool.u16(it)
             cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
-            cph, csh = pool.circle(it)
-            dd_vx = jnp.where(dd_census, c * cst * cph, dd_vx)
-            dd_vy = jnp.where(dd_census, c * cst * csh, dd_vy)
-            dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
+            if multi_d:
+                cph, csh = pool.circle(it)
+                dd_vx = jnp.where(dd_census, c * cst * cph, dd_vx)
+                dd_vy = jnp.where(dd_census, c * cst * csh, dd_vy)
+                dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
+            else:  # 1D: x-projection direct, transverse magnitude in vy
+                dd_vx = jnp.where(dd_census, c * cmu, dd_vx)
+                dd_vy = jnp.where(dd_census, c * cst, dd_vy)
+                dd_vz = jnp.where(dd_census, 0.0, dd_vz)
 
             dd_x = jnp.where(rejected, rj_x, dd_x)
             dd_y = jnp.where(rejected, rj_y, dd_y)

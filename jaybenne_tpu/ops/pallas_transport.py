@@ -510,13 +510,22 @@ def _transport_kernel(
             nck = ck
 
         # isotropic scatter redraw (scattering.hpp:21-29); the azimuth pair
-        # comes from pool.circle — one transcendental instead of cos+sin
+        # comes from pool.circle — one transcendental instead of cos+sin.
+        # 1D: azimuth is unobservable (slab symmetry — transport, tallies and
+        # BCs read only vx), so draw the x-projection directly (uniform on
+        # [-c, c]) and park the whole transverse magnitude in vy, keeping
+        # |v| = c for the debug invariant. Skips the circle word + cos.
         mu = 1.0 - 2.0 * pool.u16(it)
-        cph, sph = pool.circle(it)
         st = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
-        nvx = jnp.where(i_sc, c * st * cph, vx)
-        nvy = jnp.where(i_sc, c * st * sph, vy)
-        nvz = jnp.where(i_sc, c * mu, vz)
+        if multi_d:
+            cph, sph = pool.circle(it)
+            nvx = jnp.where(i_sc, c * st * cph, vx)
+            nvy = jnp.where(i_sc, c * st * sph, vy)
+            nvz = jnp.where(i_sc, c * mu, vz)
+        else:
+            nvx = jnp.where(i_sc, c * mu, vx)
+            nvy = jnp.where(i_sc, c * st, vy)
+            nvz = jnp.where(i_sc, 0.0, vz)
 
         nalive = jnp.where(i_abs, 0, alive)
         nabsorbed = jnp.where(i_abs, 1, absorbed)
@@ -565,11 +574,15 @@ def _transport_kernel(
                 P = jnp.where(sel[2 * ax + 1], Pf2 * (1.0 - drift), P)
             rejected = at_face & (pool.u23(it) > P)
 
-            # hemisphere direction for bounce-back / leak
+            # hemisphere direction for bounce-back / leak (1D: azimuth
+            # unobservable — transverse magnitude rides in the v2 slot)
             amu = jnp.sqrt(pool.u16(it))
             anu = jnp.sqrt(jnp.maximum(1.0 - amu * amu, 0.0))
-            aph, ash = pool.circle(it)
-            a1, a2, a3 = amu, anu * aph, anu * ash
+            if multi_d:
+                aph, ash = pool.circle(it)
+                a1, a2, a3 = amu, anu * aph, anu * ash
+            else:
+                a1, a2, a3 = amu, anu, jnp.zeros(shape)
 
             rj_x, rj_y, rj_z = x, y, z
             rj_vx, rj_vy, rj_vz = vx, vy, vz
@@ -640,8 +653,11 @@ def _transport_kernel(
 
             bmu = jnp.sqrt(pool.u16(it))
             bnu = jnp.sqrt(jnp.maximum(1.0 - bmu * bmu, 0.0))
-            bph, bsh = pool.circle(it)
-            b1, b2, b3 = bmu, bnu * bph, bnu * bsh
+            if multi_d:
+                bph, bsh = pool.circle(it)
+                b1, b2, b3 = bmu, bnu * bph, bnu * bsh
+            else:
+                b1, b2, b3 = bmu, bnu, jnp.zeros(shape)
 
             dd_x, dd_y, dd_z = x, y, z
             dd_vx, dd_vy, dd_vz = vx, vy, vz
@@ -695,10 +711,15 @@ def _transport_kernel(
                 dd_z = jnp.where(dd_census, zl + pool.u16(it) * dzb, dd_z)
             cmu = 1.0 - 2.0 * pool.u16(it)
             cst = jnp.sqrt(jnp.maximum(1.0 - cmu * cmu, 0.0))
-            cph, csh = pool.circle(it)
-            dd_vx = jnp.where(dd_census, c * cst * cph, dd_vx)
-            dd_vy = jnp.where(dd_census, c * cst * csh, dd_vy)
-            dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
+            if multi_d:
+                cph, csh = pool.circle(it)
+                dd_vx = jnp.where(dd_census, c * cst * cph, dd_vx)
+                dd_vy = jnp.where(dd_census, c * cst * csh, dd_vy)
+                dd_vz = jnp.where(dd_census, c * cmu, dd_vz)
+            else:  # 1D: x-projection direct, transverse magnitude in vy
+                dd_vx = jnp.where(dd_census, c * cmu, dd_vx)
+                dd_vy = jnp.where(dd_census, c * cst, dd_vy)
+                dd_vz = jnp.where(dd_census, 0.0, dd_vz)
 
             # merge rejected-bounce (no time advance) with step results
             # (1D/2D: the gated updates above never touch transverse y/z, so

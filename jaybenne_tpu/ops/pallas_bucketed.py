@@ -56,10 +56,14 @@ from . import pallas_rng as rng
 from .pallas_transport import (
     GREP,
     LANES,
+    RANGED_GATHER,
+    RANGED_MIN_CHUNKS,
     _bf16_hi,
     _bf16_lo,
     _chunk_table,
     _gather,
+    _gather_ranged,
+    _ranged_plan,
     census_while,
     _face_pair_vectors,
     _n_bchunks,
@@ -314,6 +318,13 @@ def _bucketed_kernel(
             dmin = dxb
         cell = blk_rel * ncpb + (ck * ny + cj) * nx + ci
 
+        # ranged scans (see pallas_grid): lanes that can still transport this
+        # round bound each group's chunk loop; paused/finished lanes outside
+        # the range read zeros and never consume them
+        ranged = RANGED_GATHER and K_reg >= RANGED_MIN_CHUNKS
+        if ranged:
+            live = (alive != 0) & (tau < 1.0) & (paused == 0)
+
         def gather_coefs(_):
             # every value the loop needs is gathered with the same per-cell
             # index. Gray: the bf16-packed (ea, es) PAIR word — 1 scan.
@@ -321,10 +332,15 @@ def _bucketed_kernel(
             # at the particle's photon energy and the derived rates ride the
             # carry until the next refresh (energy and cell are both constant
             # between refreshes). DDMC adds 3 (P_lower, P_upper) face words.
+            if ranged:
+                plan = _ranged_plan(cell, live, K_reg)
+                gat = lambda ref, K: _gather_ranged(ref, plan)
+            else:
+                gat = lambda ref, K: _gather(ref, cell, K)
             if nongray:
-                rho_g = _gather(pk_ref, cell, K_reg)
-                tt_g = _gather(t2_ref, cell, K_reg)
-                ff = _gather(f3_ref, cell, K_reg)
+                rho_g = gat(pk_ref, K_reg)
+                tt_g = gat(t2_ref, K_reg)
+                ff = gat(f3_ref, K_reg)
                 sa = jnp.broadcast_to(
                     opacity.absorption_coefficient(rho_g, tt_g, energy)
                     .astype(jnp.float32),
@@ -345,16 +361,16 @@ def _bucketed_kernel(
                     inv_r = 1.0 / (ea_r + es_r + tiny)
                     head = (ea_r * inv_r, inv_r)
             else:
-                head = (_gather(pk_ref, cell, K_reg),)
+                head = (gat(pk_ref, K_reg),)
             if not use_ddmc:
                 return head
-            fpx = _gather(fpx_ref, cell, Kf_reg[0])
+            fpx = gat(fpx_ref, Kf_reg[0])
             fpy = (
-                _gather(fpy_ref, cell, Kf_reg[1])
+                gat(fpy_ref, Kf_reg[1])
                 if multi_d else jnp.zeros(shape, jnp.int32)
             )
             fpz = (
-                _gather(fpz_ref, cell, Kf_reg[2])
+                gat(fpz_ref, Kf_reg[2])
                 if three_d else jnp.zeros(shape, jnp.int32)
             )
             return head + (fpx, fpy, fpz)
@@ -969,18 +985,34 @@ def _geometry_tables(mesh):
     )
 
 
+def _subkeys_for(K_reg):
+    """Composite-key multiplier for the ranged chunk scans (this module's own
+    gate so monkeypatched RANGED_* stay in lockstep with the kernel body)."""
+    if RANGED_GATHER and K_reg >= RANGED_MIN_CHUNKS:
+        return 1 << (K_reg - 1).bit_length()
+    return 1
+
+
 def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
-                    geom_tables, reg_t, slot_t, nongray=False):
+                    geom_tables, reg_t, slot_t, nongray=False,
+                    subb=None, n_sub=1):
     """One bucketed census round: bucket unfinished particles by ``regb[p.block]``
     into the tile-aligned buffer, run the kernel grid, permute results back to
     ledger order. Returns ``(p, iters, events)`` (per-tile max / summed).
     Non-gray carries the (constant) photon energy as an extra f32 row column
     (the kernel's model input); gray keeps the 15-column layout and binds the
-    kernel's energy ref to one constant-index dummy block."""
+    kernel's energy ref to one constant-index dummy block.
+    ``subb``/``n_sub``: per-particle slab-chunk subkey for the composite sort
+    (see pallas_grid._bucket_plan) when the kernel runs ranged scans."""
     f32, i32 = jnp.float32, jnp.int32
     cap = p.capacity
     unfinished = p.alive & (p.tau < 1.0)
-    keyv = jnp.where(unfinished, regb[p.block], R).astype(i32)
+    if n_sub == 1:
+        keyv = jnp.where(unfinished, regb[p.block], R).astype(i32)
+    else:
+        keyv = jnp.where(
+            unfinished, regb[p.block] * n_sub + subb, R * n_sub
+        ).astype(i32)
 
     from .pallas_grid import (
         BUCKET_APPLY, _bucket_plan, _bucket_sort_apply, _pack_rows,
@@ -1001,12 +1033,12 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
     if BUCKET_APPLY == "sort":
         rows_in, buf_lid, tile_regions = _bucket_sort_apply(
             keyv, _pack_rows(cols, n_fcols=nfc), jnp.arange(cap, dtype=i32),
-            R, grid, btile=BTILE,
+            R, grid, btile=BTILE, n_sub=n_sub,
         )
     else:
         src_of_slot, tile_regions, dest_of_src = _bucket_plan(
             keyv, R, grid, include_dump=True, want_dest_of_src=True,
-            btile=BTILE,
+            btile=BTILE, n_sub=n_sub,
         )
         rows_in = _permute_pack(cols, src_of_slot)
     bufs = _unpack_rows(
@@ -1054,6 +1086,8 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     K_reg = -(-(maxbpr * ncpb) // LANES)
     region_of2 = jnp.asarray(region_of_np)  # [2, B]: base / half-shifted parity
     perm2 = jnp.asarray(perm_np)            # [2, R, maxbpr]
+    slot2 = jnp.asarray(slot_np)            # [2, B]: block slot within region
+    K_SUB = _subkeys_for(K_reg)
 
     # region-sliced coefficient slabs, built once per step, one per parity
     nongray = coefs.opacity is not None
@@ -1133,9 +1167,20 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
                  fpx_t2[parity], fpy_t2[parity], fpz_t2[parity])
         # golden-ratio increment 0x9E3779B9 as a signed int32
         seed = (seed0 + rounds * jnp.int32(-1640531527))[None]
+        if K_SUB > 1:
+            # slab-chunk subkey: block slot (this parity) x cells-per-block
+            # + in-block cell, matching the kernel's slab cell index
+            subb = jnp.clip(
+                (slot2[parity][p.block] * ncpb
+                 + (p.k * mesh.ny + p.j) * mesh.nx + p.i) >> 7,
+                0, K_SUB - 1,
+            )
+        else:
+            subb = None
         p, it, ev = _bucket_and_run(
             p, call, R, bufcap, grid, region_of2[parity], scal, seed, slabs,
             geom, reg_t2[parity], slot_t2[parity], nongray=nongray,
+            subb=subb, n_sub=K_SUB,
         )
         if prm.use_ddmc and mesh.max_level > 0 and prm.ndim >= 2:
             # host half of the coarse->fine DDMC leak: subface resample for
@@ -1357,12 +1402,15 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False,
             [_chunk_table(slot_all[shard, pi], i32, Kb) for pi in (0, 1)]
         )
         regb2 = reg_buck[shard]  # [2, B]
+        slotb2 = slot_all[shard]  # [2, B]: block slot within its region
         return (pk_t2, t2_t2, f3_t2, fpx_t2, fpy_t2, fpz_t2,
-                reg_t2, slot_t2, regb2)
+                reg_t2, slot_t2, regb2, slotb2)
+
+    K_SUB = _subkeys_for(K_reg)
 
     def round_fn(p, tables, key, rounds, dt):
         (pk_t2, t2_t2, f3_t2, fpx_t2, fpy_t2, fpz_t2,
-         reg_t2, slot_t2, regb2) = tables
+         reg_t2, slot_t2, regb2, slotb2) = tables
         parity = rounds & 1
         slabs = (pk_t2[parity], t2_t2[parity], f3_t2[parity],
                  fpx_t2[parity], fpy_t2[parity], fpz_t2[parity])
@@ -1375,9 +1423,18 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False,
             [jnp.asarray(dt, f32), jnp.asarray(prm.c, f32)]
             + [jnp.zeros((), f32)] * 6
         )
+        if K_SUB > 1:
+            subb = jnp.clip(
+                (slotb2[parity][p.block] * ncpb
+                 + (p.k * mesh.ny + p.j) * mesh.nx + p.i) >> 7,
+                0, K_SUB - 1,
+            )
+        else:
+            subb = None
         return _bucket_and_run(
             p, call, R, bufcap, grid, regb2[parity], scal, seed, slabs,
             geom, reg_t2[parity], slot_t2[parity], nongray=nongray,
+            subb=subb, n_sub=K_SUB,
         )
 
     return build_tables, round_fn

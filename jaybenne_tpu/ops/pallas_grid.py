@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import BC
 from . import pallas_rng as rng
 from .pallas_transport import (
-    GREP, LANES, _bf16_hi, _bf16_lo, _chunk_table, _gather, _pack_bf16_pair,
+    GREP, LANES, RANGED_GATHER, RANGED_MIN_CHUNKS, _bf16_hi, _bf16_lo,
+    _chunk_table, _gather, _gather_ranged, _pack_bf16_pair, _ranged_plan,
     census_while,
 )
 
@@ -143,9 +144,14 @@ def _stable_order(keyv, n_keys):
 
 
 def _bucket_plan(keyv, n_regions, n_tiles, include_dump=True,
-                 want_dest_of_src=True, btile=None):
-    """Gather-only bucketing plan over i32 keys in [0, n_regions]; key ==
-    ``n_regions`` is the dump segment for finished/dead rows.
+                 want_dest_of_src=True, btile=None, n_sub=1):
+    """Gather-only bucketing plan over i32 keys in [0, n_regions * n_sub];
+    key == ``n_regions * n_sub`` is the dump segment for finished/dead rows.
+
+    ``n_sub`` (power of 2) is a WITHIN-region subkey multiplier: callers pass
+    ``region * n_sub + sub`` so rows land cell-sorted inside each region
+    (feeds the kernels' ranged chunk scans); the region-level layout (tile
+    assignment, padding, offsets) is bit-identical to the ``n_sub=1`` plan.
 
     One stable ``lax.sort_key_val`` carries the permutation alongside the
     sorted keys (no post-sort key gather); per-region counts come from
@@ -167,11 +173,13 @@ def _bucket_plan(keyv, n_regions, n_tiles, include_dump=True,
     i32 = jnp.int32
     if btile is None:
         btile = BTILE
+    assert n_sub & (n_sub - 1) == 0, n_sub  # decode by shift
+    sub_shift = n_sub.bit_length() - 1
     n = keyv.shape[0]
     iota = jnp.arange(n, dtype=i32)
     ks, order = jax.lax.sort_key_val(keyv, iota, is_stable=True)
     first = jnp.searchsorted(
-        ks, jnp.arange(n_regions + 1, dtype=ks.dtype)
+        ks, jnp.arange(n_regions + 1, dtype=ks.dtype) * n_sub
     ).astype(i32)
     counts = jnp.concatenate([first[1:], jnp.full((1,), n, i32)]) - first
     if not include_dump:
@@ -198,12 +206,13 @@ def _bucket_plan(keyv, n_regions, n_tiles, include_dump=True,
     dest_of_src = None
     if want_dest_of_src:
         # dest_sorted[j] = j + (padding inserted before region ks[j])
-        dest_sorted = iota + jnp.take(offs - first, ks)
+        dest_sorted = iota + jnp.take(offs - first, ks >> sub_shift)
         dest_of_src = jnp.zeros((n,), i32).at[order].set(dest_sorted)
     return src_of_slot, tile_regions, dest_of_src
 
 
-def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None):
+def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None,
+                       n_sub=1):
     """Sort-based bucketing: place ``rows`` ((n, C) i32) into a region-bucketed,
     ``btile``-aligned buffer of ``n_tiles * btile`` rows with ONE stable
     multi-payload sort, instead of building an index plan and row-gathering
@@ -211,11 +220,15 @@ def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None):
     key distribution) while the arbitrary-index row gather they replace costs
     15-21 ms — measured in-jit on the v5e, same process.
 
-    Key construction: real row of region r -> key 2r; pad row for region r ->
-    key 2r+1 (sorts AFTER the reals of its region, BEFORE region r+1); the
-    dump segment (key 2*n_regions / +1) collects finished rows and leftover
-    pads at the end. Region layout (offsets, btile-rounded padding, stable
-    original order within a region) is bit-identical to ``_bucket_plan``'s.
+    Key construction (``n_sub=1``): real row of region r -> key 2r; pad row
+    for region r -> key 2r+1 (sorts AFTER the reals of its region, BEFORE
+    region r+1); the dump segment (key 2*n_regions / +1) collects finished
+    rows and leftover pads at the end. Region layout (offsets, btile-rounded
+    padding, stable original order within a region) is bit-identical to
+    ``_bucket_plan``'s. With ``n_sub > 1`` (see ``_bucket_plan``) keyv is the
+    composite ``region * n_sub + sub``: reals double to ``2*keyv``, region
+    r's pads take ``2*(r+1)*n_sub - 1`` (after every real of r), and the
+    region layout is unchanged — only within-region order becomes sub-sorted.
 
     ``lid`` ((n,) i32) rides as an extra payload — the caller's row-id map
     (pads get sentinel ``n``) — so the inverse permutation needs no scatter:
@@ -232,9 +245,10 @@ def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None):
     # worst-case per-region padding is btile-1 rows; the buffer is provisioned
     # for it (bufcap = cap + (R_pad+1)*BTILE rounded up)
     assert npads >= n_regions * (btile - 1), (npads, n_regions, btile)
+    assert n_sub & (n_sub - 1) == 0, n_sub
     ks = jnp.sort(keyv)
     first = jnp.searchsorted(
-        ks, jnp.arange(n_regions + 1, dtype=ks.dtype)
+        ks, jnp.arange(n_regions + 1, dtype=ks.dtype) * n_sub
     ).astype(i32)
     counts = jnp.concatenate([first[1:], jnp.full((1,), n, i32)]) - first
     padded = -(-counts // btile) * btile
@@ -245,13 +259,14 @@ def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None):
         n_regions,
     )
     padneed = (padded - counts)[:n_regions]  # in [0, btile-1] per region
+    dump_pad = jnp.int32(2 * n_regions * n_sub + 1)
     grid = jnp.where(
         jnp.arange(btile - 1, dtype=i32)[None, :] < padneed[:, None],
-        (2 * jnp.arange(n_regions, dtype=i32) + 1)[:, None],
-        jnp.int32(2 * n_regions + 1),
+        (2 * (jnp.arange(n_regions, dtype=i32) + 1) * n_sub - 1)[:, None],
+        dump_pad,
     ).reshape(-1)
     pad_keys = jnp.concatenate(
-        [grid, jnp.full((npads - grid.shape[0],), 2 * n_regions + 1, i32)]
+        [grid, jnp.full((npads - grid.shape[0],), dump_pad, i32)]
     )
     zpad = jnp.zeros((npads,), rows.dtype)
     ops = (
@@ -276,6 +291,16 @@ def _unbucket_sort(buf_rows, buf_lid, n):
 # Bucketing application backend: "sort" (default, see _bucket_sort_apply) or
 # "gather" (the _bucket_plan index-plan + row-gather path) for on-hardware A/Bs.
 BUCKET_APPLY = os.environ.get("JB_BUCKET_APPLY", "sort")
+
+
+def _subkeys_for(K_reg):
+    """Composite-key multiplier (power of 2) covering a slab's chunk ids, or 1
+    when the kernel will use the static full scan. MUST stay in lockstep with
+    the kernel-side ranged-gather gate: the ranged scan's win comes from the
+    bucketing sort laying same-group lanes chunk-adjacent."""
+    if RANGED_GATHER and K_reg >= RANGED_MIN_CHUNKS:
+        return 1 << (K_reg - 1).bit_length()
+    return 1
 
 
 def _grid_layout(mesh, use_ddmc=False):
@@ -683,6 +708,13 @@ def _grid_kernel(
         li, lj, lk = gi - box, gj - boy, (gk - z0) - boz
         cell = (lk * sdy + lj) * sdx + li
 
+        # ranged scans: lanes that can still transport this round (paused and
+        # finished lanes may fall outside the scanned range and read zeros —
+        # they never consume coefficients before the round returns)
+        ranged = RANGED_GATHER and K_reg >= RANGED_MIN_CHUNKS
+        if ranged:
+            live = (alive != 0) & (tau < 1.0) & (paused == 0)
+
         def gather_coefs(_):
             # every value the loop needs is gathered with the same per-cell
             # index. Gray: the bf16-packed (ea, es) PAIR word — 1 scan.
@@ -692,10 +724,15 @@ def _grid_kernel(
             # cell are both constant between refreshes, so the rates are
             # exactly as fresh as the gray path's). DDMC adds 3 per-axis
             # (P_lower, P_upper) face-pair words.
+            if ranged:
+                plan = _ranged_plan(cell, live, K_reg)
+                gat = lambda ref, K: _gather_ranged(ref, plan)
+            else:
+                gat = lambda ref, K: _gather(ref, cell, K)
             if nongray:
-                rho_g = _gather(pk_ref, cell, K_reg)
-                tt_g = _gather(t2_ref, cell, K_reg)
-                ff = _gather(f3_ref, cell, K_reg)
+                rho_g = gat(pk_ref, K_reg)
+                tt_g = gat(t2_ref, K_reg)
+                ff = gat(f3_ref, K_reg)
                 sa = jnp.broadcast_to(
                     opacity.absorption_coefficient(rho_g, tt_g, energy)
                     .astype(jnp.float32),
@@ -716,16 +753,16 @@ def _grid_kernel(
                     inv_r = 1.0 / (ea_r + es_r + tiny)
                     head = (ea_r * inv_r, inv_r)
             else:
-                head = (_gather(pk_ref, cell, K_reg),)
+                head = (gat(pk_ref, K_reg),)
             if not use_ddmc:
                 return head
-            fpx = _gather(fpx_ref, cell, Kf_reg[0])
+            fpx = gat(fpx_ref, Kf_reg[0])
             fpy = (
-                _gather(fpy_ref, cell, Kf_reg[1])
+                gat(fpy_ref, Kf_reg[1])
                 if multi_d else jnp.zeros(shape, jnp.int32)
             )
             fpz = (
-                _gather(fpz_ref, cell, Kf_reg[2])
+                gat(fpz_ref, Kf_reg[2])
                 if three_d else jnp.zeros(shape, jnp.int32)
             )
             return head + (fpx, fpy, fpz)
@@ -1384,9 +1421,25 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     def region_of(gi, gj, gk):
         return (gk // rnz * NGY + gj // rny) * NGX + gi // rnx
 
+    # composite bucketing key: region * K_SUB + slab-chunk, so same-tile lanes
+    # land chunk-sorted and the kernel's ranged scans start tight (K_SUB = 1
+    # degrades to the plain region key)
+    K_SUB = _subkeys_for(K_reg)
+
+    def key_of(unfinished, gi, gj, gk):
+        r = region_of(gi, gj, gk)
+        if K_SUB == 1:
+            return jnp.where(unfinished, r, R_pad).astype(i32)
+        li = gi - gi // rnx * rnx + hx
+        lj = gj - gj // rny * rny + hy
+        lk = gk - gk // rnz * rnz + hz
+        sub = ((lk * sdy + lj) * sdx + li) >> 7
+        return jnp.where(unfinished, r * K_SUB + sub, R_pad * K_SUB).astype(i32)
+
     def bucket(keyv):
         src_of_slot, tile_regions, dest_of_src = _bucket_plan(
-            keyv, R_pad, grid, include_dump=True, want_dest_of_src=True
+            keyv, R_pad, grid, include_dump=True, want_dest_of_src=True,
+            n_sub=K_SUB,
         )
         return src_of_slot, dest_of_src, tile_regions
 
@@ -1400,7 +1453,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         (``bufcap`` = empty) and the region of each tail tile."""
         slot_src, tile_regions, _ = _bucket_plan(
             keyv, R_pad, tail_grid, include_dump=False,
-            want_dest_of_src=False,
+            want_dest_of_src=False, n_sub=K_SUB,
         )
         return slot_src, tile_regions
 
@@ -1468,12 +1521,10 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         M = Bm[:cap]
         tau = jax.lax.bitcast_convert_type(M[:, 6], f32)
         unfinished = (M[:, IAL] != 0) & (tau < 1.0)
-        keyv = jnp.where(
-            unfinished, region_of(M[:, IGI], M[:, IGJ], M[:, IGK]), R_pad
-        ).astype(i32)
+        keyv = key_of(unfinished, M[:, IGI], M[:, IGJ], M[:, IGK])
         if BUCKET_APPLY == "sort":
             rows_in, restore, tile_regions = _bucket_sort_apply(
-                keyv, M, jnp.arange(cap, dtype=i32), R_pad, grid
+                keyv, M, jnp.arange(cap, dtype=i32), R_pad, grid, n_sub=K_SUB
             )
         else:
             src_of_slot, restore, tile_regions = bucket(keyv)
@@ -1502,7 +1553,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
             gj = gj - gj // NY * NY
         if per[2]:
             gk = gk - gk // NZ * NZ
-        keyv = jnp.where(unfinished, region_of(gi, gj, gk), R_pad).astype(i32)
+        keyv = key_of(unfinished, gi, gj, gk)
         slot_src, tile_regions = bucket_tail(keyv)
         rows = jnp.concatenate([Bm, jnp.zeros((1, NCOL), i32)])[slot_src]
         if per[0] or per[1] or per[2]:
@@ -1697,6 +1748,7 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
     hx, hy, hz = halo
     sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz
     R_pad = NGX * NGY * NGZ
+    K_SUB = _subkeys_for(K_reg)
 
     per_bc = (
         prm.swarm_bc[0] == BC.periodic,
@@ -1835,7 +1887,19 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         owned = (gkl >= 0) & (gkl < KZ)
         unfinished = p.alive & (p.tau < 1.0) & owned
         region = (gkl // rnz * NGY + gj // rny) * NGX + gi // rnx
-        keyv = jnp.where(unfinished, region, R_pad).astype(i32)
+        if K_SUB == 1:
+            keyv = jnp.where(unfinished, region, R_pad).astype(i32)
+        else:
+            # composite key: chunk-sort within regions for the ranged scans.
+            # clip: un-owned rows hold arbitrary gkl but land in the dump
+            gku = jnp.clip(gkl, 0, KZ - 1)
+            li = gi - gi // rnx * rnx + hx
+            lj = gj - gj // rny * rny + hy
+            lk = gku - gku // rnz * rnz + hz
+            sub = ((lk * sdy + lj) * sdx + li) >> 7
+            keyv = jnp.where(
+                unfinished, region * K_SUB + sub, R_pad * K_SUB
+            ).astype(i32)
 
         en_col = (p.energy.astype(f32),) if nongray else ()
         nfc = 7 + len(en_col)
@@ -1844,11 +1908,12 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         if BUCKET_APPLY == "sort":
             rows_in, buf_lid, tile_regions = _bucket_sort_apply(
                 keyv, _pack_rows(cols, n_fcols=nfc), jnp.arange(cap, dtype=i32),
-                R_pad, grid,
+                R_pad, grid, n_sub=K_SUB,
             )
         else:
             src_of_slot, tile_regions, dest_of_src = _bucket_plan(
-                keyv, R_pad, grid, include_dump=True, want_dest_of_src=True
+                keyv, R_pad, grid, include_dump=True, want_dest_of_src=True,
+                n_sub=K_SUB,
             )
             rows_in = _permute_pack(cols, src_of_slot)
         bufs = _unpack_rows(

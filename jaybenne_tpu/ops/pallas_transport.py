@@ -187,6 +187,56 @@ def _gather(tab_ref, idx, n_chunks=1):
 
 _gather_chunked = _gather  # call-site alias: explicit chunk count
 
+# Ranged chunk scans (big-mesh kernels): instead of the static full-table scan,
+# each GREP group scans only [min, max] of the chunk ids its LIVE lanes hold,
+# with dynamic fori_loop bounds. Pays off when (a) tables are many chunks and
+# (b) bucketing orders particles by cell (composite sort key), so a group's
+# lanes start chunk-adjacent; worst case degrades to the full scan. Exact — no
+# windowing approximation, no pause semantics. JB_RANGED_GATHER=0 reverts.
+RANGED_GATHER = int(os.environ.get("JB_RANGED_GATHER", "1"))
+RANGED_MIN_CHUNKS = 16  # below this the static unrolled scan is cheaper
+
+
+def _ranged_plan(idx, mask, n_chunks):
+    """Per-GREP-group (k_lo, k_hi, ch, rel) chunk bounds over MASKED lanes.
+
+    ``mask`` selects lanes whose gathered value will be READ before the next
+    refresh (live, unpaused, pre-census); other lanes get zeros whenever they
+    fall outside the scanned range — callers must never consume them. An
+    all-masked-out group yields an empty range (k_lo > k_hi) and pure zeros.
+    One plan serves every same-indexed table gathered this refresh."""
+    plans = []
+    for s in range(idx.shape[0] // GREP):
+        sl = idx[s * GREP : (s + 1) * GREP, :]
+        m = mask[s * GREP : (s + 1) * GREP, :]
+        ch = sl >> 7
+        rel = sl & (LANES - 1)
+        k_lo = jnp.min(jnp.where(m, ch, n_chunks - 1))
+        k_hi = jnp.max(jnp.where(m, ch, 0))
+        plans.append((k_lo, k_hi, ch, rel))
+    return plans
+
+
+def _gather_ranged(tab_ref, plans):
+    """Gather from a chunked table ref through a ``_ranged_plan``: the same
+    3-vector-op chunk step as ``_gather`` (dynamic-offset load is folded into
+    take_along_axis's operand), but looping only over each group's live chunk
+    range. Table chunk count may exceed the plan's (face tables): bounds come
+    from the shared cell index, which is in-range for every table."""
+    groups = []
+    for (k_lo, k_hi, ch, rel) in plans:
+        def chunk_body(k, g, ch=ch, rel=rel):
+            part = jnp.take_along_axis(
+                tab_ref[pl.ds(k * GREP, GREP), :], rel, axis=1
+            )
+            return jnp.where(ch == k, part, g)
+
+        g = jax.lax.fori_loop(
+            k_lo, k_hi + 1, chunk_body, jnp.zeros(rel.shape, tab_ref.dtype)
+        )
+        groups.append(g)
+    return jnp.concatenate(groups, axis=0)
+
 
 def _pack_bf16_pair(hi, lo):
     """Two f32 arrays -> one i32 array: each value rounded (RNE) to bfloat16

@@ -747,6 +747,154 @@ def test_grid_sigma_refresh_ddmc(monkeypatch):
     assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
 
 
+def test_grid_ranged_gather_matches_xla(monkeypatch):
+    """Ranged chunk scans (composite region*K_SUB+chunk sort key + per-group
+    dynamic [min,max] chunk loops) forced on at test region size, together
+    with the refresh cadence they amortize: census complete, nothing lost,
+    statistics unchanged vs the XLA loop."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    monkeypatch.setattr(pg, "REGION_CELLS_DDMC", 1024)
+    monkeypatch.setattr(pg, "SIGMA_SCAN_MIN_CHUNKS", 0)
+    monkeypatch.setattr(pg, "SIGMA_REFRESH", 4)
+    monkeypatch.setattr(pg, "RANGED_GATHER", 1)
+    monkeypatch.setattr(pg, "RANGED_MIN_CHUNKS", 1)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big()
+    assert pg._subkeys_for(pg._grid_layout(mesh)[3]) > 1
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, ev_p = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+    for out, name in ((pp, "grid"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.05
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+
+
+def test_grid_ranged_gather_ddmc(monkeypatch):
+    """Ranged scans + DDMC: face-pair gathers share the cell-index plan and
+    paused/finished lanes outside the scanned range never poison physics."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    monkeypatch.setattr(pg, "REGION_CELLS_DDMC", 1024)
+    monkeypatch.setattr(pg, "SIGMA_SCAN_MIN_CHUNKS", 0)
+    monkeypatch.setattr(pg, "SIGMA_REFRESH", 4)
+    monkeypatch.setattr(pg, "RANGED_GATHER", 1)
+    monkeypatch.setattr(pg, "RANGED_MIN_CHUNKS", 1)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big(sigma_s=1.0e6, use_ddmc=True)
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, _ = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+
+
+def test_bucket_nsub_layout():
+    """Composite-key bucketing (n_sub > 1): the region-level layout (tile
+    regions, per-tile membership) is bit-identical to n_sub=1, rows are
+    sub-sorted within each region, and the sort/gather backends agree."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    rng_ = np.random.default_rng(7)
+    n, R, n_sub, btile = 1000, 3, 8, 128
+    region = rng_.integers(0, R + 1, size=n)  # R = dump
+    sub = rng_.integers(0, n_sub, size=n)
+    key1 = jnp.asarray(np.where(region == R, R, region), jnp.int32)
+    keyc = jnp.asarray(
+        np.where(region == R, R * n_sub, region * n_sub + sub), jnp.int32
+    )
+    n_tiles = (n + (R + 1) * btile) // btile
+    s1, t1, d1 = pg._bucket_plan(key1, R, n_tiles, btile=btile)
+    sc, tc, dc = pg._bucket_plan(keyc, R, n_tiles, btile=btile, n_sub=n_sub)
+    assert np.array_equal(np.asarray(t1), np.asarray(tc))
+    s1_, sc_ = np.asarray(s1), np.asarray(sc)
+    regs = np.where(region == R, R, region)
+    t1_ = np.asarray(t1)
+    # same rows per REGION (set-wise; a region spanning several tiles may
+    # redistribute among its own tiles); composite order sub-sorted in-region
+    for r in range(R + 1):
+        tsel = np.repeat(t1_ == r, btile)
+        a = s1_[tsel]
+        b = sc_[tsel]
+        assert set(a.tolist()) == set(b.tolist()), r
+        real = b[b < n]
+        assert (regs[real] == r).all()
+        if r < R:
+            subs = sub[real]
+            assert (np.diff(subs) >= 0).all()  # sub-sorted
+    # sort backend mirrors the plan layout
+    rows = jnp.asarray(rng_.integers(-5, 5, size=(n, 2)), jnp.int32)
+    lid = jnp.arange(n, dtype=jnp.int32)
+    br, bl, bt = pg._bucket_sort_apply(keyc, rows, lid, R, n_tiles,
+                                       btile=btile, n_sub=n_sub)
+    assert np.array_equal(np.asarray(bt), np.asarray(tc))
+    exp = np.concatenate([np.asarray(rows), np.zeros((1, 2), np.int32)])
+    assert np.array_equal(np.asarray(br), exp[np.minimum(sc_, n)])
+    # round-trip: unbucket restores ledger order
+    back = pg._unbucket_sort(br, bl, n)
+    assert np.array_equal(np.asarray(back), np.asarray(rows))
+
+
+def test_bucketed_ranged_gather(monkeypatch):
+    """Ranged chunk scans through the bucketed (block-region) kernel: the
+    composite (region, slab-chunk) sort key uses the per-parity block slots,
+    and census statistics match the XLA loop."""
+    from jaybenne_tpu.ops import pallas_bucketed as pb
+
+    monkeypatch.setattr(pb, "RANGED_GATHER", 1)
+    monkeypatch.setattr(pb, "RANGED_MIN_CHUNKS", 1)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big()
+    assert pb._subkeys_for(pb._region_layout(mesh, prm.use_ddmc)[2]) > 1
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, ev_p = pb.transport_bucketed(
+        p, coefs, mesh, key, prm, dt, interpret=True
+    )
+    px_, _, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.05
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+
+
+def test_bucketed_ranged_gather_ddmc(monkeypatch):
+    """Ranged scans + DDMC through the bucketed kernel: face-pair gathers
+    share the cell-index plan; paused/finished lanes outside the scanned
+    range keep their carried state."""
+    from jaybenne_tpu.ops import pallas_bucketed as pb
+
+    monkeypatch.setattr(pb, "RANGED_GATHER", 1)
+    monkeypatch.setattr(pb, "RANGED_MIN_CHUNKS", 1)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big(sigma_s=1.0e6, use_ddmc=True)
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = pb.transport_bucketed(
+        p, coefs, mesh, key, prm, dt, interpret=True
+    )
+    px_, _, _ = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+
+
 def test_bucketed_interpret_ddmc():
     """DDMC through the bucketed kernel (thick cells, leakage across regions)."""
     from jaybenne_tpu.ops.pallas_bucketed import transport_bucketed

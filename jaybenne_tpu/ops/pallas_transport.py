@@ -189,11 +189,21 @@ _gather_chunked = _gather  # call-site alias: explicit chunk count
 
 # Ranged chunk scans (big-mesh kernels): instead of the static full-table scan,
 # each GREP group scans only [min, max] of the chunk ids its LIVE lanes hold,
-# with dynamic fori_loop bounds. Pays off when (a) tables are many chunks and
-# (b) bucketing orders particles by cell (composite sort key), so a group's
-# lanes start chunk-adjacent; worst case degrades to the full scan. Exact — no
-# windowing approximation, no pause semantics. JB_RANGED_GATHER=0 reverts.
-RANGED_GATHER = int(os.environ.get("JB_RANGED_GATHER", "1"))
+# with dynamic fori_loop bounds, after a composite (region, chunk) sort key
+# lays same-group lanes chunk-adjacent. Exact — no windowing approximation,
+# no pause semantics; interpret-mode equivalence is pinned by the
+# test_*_ranged_gather tests.
+#
+# DEFAULT OFF — measured a 2.7x LOSS on the v5e (64^3 bigmesh probe: 4.19e8
+# vs 1.12e9 ev/s, Mosaic compile 1102 s vs ~180 s). Two reasons: (a) the
+# census round runs ~9k iterations, so groups diffuse across the whole slab
+# and the ranges decay to full length anyway; (b) the dynamic-bound loops
+# serialize (no unroll/pipelining) and the per-group min/max -> scalar loop
+# bounds cost a vector->scalar sync pair per table refresh — the same sync
+# the COND_EVERY knob exists to amortize in the census cond. Kept behind
+# JB_RANGED_GATHER=1 for configs with short rounds/re-sorts where locality
+# survives; the static full scan plus SIGMA_REFRESH stays the production path.
+RANGED_GATHER = int(os.environ.get("JB_RANGED_GATHER", "0"))
 RANGED_MIN_CHUNKS = 16  # below this the static unrolled scan is cheaper
 
 

@@ -627,15 +627,35 @@ def resolve_block_transition(
 
     # Crossing positions sit EXACTLY on block faces, where a position-only lookup is
     # ambiguous (it would always pick the upper block, livelocking a downward-moving
-    # particle in zero-length crossings). Probe the lookup with the position nudged a
-    # hundredth of the finest cell along the (post-BC) velocity: the direction of
-    # travel picks the correct block, including at corners. Only the block choice
-    # uses the probe; local coordinates rebase the exact position.
+    # particle in zero-length crossings). Probe the lookup with the position nudged
+    # HALF a finest cell along the CROSSED face's normal — known exactly from the
+    # out flags, like the Pallas kernels (pallas_transport.py). A velocity-scaled
+    # nudge is NOT enough: for grazing crossings (|v_axis|/c below ~position-ulp /
+    # 0.01 cell) the f32 add rounds away entirely, the lookup re-picks the block
+    # just left, and the particle spins at face distance 0 to the iteration cap
+    # (observed: 118/20k particles stuck at x=0, |mu| < 0.04, on an 8192-cell
+    # run). Non-crossing axes keep the small directional tiebreak for corners.
+    # Only the block choice uses the probe; local coords rebase the exact position.
     finest = jnp.min(mesh.block_dx, axis=0)  # [3]
     c = jnp.asarray(prm.c, dtype)
-    px = gx + 0.01 * finest[0] * (vx / c)
-    py = gy + 0.01 * finest[1] * (vy / c) if prm.ndim >= 2 else gy
-    pz = gz + 0.01 * finest[2] * (vz / c) if prm.ndim == 3 else gz
+    sgx = jnp.where(out_hi_x, 1.0, 0.0) - jnp.where(out_lo_x, 1.0, 0.0)
+    px = gx + jnp.where(
+        sgx != 0, 0.5 * finest[0] * sgx, 0.01 * finest[0] * (vx / c)
+    )
+    if prm.ndim >= 2:
+        sgy = jnp.where(out_hi_y, 1.0, 0.0) - jnp.where(out_lo_y, 1.0, 0.0)
+        py = gy + jnp.where(
+            sgy != 0, 0.5 * finest[1] * sgy, 0.01 * finest[1] * (vy / c)
+        )
+    else:
+        py = gy
+    if prm.ndim == 3:
+        sgz = jnp.where(out_hi_z, 1.0, 0.0) - jnp.where(out_lo_z, 1.0, 0.0)
+        pz = gz + jnp.where(
+            sgz != 0, 0.5 * finest[2] * sgz, 0.01 * finest[2] * (vz / c)
+        )
+    else:
+        pz = gz
     b_new = mesh.locate_block(px, py, pz)
     meta_new = mesh.block_meta[b_new]  # one gather: (dx, origin) of the new block
     dx_new = meta_new[:, 0:3]

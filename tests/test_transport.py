@@ -245,6 +245,68 @@ def test_reflecting_inexact_extents_conserves_particles():
     assert int(stats.iterations) < sim.cfg.jaybenne.max_transport_iterations
 
 
+def test_grazing_block_transition_does_not_livelock():
+    """A particle sitting EXACTLY on a block face with a grazing direction
+    (|v_axis|/c smaller than the position's f32 ulp over the old 0.01-cell
+    velocity nudge) must re-home into the neighbor block, not spin at face
+    distance 0. Regression for the block-lookup probe: nudging by velocity
+    rounds away entirely at such angles (observed 118/20k particles stuck at
+    x=0 with |mu| < 0.04 on an 8192-cell mesh); the probe now steps half a
+    finest cell along the CROSSED face's normal, like the Pallas kernels."""
+    from jaybenne_tpu.mesh import build_mesh
+    from jaybenne_tpu.particles import empty_ledger
+    from jaybenne_tpu.ops import transport as T
+    from jaybenne_tpu.step import make_transport_params
+    import jax.random as jr
+
+    deck = Deck.parse(BASE_DECK).update(
+        {
+            "parthenon/mesh/x1min": "0.0",
+            "parthenon/mesh/x1max": "1.0",
+            "parthenon/mesh/nx1": 8192,
+            "parthenon/meshblock/nx1": 64,
+            "mcblock/opacity_model": "none",
+            "mcblock/scattering_model": "none",
+        }
+    )
+    cfg = cfg_mod.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    c = jnp.float32(prm.c)
+    n = 32
+    # lower face of cell 0 of mid-domain blocks (global x ~ 0.5: ulp 6e-8),
+    # moving DOWN at grazing angles spanning the old nudge's blind spot
+    mus = jnp.geomspace(1e-4, 3e-2, n).astype(jnp.float32)
+    p = empty_ledger(128)
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set(0.0),
+        vx=p.vx.at[:n].set(-c * mus),
+        vy=p.vy.at[:n].set(c * jnp.sqrt(1.0 - mus * mus)),
+        block=p.block.at[:n].set(64),
+        i=p.i.at[:n].set(0),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    NC, B = mesh.total_cells, mesh.n_blocks
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)), sigma_s=jnp.zeros((NC,)),
+        fleck=jnp.ones((NC,)),
+        px=jnp.zeros((B, 1, 1, mesh.nx + 1)),
+        py=jnp.zeros((B, 1, 2, mesh.nx)),
+        pz=jnp.zeros((B, 2, 1, mesh.nx)),
+    )
+    # dt = 40 cell-widths of path: free-streaming census in ~40 zone-capped
+    # events; the livelocked bug spun to max_transport_iterations (10000)
+    dxc = 1.0 / 8192
+    dt = jnp.float32(40 * dxc / float(c))
+    pp, iters, _ = T.transport(p, coefs, mesh, jr.PRNGKey(0), prm, dt)
+    alive = np.asarray(pp.alive)
+    assert int(alive.sum()) == n
+    assert not (np.asarray(pp.tau)[alive] < 1.0).any()
+    assert int(iters) < 400, int(iters)
+
+
 def test_per_event_opacity_gray_bitwise_unchanged():
     """Forcing the per-event frequency surface with GRAY models must reproduce the
     precomputed-coefficient path BITWISE: same per-cell values reach every event

@@ -48,13 +48,15 @@ MATRIX = [
 ]
 
 
-def run_matrix(backend: str, device_filter):
+def run_matrix(backend: str, device_filter, only=None):
     results = []
     env = dict(os.environ)
     if backend == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
     for script, deck, ndev, extra in MATRIX:
         if device_filter and ndev not in device_filter:
+            continue
+        if only and only not in deck:
             continue
         name = f"{deck}@{ndev}dev" + (" " + " ".join(extra) if extra else "")
         t0 = time.time()
@@ -99,13 +101,15 @@ def main():
     ap.add_argument("--devices", default="1,8")
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--report", default=None)
+    ap.add_argument("--only", default=None,
+                    help="run only rows whose deck name contains this substring")
     ap.add_argument("--post-status", action="store_true")
     ap.add_argument("--repo", default=None)
     ap.add_argument("--sha", default=None)
     args = ap.parse_args()
 
     devs = {int(d) for d in args.devices.split(",") if d}
-    results = run_matrix(args.backend, devs)
+    results = run_matrix(args.backend, devs, args.only)
     ok = all(r["ok"] for r in results)
     if args.report:
         with open(args.report, "w") as f:

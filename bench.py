@@ -208,19 +208,24 @@ def main():
     # correctness gate: same analytic solution as tst/stepdiff.py
     from scipy.special import erf
 
-    tally = np.asarray(state.fields.energy_tally).reshape(-1)
-    xc = np.asarray(sim.mesh.cell_centers()[0]).reshape(-1)
-    t = N_STEPS * DT
-    tau, ur0, shift = 1.000692e-7, 7.5646e5, 0.5
-    sol = (
-        ur0
-        / 2.0
-        * (
-            erf(((xc + shift) + 0.5) / (2.0 * np.sqrt(t / tau)))
-            - erf(((xc + shift) - 0.5) / (2.0 * np.sqrt(t / tau)))
+    def _stepdiff_werr(st, s):
+        tally = np.asarray(st.fields.energy_tally).reshape(-1)
+        xc = np.asarray(s.mesh.cell_centers()[0]).reshape(-1)
+        t = N_STEPS * DT
+        tau, ur0, shift = 1.000692e-7, 7.5646e5, 0.5
+        sol = (
+            ur0
+            / 2.0
+            * (
+                erf(((xc + shift) + 0.5) / (2.0 * np.sqrt(t / tau)))
+                - erf(((xc + shift) - 0.5) / (2.0 * np.sqrt(t / tau)))
+            )
         )
-    )
-    werr = (np.abs(sol - tally) / np.abs((sol + tally) / 2) * sol).sum() / sol.sum()
+        return (
+            np.abs(sol - tally) / np.abs((sol + tally) / 2) * sol
+        ).sum() / sol.sum()
+
+    werr = _stepdiff_werr(state, sim)
     ok = bool(werr <= 0.05)
 
     # DDMC row: the stepdiff_ddmc acceptance problem at full size through the
@@ -237,11 +242,19 @@ def main():
             }
         )
         ddmc_sim = Simulation(cfg_mod.from_deck(ddmc_deck), quiet=True)
-        ddmc_rate, ddmc_events, _, ddmc_elapsed = _run_steps(ddmc_sim, dt, N_STEPS)
+        ddmc_rate, ddmc_events, ddmc_state, ddmc_elapsed = _run_steps(
+            ddmc_sim, dt, N_STEPS
+        )
+        # same analytic gate as the headline (stepdiff_ddmc is the same
+        # physics problem solved by the DDMC branch; tst/stepdiff.py gates
+        # this deck at the identical 0.05 tolerance)
+        ddmc_werr = _stepdiff_werr(ddmc_state, ddmc_sim)
         ddmc = {
             "events_per_sec": float(f"{ddmc_rate:.4g}"),
             "events_total": ddmc_events,
             "elapsed_s": round(ddmc_elapsed, 3),
+            "weighted_mean_frac_error": float(f"{ddmc_werr:.4g}"),
+            "accuracy_pass": bool(ddmc_werr <= 0.05),
         }
     except Exception as exc:  # pragma: no cover - defensive
         ddmc = {"error": f"{type(exc).__name__}: {exc}"}

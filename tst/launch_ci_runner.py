@@ -110,6 +110,12 @@ def main():
 
     devs = {int(d) for d in args.devices.split(",") if d}
     results = run_matrix(args.backend, devs, args.only)
+    if not results:
+        # all([]) is True — a typo'd --only/--devices filter must not let CI
+        # exit 0 (let alone post a success status) after running zero gates.
+        print("error: no matrix rows matched the --devices/--only filters",
+              file=sys.stderr)
+        return 2
     ok = all(r["ok"] for r in results)
     if args.report:
         with open(args.report, "w") as f:

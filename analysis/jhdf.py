@@ -2,6 +2,11 @@
 subclass of Parthenon's ``phdf``): loads a ``.phdf`` dump written by
 ``jaybenne_tpu.io`` and reconstructs per-block node/center coordinates and variables.
 
+Reads BOTH dump layouts the package writes: the native compact schema
+(``file_type = hdf5``) and the Parthenon binary layout
+(``file_type = phdf_parthenon`` — the structure ``parthenon_tools.phdf``
+understands, so that file also opens in the reference's own analysis stack).
+
 Exposes the same surface the regression harness and plotter consume:
 ``Time``, ``NumBlocks``, ``NX1/NX2/NX3``, ``X1c/X2c/X3c`` (shape
 ``[n_blocks, nz, ny, nx]``), ``X1n/X2n/X3n`` (nodes), ``BlockBounds``, and
@@ -13,28 +18,22 @@ from __future__ import annotations
 import h5py
 import numpy as np
 
+# dataset names that are structure, not output variables, in a Parthenon file
+# (the same exclusion list the reference's jhdf applies, analysis/jhdf.py:95-104)
+_NON_VAR_KEYS = {
+    "Blocks", "Info", "Input", "Levels", "Locations", "LogicalLocations",
+    "Params", "SparseInfo", "VolumeLocations",
+}
+
 
 class jhdf:
     def __init__(self, filename):
         self.file = filename
         with h5py.File(filename, "r") as h:
-            self.Time = float(h.attrs["Time"])
-            self.NCycle = int(h.attrs["NCycle"])
-            self.NumBlocks = int(h.attrs["NumBlocks"])
-            self.ndim = int(h.attrs["ndim"])
-            self.NX1 = int(h.attrs["NX1"])
-            self.NX2 = int(h.attrs["NX2"])
-            self.NX3 = int(h.attrs["NX3"])
-            self.bounds = np.asarray(h.attrs["bounds"])
-            self.origin = h["blocks/origin"][...]
-            self.dx = h["blocks/dx"][...]
-            self.level = h["blocks/level"][...]
-            self._vars = {k: h[f"vars/{k}"][...] for k in h.get("vars", {})}
-            self._swarm = {}
-            if "swarm" in h:
-                for sname in h["swarm"]:
-                    for vname in h[f"swarm/{sname}"]:
-                        self._swarm[(sname, vname)] = h[f"swarm/{sname}/{vname}"][...]
+            if "Info" in h:
+                self._read_parthenon(h)
+            else:
+                self._read_native(h)
 
         nb, nx, ny, nz = self.NumBlocks, self.NX1, self.NX2, self.NX3
         shape = (nb, nz, ny, nx)
@@ -67,6 +66,56 @@ class jhdf:
             axis=1,
         )
 
+    # ------------------------------------------------------------------ layouts
+    def _read_native(self, h):
+        self.Time = float(h.attrs["Time"])
+        self.NCycle = int(h.attrs["NCycle"])
+        self.NumBlocks = int(h.attrs["NumBlocks"])
+        self.ndim = int(h.attrs["ndim"])
+        self.NX1 = int(h.attrs["NX1"])
+        self.NX2 = int(h.attrs["NX2"])
+        self.NX3 = int(h.attrs["NX3"])
+        self.bounds = np.asarray(h.attrs["bounds"])
+        self.origin = h["blocks/origin"][...]
+        self.dx = h["blocks/dx"][...]
+        self.level = h["blocks/level"][...]
+        self._vars = {k: h[f"vars/{k}"][...] for k in h.get("vars", {})}
+        self._swarm = {}
+        if "swarm" in h:
+            for sname in h["swarm"]:
+                for vname in h[f"swarm/{sname}"]:
+                    self._swarm[(sname, vname)] = h[f"swarm/{sname}/{vname}"][...]
+
+    def _read_parthenon(self, h):
+        info = h["Info"].attrs
+        self.Time = float(info["Time"])
+        self.NCycle = int(info["NCycle"])
+        self.NumBlocks = int(info["NumMeshBlocks"])
+        self.ndim = int(info["NumDims"])
+        mbs = np.asarray(info["MeshBlockSize"])
+        self.NX1, self.NX2, self.NX3 = int(mbs[0]), int(mbs[1]), int(mbs[2])
+        dom = np.asarray(info["RootGridDomain"], dtype=np.float64)
+        self.bounds = np.asarray([dom[0], dom[1], dom[3], dom[4], dom[6], dom[7]])
+        nodes = [h["Locations/x"][...], h["Locations/y"][...], h["Locations/z"][...]]
+        self.origin = np.stack([n[:, 0] for n in nodes], axis=1)
+        self.dx = np.stack([n[:, 1] - n[:, 0] for n in nodes], axis=1)
+        self.level = h["Levels"][...]
+        self._vars = {
+            k: h[k][...]
+            for k in h.keys()
+            if k not in _NON_VAR_KEYS and isinstance(h[k], h5py.Dataset)
+        }
+        self._swarm = {}
+        for sname in h.keys():
+            if sname in _NON_VAR_KEYS or not isinstance(h[sname], h5py.Group):
+                continue
+            if sname in ("Locations", "VolumeLocations"):
+                continue
+            for vname in h[sname]:
+                self._swarm[(sname, f"swarm.{vname}")] = h[f"{sname}/{vname}"][...]
+                self._swarm[(sname, vname)] = h[f"{sname}/{vname}"][...]
+
+    # ------------------------------------------------------------------ access
     def Get(self, variable):
         """Cell variable as ``[n_blocks, nz, ny, nx]``."""
         if variable in self._vars:

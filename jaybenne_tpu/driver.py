@@ -217,7 +217,11 @@ class Simulation:
 
     # ------------------------------------------------------------------ outputs
     def _maybe_dump(self, force=False):
-        outs = [o for o in self.cfg.outputs if o.file_type in ("hdf5", "phdf")]
+        outs = [
+            o
+            for o in self.cfg.outputs
+            if o.file_type in ("hdf5", "phdf", "phdf_parthenon")
+        ]
         if outs:
             out = outs[0]
             if force or (
@@ -226,7 +230,14 @@ class Simulation:
                 path = io_mod.dump_filename(
                     self.cfg.problem_id, self.dump_count, self.outdir
                 )
-                io_mod.write_dump(
+                # phdf_parthenon selects the Parthenon-binary-layout writer the
+                # reference's parthenon_tools-based tooling can read directly
+                writer = (
+                    io_mod.write_dump_parthenon
+                    if out.file_type == "phdf_parthenon"
+                    else io_mod.write_dump
+                )
+                writer(
                     path, self.state, self.mesh, self.cfg,
                     out.variables, out.swarm_variables,
                 )

@@ -84,6 +84,135 @@ def write_dump(path, state, mesh, cfg, variables, swarm_variables=()):
                     h.create_dataset(f"swarm/photons/{name}", data=sw[name])
 
 
+def write_dump_parthenon(path, state, mesh, cfg, variables, swarm_variables=()):
+    """Parthenon-binary-layout ``.phdf`` writer (``file_type = phdf_parthenon``).
+
+    Emits the dataset/attribute structure Parthenon's HDF5 output produces
+    (OutputFormatVersion 3) so the reference's analysis stack — which reads
+    dumps through ``parthenon_tools.phdf`` (reference ``analysis/jhdf.py:18-27``)
+    — can open this repo's output with no conversion:
+
+      * group ``Info`` with the attrs ``phdf`` consumes (``Time``, ``NCycle``,
+        ``NumDims``, ``NumMeshBlocks``, ``MeshBlockSize``, ``MaxLevel``,
+        ``RootGridDomain``, ``RootGridSize``, ``Coordinates``,
+        ``OutputDatasetNames``/``ComponentNames``/``NumComponents``),
+      * per-block node coordinates ``Locations/{x,y,z}`` (``[B, n+1]`` — the
+        source of ``phdf.BlockBounds``, which the reference's jhdf uses for
+        ``DX1..3``/``X1c..3c``), cell centers ``VolumeLocations/{x,y,z}``,
+      * ``Levels`` ``[B]`` and ``LogicalLocations`` ``[B, 3]`` (level-local
+        integer block coordinates),
+      * one float64 dataset per output variable named exactly as in the deck
+        (``field.jaybenne.energy_tally`` ...), shaped ``[B, nz, ny, nx]``,
+      * a group per swarm (``photons``) holding one flat dataset per swarm
+        variable plus ``counts``/``offsets`` per block (particles grouped by
+        owning block, as Parthenon's swarm output lays them out).
+
+    The native compact writer (``write_dump``) stays the default; this variant
+    is pure layout — both carry identical values.
+    """
+    if not HAVE_H5PY:  # pragma: no cover
+        raise RuntimeError("h5py is unavailable; cannot write HDF5 dumps")
+    B = mesh.n_blocks
+    nx, ny, nz = mesh.nx, mesh.ny, mesh.nz
+    origin = np.asarray(mesh.block_origin, dtype=np.float64)  # [B, 3] (x, y, z)
+    bdx = np.asarray(mesh.block_dx, dtype=np.float64)
+    levels = np.asarray(mesh.block_level, dtype=np.int64)
+    x1min, x1max, x2min, x2max, x3min, x3max = mesh.bounds
+    nrb3, nrb2, nrb1 = mesh.root_grid
+
+    names = [v for v in variables if VARIABLE_MAP.get(v)]
+    with h5py.File(path, "w") as h:
+        info = h.create_group("Info")
+        info.attrs["OutputFormatVersion"] = np.int32(3)
+        info.attrs["Time"] = np.float64(state.t)
+        info.attrs["NCycle"] = np.int32(state.cycle)
+        info.attrs["WallTime"] = np.float64(0.0)
+        info.attrs["NumDims"] = np.int32(mesh.ndim)
+        info.attrs["NumMeshBlocks"] = np.int32(B)
+        info.attrs["MeshBlockSize"] = np.asarray([nx, ny, nz], dtype=np.int32)
+        info.attrs["MaxLevel"] = np.int32(mesh.max_level)
+        info.attrs["NGhost"] = np.int32(0)
+        info.attrs["IncludesGhost"] = np.int32(0)
+        info.attrs["Multilevel"] = np.int32(1 if mesh.max_level > 0 else 0)
+        info.attrs["NBNew"] = np.int32(0)
+        info.attrs["NBDel"] = np.int32(0)
+        info.attrs["RootLevel"] = np.int32(0)
+        info.attrs["Coordinates"] = "UniformCartesian"
+        info.attrs["RootGridSize"] = np.asarray(
+            [nrb1 * nx, nrb2 * ny, nrb3 * nz], dtype=np.int32
+        )
+        # (min, max, ratio) triplets per axis; uniform grids have ratio 1
+        info.attrs["RootGridDomain"] = np.asarray(
+            [x1min, x1max, 1.0, x2min, x2max, 1.0, x3min, x3max, 1.0],
+            dtype=np.float64,
+        )
+        info.attrs["OutputDatasetNames"] = names
+        info.attrs["ComponentNames"] = names
+        info.attrs["NumComponents"] = np.ones((len(names),), dtype=np.int32)
+
+        # node + cell-center coordinates per block
+        loc = h.create_group("Locations")
+        vloc = h.create_group("VolumeLocations")
+        for d, (axname, n) in enumerate((("x", nx), ("y", ny), ("z", nz))):
+            nodes = origin[:, d : d + 1] + bdx[:, d : d + 1] * np.arange(n + 1)
+            loc.create_dataset(axname, data=nodes)
+            vloc.create_dataset(axname, data=0.5 * (nodes[:, :-1] + nodes[:, 1:]))
+
+        h.create_dataset("Levels", data=levels)
+        # level-local logical block coordinates: origin offset in block strides
+        root_size = np.asarray(
+            [(x1max - x1min) / nrb1, (x2max - x2min) / nrb2, (x3max - x3min) / nrb3]
+        )
+        bsize = root_size[None, :] / np.where(
+            np.arange(3)[None, :] < mesh.ndim, 2.0 ** levels[:, None], 1.0
+        )
+        gmin = np.asarray([x1min, x2min, x3min])
+        h.create_dataset(
+            "LogicalLocations",
+            data=np.rint((origin - gmin[None, :]) / bsize).astype(np.int64),
+        )
+        blocks = h.create_group("Blocks")
+        blocks.create_dataset("xmin", data=origin[:, : max(mesh.ndim, 1)])
+        lgl = np.zeros((B, 5), dtype=np.int32)
+        lgl[:, 0] = levels
+        lgl[:, 1] = np.arange(B)  # gid
+        lgl[:, 2] = np.arange(B)  # lid (single "rank")
+        blocks.create_dataset("loc.level-gid-lid-cnghost-gflag", data=lgl)
+
+        f = state.fields
+        for var in names:
+            arr = np.asarray(getattr(f, VARIABLE_MAP[var]), dtype=np.float64)
+            ds = h.create_dataset(var, data=arr[:B])
+            ds.attrs["ComponentNames"] = [var]
+
+        if swarm_variables:
+            p = state.particles
+            alive = np.asarray(p.alive)
+            gx, gy, gz = p.global_position(mesh)
+            blk = np.asarray(p.block)[alive]
+            order = np.argsort(blk, kind="stable")  # group particles by block
+            counts = np.bincount(blk, minlength=B).astype(np.int64)
+            sw = h.create_group("photons")
+            sw.create_dataset("counts", data=counts)
+            sw.create_dataset(
+                "offsets", data=np.concatenate([[0], np.cumsum(counts)[:-1]])
+            )
+            cols = {
+                "x": np.asarray(gx)[alive],
+                "y": np.asarray(gy)[alive],
+                "z": np.asarray(gz)[alive],
+                "weight": np.asarray(p.weight)[alive],
+                "id": np.flatnonzero(alive).astype(np.int64),
+            }
+            for name in ("x", "y", "z", "weight", "id"):
+                want = (
+                    name in ("x", "y", "z", "id")
+                    or f"swarm.{name}" in swarm_variables
+                )
+                if want:
+                    sw.create_dataset(name, data=cols[name][order])
+
+
 def latest_dump(problem_id: str, outdir: str = ".") -> str:
     files = sorted(glob.glob(os.path.join(outdir, f"{problem_id}.out0.*.phdf")))
     if not files:

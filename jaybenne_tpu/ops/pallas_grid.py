@@ -94,6 +94,16 @@ TAIL_DIV = 4               # tail-round buffer = bufcap/TAIL_DIV (tile-aligned):
 SIGMA_REFRESH = int(os.environ.get("JB_SIGMA_REFRESH", "4"))
 SIGMA_SCAN_MIN_CHUNKS = 8
 
+# JB_FLOOR_ITERS=N: floor-probe mode (measurement only, never production).
+# The census body keeps the production carry width and loop/cond structure but
+# does NO slab gathers, NO RNG, and NO physics — each active lane just advances
+# tau by 1/N, so every particle runs exactly ~N iterations and the census
+# converges in one bucketing round. elapsed/iters then measures the EMPTY-LOOP
+# floor of this kernel (the per-iteration cost that remains after all
+# removable work), the same methodology as the mega-kernel's 13-carry floor
+# probe in BENCH.md "Where the time goes".
+FLOOR_ITERS = int(os.environ.get("JB_FLOOR_ITERS", "0"))
+
 
 def _grid_dims(mesh):
     ntz, nty, ntx = mesh.tile_shape
@@ -703,6 +713,18 @@ def _grid_kernel(
             carry[:13]
         coef_c = carry[13:13 + n_coef]
         stale, paused, it, ev = carry[-4], carry[-3], carry[-2], carry[-1]
+        if FLOOR_ITERS:
+            act = (alive != 0) & (tau < 1.0) & (paused == 0)
+            ntau = jnp.where(
+                act,
+                jnp.minimum(tau + jnp.float32(1.0 / FLOOR_ITERS), 1.0),
+                tau,
+            )
+            return (
+                x, y, z, vx, vy, vz, ntau, gi, gj, gk, alive, absorbed, face,
+            ) + tuple(coef_c) + (
+                stale, paused, it + 1, ev + act.astype(jnp.int32),
+            )
         pool = rng.DrawPool(raw_bits)
 
         li, lj, lk = gi - box, gj - boy, (gk - z0) - boz

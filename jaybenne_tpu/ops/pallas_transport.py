@@ -66,6 +66,10 @@ TILE = SUBLANES * LANES  # particles per grid tile
 # each kernel's carry return), so the <= COND_EVERY-1 overshoot iterations per
 # tile are harmless (and max_iters overshoots by the same bounded amount).
 COND_EVERY = int(os.environ.get("JB_COND_EVERY", "1"))
+# JB_FLOOR_ITERS=N: floor-probe mode — no gathers/RNG/physics, every active
+# lane runs exactly N iterations (tau += 1/N); measurement only, see the
+# matching knob + docstring in pallas_grid.py
+FLOOR_ITERS = int(os.environ.get("JB_FLOOR_ITERS", "0"))
 
 
 def census_while(cond, body, init):
@@ -396,6 +400,19 @@ def _transport_kernel(
     def body(carry):
         (x, y, z, vx, vy, vz, tau, blk, ci, cj, ck, alive, absorbed, face,
          it, ev) = carry
+        if FLOOR_ITERS:
+            # floor-probe mode (see pallas_grid.FLOOR_ITERS): full carry, no
+            # gathers/RNG/physics — measures this kernel's empty-loop floor
+            act = (alive != 0) & (tau < 1.0)
+            ntau_f = jnp.where(
+                act,
+                jnp.minimum(tau + jnp.float32(1.0 / FLOOR_ITERS), 1.0),
+                tau,
+            )
+            return (
+                x, y, z, vx, vy, vz, ntau_f, blk, ci, cj, ck, alive, absorbed,
+                face, it + 1, ev + act.astype(jnp.int32),
+            )
         pool = rng.DrawPool(raw_bits)
         active = (alive != 0) & (tau < 1.0)
 

@@ -216,6 +216,67 @@ def test_pallas_interpret_smr_conserves_energy():
     assert np.isclose(totals["on"], totals["off"], rtol=1e-5)
 
 
+def _run_smr_conservation(deck_file, mods, expect_max_level):
+    """Run use_pallas on/off on an SMR deck; assert exact tally==weights
+    conservation on each path and cross-path total agreement. Returns the mesh
+    so callers can assert forest structure."""
+    from jaybenne_tpu.driver import Simulation
+
+    totals = {}
+    mesh = None
+    for mode in ("on", "off"):
+        deck = Deck.from_file(
+            os.path.join(_ROOT, deck_file)
+        ).update({**mods, "jaybenne/use_pallas": mode})
+        sim = Simulation(cm.from_deck(deck), quiet=True)
+        mesh = sim.mesh
+        assert sim.mesh.max_level == expect_max_level
+        sim.run()
+        dv = np.asarray(sim.mesh.block_volume)[:, None, None, None]
+        p = sim.state.particles
+        w = float(np.asarray(p.weight)[np.asarray(p.alive)].sum())
+        e = float((np.asarray(sim.state.fields.energy_tally) * dv).sum())
+        assert np.isclose(e, w, rtol=1e-5)  # tally == live weights exactly
+        totals[mode] = w
+    assert np.isclose(totals["on"], totals["off"], rtol=1e-5)
+    return mesh
+
+
+def test_pallas_interpret_smr_level2_conserves_energy():
+    """Nested level-2 forest (levels 0/1/2 present, 2:1 graded) through the
+    kernel: IMC transport across BOTH refinement jumps conserves energy and
+    matches the XLA path. Level >= 2 is inherited from Parthenon in the
+    reference (arbitrary <parthenon/static_refinement*> nesting,
+    reference inputs/stepdiff_smr_hybrid.in:52-59) but its decks only reach
+    level 1 — this pins the deeper path."""
+    mods = {
+        "parthenon/mesh/nx1": 32, "parthenon/mesh/nx2": 16,
+        "parthenon/meshblock/nx1": 8, "parthenon/meshblock/nx2": 8,
+        "jaybenne/num_particles": 8000,
+        "jaybenne/dt": "1.e-11", "parthenon/time/tlim": "1.e-11",
+        "mcblock/scattering_constant_value": "2.0e2",
+    }
+    mesh = _run_smr_conservation("inputs/stepdiff_smr2.in", mods, 2)
+    lv = np.asarray(mesh.block_level)
+    assert set(np.unique(lv)) == {0, 1, 2}  # all three levels in the forest
+
+
+def test_pallas_interpret_smr_level2_ddmc_conserves_energy():
+    """DDMC on the nested level-2 forest: level-aware face probabilities and
+    subface resampling at a level-1 -> level-2 boundary (the reference's
+    sample_ddmc_bface.cpp:81-427 paths at a deeper jump than any stock deck)."""
+    mods = {
+        "parthenon/mesh/nx1": 32, "parthenon/mesh/nx2": 16,
+        "parthenon/meshblock/nx1": 8, "parthenon/meshblock/nx2": 8,
+        "jaybenne/num_particles": 8000,
+        "jaybenne/dt": "1.e-11", "parthenon/time/tlim": "1.e-11",
+        "mcblock/scattering_constant_value": "1.0e3",
+        "jaybenne/use_ddmc": "true", "jaybenne/tau_ddmc": "2.5",
+    }
+    mesh = _run_smr_conservation("inputs/stepdiff_smr2.in", mods, 2)
+    assert set(np.unique(np.asarray(mesh.block_level))) == {0, 1, 2}
+
+
 def test_pallas_interpret_absorption():
     cfg, mesh, prm, p, coefs, key = _setup()
     prm = dataclasses.replace(prm, has_absorption=True)
@@ -1080,6 +1141,64 @@ def test_grid_unsplit_periodic_axis_wraps_in_kernel():
     # is bounded by the ballistic event count (~3 domains * 32 cells + margin),
     # far below what seam-pause round accumulation would produce
     assert int(iters) < 250, int(iters)
+
+
+def test_grid_floor_probe_mode():
+    """JB_FLOOR_ITERS floor-probe mode (BENCH.md empty-loop methodology): the
+    census body skips gathers/RNG/physics, every active lane runs exactly N
+    iterations to census, positions/cells unchanged, one bucketing round."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    deck = Deck.parse(DECK).update(
+        {
+            "parthenon/mesh/nx1": 32,
+            "parthenon/mesh/x1min": 0.0,
+            "parthenon/mesh/x1max": 1.0,
+            "parthenon/meshblock/nx1": 8,
+            "jaybenne/dt": "1.0e-10",
+            "parthenon/time/tlim": "1.0e-10",
+        }
+    )
+    cfg = cm.from_deck(deck)
+    mesh = build_mesh(cfg.mesh)
+    prm = make_transport_params(cfg, jnp.float32)
+    n = 200
+    p = empty_ledger(pg.BTILE)
+    dxb = np.float32(mesh.block_dx[0, 0])
+    p = dataclasses.replace(
+        p,
+        x=p.x.at[:n].set(jnp.full((n,), 3.5 * dxb)),
+        vx=p.vx.at[:n].set(2.99792458e10),
+        i=p.i.at[:n].set(3),
+        alive=p.alive.at[:n].set(True),
+        weight=p.weight.at[:n].set(1.0),
+    )
+    NC = mesh.total_cells
+    coefs = T.TransportCoefs(
+        sigma_a=jnp.zeros((NC,)),
+        sigma_s=jnp.full((NC,), 1.0e2),
+        fleck=jnp.ones((NC,)),
+        px=jnp.zeros((4, 1, 1, 9)),
+        py=jnp.zeros((4, 1, 2, 8)),
+        pz=jnp.zeros((4, 2, 1, 8)),
+    )
+    old = pg.FLOOR_ITERS
+    pg.FLOOR_ITERS = 8
+    try:
+        pp, iters, events = pg.transport_grid(
+            p, coefs, mesh, jr.PRNGKey(3), prm, jnp.float32(1.0e-10),
+            interpret=True,
+        )
+    finally:
+        pg.FLOOR_ITERS = old
+    alive = np.asarray(pp.alive)
+    assert int(alive.sum()) == n
+    assert not (np.asarray(pp.tau)[alive] < 1.0).any()  # all at census
+    # no physics ran: positions and cells unchanged
+    np.testing.assert_array_equal(np.asarray(pp.i)[alive], 3)
+    np.testing.assert_allclose(np.asarray(pp.x)[alive], 3.5 * dxb, rtol=1e-6)
+    assert int(iters) == 8  # exactly N iterations, one round
+    assert int(events) == 8 * n
 
 
 def test_stable_order_matches_argsort():

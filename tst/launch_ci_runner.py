@@ -33,6 +33,14 @@ MATRIX = [
     ("stepdiff_smr.py", "stepdiff_smr_ddmc.in", 8, ()),
     ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 1, ()),
     ("stepdiff_smr.py", "stepdiff_smr_hybrid.in", 8, ()),
+    # nested level-2 refinement (levels 0/1/2 in one forest) — IMC and
+    # DDMC-everywhere variants; the deeper-than-stock-decks SMR evidence
+    # (profile gate: see tst/stepdiff_smr2.py)
+    ("stepdiff_smr2.py", "stepdiff_smr2.in", 1, ()),
+    ("stepdiff_smr2.py", "stepdiff_smr2.in", 8, ()),
+    ("stepdiff_smr2.py", "stepdiff_smr2.in", 1,
+     ("--override", "jaybenne/use_ddmc=true",
+      "--override", "jaybenne/tau_ddmc=2.5")),
     ("inf.py", "inf.in", 1, ()),
     ("inf_stiff.py", "inf_stiff.in", 1, ()),
     # TPU-build extensions beyond the reference matrix: 3D SMR+DDMC proof and

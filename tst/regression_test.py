@@ -200,6 +200,76 @@ def analytic_comparison(args, variables, solutions, modified_inputs={}, toleranc
     return 1  # os.EX_SOFTWARE differs across platforms
 
 
+def profile_comparison(
+    args, variables, solutions, modified_inputs={}, tolerance=1.0e-10, nbins=64
+):
+    """Analytic comparison of the volume-weighted 1D x-profile.
+
+    Bins every cell's value into ``nbins`` uniform x-bins (volume-weighted
+    mean — the physically correct aggregation of an intensive density across
+    refinement levels) and gates the weighted-mean fractional error of the
+    binned profile against the solution at the bin centers.
+
+    This is the right gate for DEEPLY refined meshes: the per-cell comparison's
+    noise grows with refinement depth (a level-L cell sees 4^L fewer particles
+    under uniform-per-cell sourcing), while the x-profile averages the
+    transverse direction and all levels together, so the same Monte Carlo run
+    supports a ~3x tighter tolerance — and a level-boundary transport bug
+    still shows up as a profile distortion at the refinement box edges.
+    """
+    input_file = os.path.join(_ROOT, "inputs", args.input)
+    modified_inputs = _merge_overrides(args, modified_inputs)
+
+    print("\n=== ANALYTIC X-PROFILE TEST PROBLEM ===")
+    print(f"= input:        {args.input}")
+    print(f"= n_devices:    {args.n_devices}")
+    print(f"= tolerance:    {tolerance}")
+    print(f"= bins:         {nbins}")
+    print("========================================\n")
+
+    outdir = tempfile.mkdtemp(prefix="jbtpu_prof_")
+    try:
+        sim = run_problem(
+            input_file, modified_inputs, outdir,
+            n_devices=args.n_devices, precision=args.precision,
+            decomposition=getattr(args, "decomposition", None),
+        )
+        dump = _load_last_dump(sim.cfg.problem_id, outdir)
+        t = dump.Time
+        x1min, x1max = float(dump.bounds[0]), float(dump.bounds[1])
+        width = (x1max - x1min) / nbins
+
+        success = True
+        for nv, variable_name in enumerate(variables):
+            print(variable_name)
+            v = dump.Get(variable_name)
+            # per-cell volumes: block dx product broadcast over the block
+            vol = np.prod(dump.dx, axis=1)[:, None, None, None] * np.ones_like(v)
+            bins = np.clip(
+                ((dump.X1c - x1min) / width).astype(np.int64), 0, nbins - 1
+            )
+            num = np.bincount(bins.reshape(-1), (v * vol).reshape(-1), nbins)
+            den = np.bincount(bins.reshape(-1), vol.reshape(-1), nbins)
+            prof = num / np.maximum(den, 1.0e-300)
+            xc = x1min + (np.arange(nbins) + 0.5) * width
+            sol = solutions[nv](t, xc, 0.0, 0.0)
+            frac = np.fabs(sol - prof) / np.fabs((sol + prof) / 2.0)
+            werr = (frac * sol).sum() / sol.sum()
+            print(f"Profile weighted fractional error: {werr:.2e}")
+            print(f"Profile max fractional error:      {frac.max():.2e}")
+            if werr > tolerance:
+                success = False
+    finally:
+        if args.cleanup:
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    if success:
+        print("TEST PASSED")
+        return os.EX_OK
+    print("TEST FAILED")
+    return 1
+
+
 def gold_comparison(args, variables, modified_inputs={}, compression_factor=1, tolerance=0.2):
     """Compare against stored ``.gold`` arrays (regenerate with ``--upgold``)."""
     input_file = os.path.join(_ROOT, "inputs", args.input)

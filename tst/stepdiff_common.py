@@ -57,3 +57,20 @@ def run_gate(default_deck, mesh_overrides, tolerance):
         modified_inputs=dict(mesh_overrides),
         tolerance=tolerance,
     )
+
+
+def run_profile_gate(default_deck, mesh_overrides, tolerance, nbins):
+    """x-profile variant of ``run_gate`` (see ``rt.profile_comparison``): the
+    gate for deeply refined meshes, where the per-cell comparison is dominated
+    by fine-cell Monte Carlo noise rather than transport fidelity."""
+    parser = rt.get_default_parser()
+    parser.set_defaults(input=default_deck)
+    args = parser.parse_args()
+    return rt.profile_comparison(
+        args=args,
+        variables=[TALLY_VAR],
+        solutions=[erf_profile],
+        modified_inputs=dict(mesh_overrides),
+        tolerance=tolerance,
+        nbins=nbins,
+    )

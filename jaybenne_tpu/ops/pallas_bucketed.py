@@ -302,6 +302,21 @@ def _bucketed_kernel(
          leak) = carry[:15]
         coef_c = carry[15:15 + n_coef]
         stale, paused, it, ev = carry[-4], carry[-3], carry[-2], carry[-1]
+        if _pg.FLOOR_ITERS:
+            # floor-probe mode (see pallas_grid.FLOOR_ITERS): full carry, no
+            # gathers/RNG/physics — this kernel's empty-loop floor
+            act = (alive != 0) & (tau < 1.0) & (paused == 0)
+            ntau_f = jnp.where(
+                act,
+                jnp.minimum(tau + jnp.float32(1.0 / _pg.FLOOR_ITERS), 1.0),
+                tau,
+            )
+            return (
+                x, y, z, vx, vy, vz, ntau_f, blk, ci, cj, ck, alive,
+                absorbed, face, leak,
+            ) + tuple(coef_c) + (
+                stale, paused, it + 1, ev + act.astype(jnp.int32),
+            )
         pool = rng.DrawPool(raw_bits)
         blk_rel = jnp.clip(_gather(slot_ref, blk, nb_chunks), 0, maxbpr - 1)
 

@@ -22,8 +22,10 @@ import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
-# (script, input, devices, extra CLI args) — the reference CI matrix
-# (ci.yml:122-140) plus TPU-build extension rows
+# (script, input, devices, extra CLI args[, "slow"]) — the reference CI matrix
+# (ci.yml:122-140) plus TPU-build extension rows. Rows tagged "slow" only run
+# under --full (weekly-depth variants; every capability they guard also has a
+# cheap default row).
 MATRIX = [
     ("stepdiff.py", "stepdiff.in", 1, ()),
     ("stepdiff.py", "stepdiff_ddmc.in", 1, ()),
@@ -47,21 +49,37 @@ MATRIX = [
     # the spatial (block-sharded) decomposition end to end
     ("stepdiff_3d.py", "stepdiff_3d_smr_ddmc.in", 1, ()),
     # spatial needs >= 1 block per shard (the stepdiff gate pins a single
-    # 128-cell block) and capacity headroom for the hot-side shards
+    # 128-cell block) and capacity headroom for the hot-side shards.
+    # Default row: a reduced pinned config (32 cells in 16 2-cell blocks -> 2
+    # blocks/shard at 8 devices, 16k particles) that preserves
+    # blocks-per-shard > 1 and real migration traffic at ~1/10 the cost of the
+    # full-size row (VERDICT r3 #7); accuracy margin holds (noise scales as
+    # sqrt(particles-per-cell): 500/cell here vs 781 full-size -> ~0.038
+    # expected vs the 0.05 gate). The full-size original is kept under --full.
+    ("stepdiff.py", "stepdiff.in", 8,
+     ("--decomposition", "spatial",
+      "--override", "parthenon/mesh/nx1=32",
+      "--override", "parthenon/meshblock/nx1=2",
+      "--override", "jaybenne/num_particles=16000",
+      "--override", "jaybenne/capacity_factor=4")),
     ("stepdiff.py", "stepdiff.in", 8,
      ("--decomposition", "spatial", "--override", "parthenon/meshblock/nx1=16",
-      "--override", "jaybenne/capacity_factor=4")),
+      "--override", "jaybenne/capacity_factor=4"), "slow"),
     # Su-Olson external-volume-source bookkeeping gate (extension physics)
     ("suolson.py", "suolson.in", 1, ()),
 ]
 
 
-def run_matrix(backend: str, device_filter, only=None):
+def run_matrix(backend: str, device_filter, only=None, full=False):
     results = []
     env = dict(os.environ)
     if backend == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
-    for script, deck, ndev, extra in MATRIX:
+    for row in MATRIX:
+        script, deck, ndev, extra = row[:4]
+        slow = len(row) > 4 and row[4] == "slow"
+        if slow and not full:
+            continue
         if device_filter and ndev not in device_filter:
             continue
         if only and only not in deck:
@@ -111,13 +129,15 @@ def main():
     ap.add_argument("--report", default=None)
     ap.add_argument("--only", default=None,
                     help="run only rows whose deck name contains this substring")
+    ap.add_argument("--full", action="store_true",
+                    help="include slow-tagged rows (weekly-depth variants)")
     ap.add_argument("--post-status", action="store_true")
     ap.add_argument("--repo", default=None)
     ap.add_argument("--sha", default=None)
     args = ap.parse_args()
 
     devs = {int(d) for d in args.devices.split(",") if d}
-    results = run_matrix(args.backend, devs, args.only)
+    results = run_matrix(args.backend, devs, args.only, args.full)
     if not results:
         # all([]) is True — a typo'd --only/--devices filter must not let CI
         # exit 0 (let alone post a success status) after running zero gates.

@@ -1262,6 +1262,14 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     rsh = (sdz, sdy, sdx)
     lay = dict(rn=rn, ng=ng, halo=halo)
     nongray = coefs.opacity is not None
+    # diagnostic knobs (JB_SKIP_KERNEL companions): zero the slab tables /
+    # skip the final ledger-order restore, to isolate those pieces' cost on
+    # the PRODUCTION step path. Results are physically wrong — timing only.
+    _skip_slabs = bool(os.environ.get("JB_SKIP_SLABS"))
+    _skip_restore = bool(os.environ.get("JB_SKIP_RESTORE"))
+    if _skip_slabs:
+        zt_i = jnp.zeros(((R_pad + 1) * K_reg * GREP, LANES), jnp.int32)
+        zt_f = jax.lax.bitcast_convert_type(zt_i, jnp.float32)
     if nongray:
         # frequency-dependent models: ship (rho, T, fleck) slabs; the kernel
         # evaluates the models per refresh at the particle's photon energy
@@ -1286,8 +1294,8 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         else:
             inv_g = 1.0 / (ea_g + es_g + jnp.float32(1.0e-37))
             pair_g = _pack_bf16_pair(ea_g * inv_g, inv_g)
-        pk_t = _slab_tables(pair_g, rsh, K=K_reg, dtype=i32,
-                            periodic=per, **lay)
+        pk_t = zt_i if _skip_slabs else _slab_tables(
+            pair_g, rsh, K=K_reg, dtype=i32, periodic=per, **lay)
         t2_t = f3_t = jnp.zeros(((R_pad + 1) * GREP, LANES), f32)
     if prm.use_ddmc:
         # DDMC leak probs as PER-CELL (P_lower, P_upper) packed pairs: the
@@ -1319,16 +1327,33 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         Kf_reg = (1, 1, 1)
 
     # ledger <-> global cells; static block coords via origins. The block id
-    # is pure tile arithmetic (uniform meshes are lexicographic); the float
-    # origin rebase gathers real origins ONCE per step each way.
-    borg = np.asarray(mesh.block_origin, np.float64)
+    # is pure tile arithmetic (uniform meshes are lexicographic).
     bdx0 = np.asarray(mesh.block_dx, np.float64)[0]
     x1min_, x1max_, x2min_, x2max_, x3min_, x3max_ = mesh.bounds
     ntz, nty, ntx = mesh.tile_shape
     nxb, nyb, nzb = mesh.nx, mesh.ny, mesh.nz
-    orgx = jnp.asarray(borg[:, 0], f32)
-    orgy = jnp.asarray(borg[:, 1], f32)
-    orgz = jnp.asarray(borg[:, 2], f32)
+    # Uniform lexicographic mesh: block origin is AFFINE in the tile index
+    # (origin = domain_min + t * block_physical_size). Computing it as a
+    # vector FMA replaces SIX capacity-sized arbitrary-index origin gathers
+    # per step (~38 ms of the 64^3/663k-capacity step — the dominant
+    # non-round host fixed cost, BENCH.md round-4 session 4) with ~free
+    # elementwise ops. Within <=2 ulp of the stored `mesh.block_origin`
+    # (which is f32(gmin + t*size_f64)); the kernel's face/BC math reads only
+    # global cells + domain bounds (never block origins), and entry/exit use
+    # the SAME formula, so the rebase is exactly self-consistent.
+    bsx_c = jnp.float32(float(bdx0[0]) * nxb)
+    bsy_c = jnp.float32(float(bdx0[1]) * nyb)
+    bsz_c = jnp.float32(float(bdx0[2]) * nzb)
+    x1min_f = jnp.float32(x1min_)
+    x2min_f = jnp.float32(x2min_)
+    x3min_f = jnp.float32(x3min_)
+
+    def org_of(tx, ty, tz):
+        return (
+            x1min_f + tx.astype(f32) * bsx_c,
+            x2min_f + ty.astype(f32) * bsy_c,
+            x3min_f + tz.astype(f32) * bsz_c,
+        )
 
     bufcap = cap + (R_pad + 1) * BTILE
     bufcap = -(-bufcap // BTILE) * BTILE
@@ -1591,14 +1616,16 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         )[:bufcap]
         return Bm_new, outs[15][0, 0], outs[14][0, 0]
 
-    # ledger -> global-cell cols (once per step; tile ids are arithmetic)
+    # ledger -> global-cell cols (once per step; tile ids AND origins are
+    # arithmetic — no per-particle gathers at all)
     b = p.block
     tx = b % ntx
     ty = (b // ntx) % nty
     tz = b // (ntx * nty)
+    ox_b, oy_b, oz_b = org_of(tx, ty, tz)
     en_col = (p.energy.astype(f32),) if nongray else ()
     cols = (
-        p.x + orgx[b], p.y + orgy[b], p.z + orgz[b],
+        p.x + ox_b, p.y + oy_b, p.z + oz_b,
         p.vx, p.vy, p.vz, p.tau.astype(f32),
     ) + en_col + (
         tx * nxb + p.i, ty * nyb + p.j, tz * nzb + p.k,
@@ -1684,25 +1711,28 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
     # unwrapped between rounds). Sort backend: one stable sort on the carried
     # slot->ledger ids; gather backend: one row gather through the
     # ledger->slot map. If the loop never ran both are the identity.
-    if BUCKET_APPLY == "sort":
+    if _skip_restore:  # diagnostic: buffer order, timing only
+        cols = rewrap_cols(rows_to_cols(Bm[:cap]))
+    elif BUCKET_APPLY == "sort":
         cols = rewrap_cols(rows_to_cols(_unbucket_sort(Bm, restore, cap)))
     else:
         cols = rewrap_cols(rows_to_cols(Bm[restore]))
 
-    # global-cell cols -> ledger (tile ids arithmetic; origins gathered once)
+    # global-cell cols -> ledger (tile ids AND origins arithmetic)
     gi_n, gj_n, gk_n = cols[IGI], cols[IGJ], cols[IGK]
     txn = jnp.clip(gi_n // nxb, 0, ntx - 1)
     tyn = jnp.clip(gj_n // nyb, 0, nty - 1)
     tzn = jnp.clip(gk_n // nzb, 0, ntz - 1)
     tb = (tzn * nty + tyn) * ntx + txn
+    ox_n, oy_n, oz_n = org_of(txn, tyn, tzn)
     back = {
         "block": tb,
         "i": gi_n - txn * nxb,
         "j": gj_n - tyn * nyb,
         "k": gk_n - tzn * nzb,
-        "x": cols[0] - orgx[tb],
-        "y": cols[1] - orgy[tb],
-        "z": cols[2] - orgz[tb],
+        "x": cols[0] - ox_n,
+        "y": cols[1] - oy_n,
+        "z": cols[2] - oz_n,
         "vx": cols[3], "vy": cols[4], "vz": cols[5], "tau": cols[6],
         "alive": cols[IAL].astype(jnp.bool_),
         "absorbed": cols[IAL + 1].astype(jnp.bool_),
@@ -1785,9 +1815,22 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         per_bc[2] and not z_split and NGZ == 1,
     )
     x1min, x1max, x2min, x2max, x3min, x3max = mesh.bounds
-    orgx = jnp.asarray(np.asarray(mesh.block_origin, np.float64)[:, 0], f32)
-    orgy = jnp.asarray(np.asarray(mesh.block_origin, np.float64)[:, 1], f32)
-    orgz = jnp.asarray(np.asarray(mesh.block_origin, np.float64)[:, 2], f32)
+    # arithmetic block origins — same rationale and formula as transport_grid
+    # (block ids are GLOBAL in the sharded ledger, so the global tile index
+    # feeds the same affine map; z0 shard offsets only ever touch CELLS)
+    bsx_c = jnp.float32(float(bdx0[0]) * nxb)
+    bsy_c = jnp.float32(float(bdx0[1]) * nyb)
+    bsz_c = jnp.float32(float(bdx0[2]) * nzb)
+    x1min_f = jnp.float32(x1min)
+    x2min_f = jnp.float32(x2min)
+    x3min_f = jnp.float32(x3min)
+
+    def org_of(tx, ty, tz):
+        return (
+            x1min_f + tx.astype(f32) * bsx_c,
+            x2min_f + ty.astype(f32) * bsy_c,
+            x3min_f + tz.astype(f32) * bsz_c,
+        )
 
     bufcap = cap + (R_pad + 1) * BTILE
     bufcap = -(-bufcap // BTILE) * BTILE
@@ -1893,8 +1936,8 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
     def round_fn(p, tables, key, rounds, dt):
         pk_t, t2_t, f3_t, fpx_t, fpy_t, fpz_t, z0 = tables
         del rounds  # halo slabs make parity alternation unnecessary
-        # ledger -> global cells: integer tile arithmetic (exact), origin
-        # gathers for the float rebase (match transport_grid's convention)
+        # ledger -> global cells: integer tile arithmetic (exact), arithmetic
+        # origins for the float rebase (match transport_grid's convention)
         b = p.block
         tx = b % ntx
         ty = (b // ntx) % nty
@@ -1902,9 +1945,10 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         gi = tx * nxb + p.i
         gj = ty * nyb + p.j
         gk = tz * nzb + p.k
-        gx = p.x + orgx[b]
-        gy = p.y + orgy[b]
-        gz = p.z + orgz[b]
+        ox_b, oy_b, oz_b = org_of(tx, ty, tz)
+        gx = p.x + ox_b
+        gy = p.y + oy_b
+        gz = p.z + oz_b
         gkl = gk - z0
         owned = (gkl >= 0) & (gkl < KZ)
         unfinished = p.alive & (p.tau < 1.0) & owned
@@ -2007,14 +2051,15 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         tyn = jnp.clip(gj_n // nyb, 0, nty - 1)
         tzn = jnp.clip(gk_n // nzb, 0, ntz - 1)
         tb = (tzn * nty + tyn) * ntx + txn
+        ox_n, oy_n, oz_n = org_of(txn, tyn, tzn)
         upd = {
             "block": tb,
             "i": gi_n - txn * nxb,
             "j": gj_n - tyn * nyb,
             "k": gk_n - tzn * nzb,
-            "x": gx_n - orgx[tb],
-            "y": gy_n - orgy[tb],
-            "z": gz_n - orgz[tb],
+            "x": gx_n - ox_n,
+            "y": gy_n - oy_n,
+            "z": gz_n - oz_n,
             "vx": from_buf(3, f32), "vy": from_buf(4, f32),
             "vz": from_buf(5, f32), "tau": from_buf(6, f32),
             "alive": from_buf(nfc + 3, jnp.bool_),

@@ -19,6 +19,7 @@ not exist (neighbor data is gathered positionally where needed).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -218,7 +219,12 @@ def build_step_core(
                 f, mesh, eos, opacity, scattering, jb.use_ddmc, dtype
             )
             pallas_mode, pallas_interp = _pallas_ok(p)
-            if pallas_mode == "full":
+            if os.environ.get("JB_SKIP_TRANSPORT"):
+                # diagnostic (timing only): the whole census loop as identity
+                # — isolates the non-transport step machinery's cost
+                p = dataclasses.replace(p, tau=jnp.ones_like(p.tau))
+                iters = events = jnp.zeros((), jnp.int32)
+            elif pallas_mode == "full":
                 from .ops.pallas_transport import transport_pallas
 
                 p, iters, events = transport_pallas(

@@ -1046,7 +1046,7 @@ def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
     )
     ncol = len(cols)
     if BUCKET_APPLY == "sort":
-        rows_in, buf_lid, tile_regions = _bucket_sort_apply(
+        rows_in, buf_lid, tile_regions, _ = _bucket_sort_apply(
             keyv, _pack_rows(cols, n_fcols=nfc), jnp.arange(cap, dtype=i32),
             R, grid, btile=BTILE, n_sub=n_sub,
         )

@@ -51,8 +51,8 @@ from ..config import BC
 from . import pallas_rng as rng
 from .pallas_transport import (
     GREP, LANES, RANGED_GATHER, RANGED_MIN_CHUNKS, _bf16_hi, _bf16_lo,
-    _chunk_table, _gather, _gather_ranged, _pack_bf16_pair, _ranged_plan,
-    census_while,
+    _chunk_table, _gather, _gather_ranged, _gather_window, _pack_bf16_pair,
+    _ranged_plan, census_while,
 )
 
 BSUB = 32                  # sublane groups per tile (4096-lane tiles).
@@ -154,7 +154,8 @@ def _stable_order(keyv, n_keys):
 
 
 def _bucket_plan(keyv, n_regions, n_tiles, include_dump=True,
-                 want_dest_of_src=True, btile=None, n_sub=1):
+                 want_dest_of_src=True, btile=None, n_sub=1,
+                 want_bases=False):
     """Gather-only bucketing plan over i32 keys in [0, n_regions * n_sub];
     key == ``n_regions * n_sub`` is the dump segment for finished/dead rows.
 
@@ -218,7 +219,28 @@ def _bucket_plan(keyv, n_regions, n_tiles, include_dump=True,
         # dest_sorted[j] = j + (padding inserted before region ks[j])
         dest_sorted = iota + jnp.take(offs - first, ks >> sub_shift)
         dest_of_src = jnp.zeros((n,), i32).at[order].set(dest_sorted)
-    return src_of_slot, tile_regions, dest_of_src
+    if not want_bases:
+        return src_of_slot, tile_regions, dest_of_src
+    # per-GREP-group FIRST (minimum) chunk id, for the windowed-scan path:
+    # group g of a tile starts at sorted rank (group_start - region_offset)
+    # within its region's key segment; the key there is the group's smallest
+    # composite key (stable ascending sort), whose sub part IS the chunk id.
+    # Groups holding no real rows (pure padding / dump) get base 0.
+    G = btile // (GREP * LANES)
+    g_start = (
+        tile_starts[:, None]
+        + jnp.arange(G, dtype=i32)[None, :] * (GREP * LANES)
+    ).reshape(-1)
+    reg_g = jnp.repeat(tile_regions, G)
+    rank0 = g_start - jnp.take(offs, reg_g)
+    valid = (
+        (reg_g < n_regions)
+        & (rank0 >= 0)
+        & (rank0 < jnp.take(counts, reg_g))
+    )
+    key0 = jnp.take(ks, jnp.clip(jnp.take(first, reg_g) + rank0, 0, n - 1))
+    bases = jnp.where(valid, key0 % n_sub, 0).astype(i32)
+    return src_of_slot, tile_regions, dest_of_src, bases
 
 
 def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None,
@@ -244,7 +266,10 @@ def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None,
     (pads get sentinel ``n``) — so the inverse permutation needs no scatter:
     restoring is one more sort keyed on the returned ``buf_lid``.
 
-    Returns ``(buf_rows, buf_lid, tile_regions)``.
+    Returns ``(buf_rows, buf_lid, tile_regions, buf_keys)`` — ``buf_keys``
+    is the sorted DOUBLED key per buffer slot (real rows even: ``2*keyv``;
+    pads odd), which the windowed-scan path decodes for per-group base
+    chunks.
     """
     i32 = jnp.int32
     if btile is None:
@@ -285,7 +310,7 @@ def _bucket_sort_apply(keyv, rows, lid, n_regions, n_tiles, btile=None,
         + [jnp.concatenate([lid, jnp.full((npads,), n, i32)])]
     )
     outs = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    return jnp.stack(outs[1:1 + C], axis=1), outs[1 + C], tile_regions
+    return jnp.stack(outs[1:1 + C], axis=1), outs[1 + C], tile_regions, outs[0]
 
 
 def _unbucket_sort(buf_rows, buf_lid, n):
@@ -303,12 +328,27 @@ def _unbucket_sort(buf_rows, buf_lid, n):
 BUCKET_APPLY = os.environ.get("JB_BUCKET_APPLY", "sort")
 
 
+# Windowed slab scans: each GREP group scans a STATIC-width chunk window
+# around its host-computed round-start base instead of the whole slab (see
+# _gather_window / the window block in _grid_kernel). Requires the composite
+# (region, chunk) bucketing key so group lanes start chunk-adjacent. 0 = off
+# (full static scan). Only engages when the slab has >= 2*W chunks.
+WINDOW_CHUNKS = int(os.environ.get("JB_WINDOW_CHUNKS", "0"))
+
+
+def _window_for(K_reg):
+    W = WINDOW_CHUNKS
+    return W if (W > 0 and K_reg >= 2 * W) else 0
+
+
 def _subkeys_for(K_reg):
     """Composite-key multiplier (power of 2) covering a slab's chunk ids, or 1
     when the kernel will use the static full scan. MUST stay in lockstep with
-    the kernel-side ranged-gather gate: the ranged scan's win comes from the
+    the kernel-side ranged-gather/window gates: their win comes from the
     bucketing sort laying same-group lanes chunk-adjacent."""
     if RANGED_GATHER and K_reg >= RANGED_MIN_CHUNKS:
+        return 1 << (K_reg - 1).bit_length()
+    if _window_for(K_reg):
         return 1 << (K_reg - 1).bit_length()
     return 1
 
@@ -646,7 +686,7 @@ def _grid_kernel(
     (ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY, cell_dx,
      max_iters, bcs, bounds, has_absorption, interpret, use_ddmc, tau_ddmc,
      eps_imc, eps_ddmc, K_reg, Kf_reg, wrap_axes, z_split, KZ,
-     nongray) = prm_static
+     nongray, W_win) = prm_static
     sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz  # slab dims
     multi_d = ndim >= 2
     three_d = ndim == 3
@@ -664,7 +704,16 @@ def _grid_kernel(
     # spatial (z-slab sharded) mode: the region grid lives in SHARD-LOCAL z
     # (z0 = shard * KZ, traced); particles keep GLOBAL gk for face/BC math
     z0 = intr_ref[1]
-    tr = regions_ref[pl.program_id(0)]
+    # W_win > 0: windowed slab scans — the prefetch array is [grid, 1 + G]
+    # (region, then the per-GREP-group window base chunks); else [grid]
+    if W_win:
+        tr = regions_ref[pl.program_id(0), 0]
+        grp_base = [
+            regions_ref[pl.program_id(0), 1 + s] for s in range(BSUB // GREP)
+        ]
+    else:
+        tr = regions_ref[pl.program_id(0)]
+        grp_base = None
     rcx = tr % NGX
     rcy = (tr // NGX) % NGY
     rcz = tr // (NGX * NGY)
@@ -730,6 +779,35 @@ def _grid_kernel(
         li, lj, lk = gi - box, gj - boy, (gk - z0) - boz
         cell = (lk * sdy + lj) * sdx + li
 
+        # windowed slab scans (W_win > 0): each GREP group scans only the
+        # static-width chunk window [base, base + W_win) around its
+        # host-computed round-start base — the bucketing sort lays group
+        # lanes chunk-adjacent (composite key), and in the diffusive regime a
+        # lane drifts only a few z-cells per STEP, so escapes are rare. A
+        # live lane outside its window PAUSES at its refresh (before any
+        # gather result is consumed; between refreshes it is stale/idle
+        # anyway) and rides the next bucketing round, which re-sorts escapees
+        # into fresh groups with bases that cover them — so every round makes
+        # progress and the existing tail machinery absorbs the traffic.
+        if W_win:
+            ch_all = cell >> 7  # LANES = 128 = 1 << 7
+            in_win_g = []
+            for s in range(BSUB // GREP):
+                chs = ch_all[s * GREP : (s + 1) * GREP, :]
+                in_win_g.append(
+                    (chs >= grp_base[s]) & (chs < grp_base[s] + W_win)
+                )
+            in_win = jnp.concatenate(in_win_g, axis=0)
+            live_w = (alive != 0) & (tau < 1.0) & (paused == 0)
+            esc = live_w & ~in_win
+            if R_ref == 1:
+                paused = jnp.maximum(paused, esc.astype(jnp.int32))
+            else:
+                refresh_w = (it % jnp.int32(R_ref)) == 0
+                paused = jnp.maximum(
+                    paused, jnp.where(refresh_w, esc, False).astype(jnp.int32)
+                )
+
         # ranged scans: lanes that can still transport this round (paused and
         # finished lanes may fall outside the scanned range and read zeros —
         # they never consume coefficients before the round returns)
@@ -746,7 +824,11 @@ def _grid_kernel(
             # cell are both constant between refreshes, so the rates are
             # exactly as fresh as the gray path's). DDMC adds 3 per-axis
             # (P_lower, P_upper) face-pair words.
-            if ranged:
+            if W_win:
+                gat = lambda ref, K: _gather_window(
+                    ref, cell, grp_base, W_win, K
+                )
+            elif ranged:
                 plan = _ranged_plan(cell, live, K_reg)
                 gat = lambda ref, K: _gather_ranged(ref, plan)
             else:
@@ -1365,6 +1447,15 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         per[1] and NGY == 1,
         per[2] and NGZ == 1,
     )
+    # windowed slab scans: sort backend only (bases decode from sorted keys)
+    W_win = _window_for(K_reg) if BUCKET_APPLY == "sort" else 0
+    G_grp = BSUB // GREP
+
+    def clamp_bases(b):
+        # margin below the group minimum (drift is two-sided), clamped so
+        # every [base, base+W) window slice stays inside the slab table
+        return jnp.clip(b - W_win // 4, 0, max(K_reg - W_win, 0))
+
     prm_static = (
         prm.ndim, NX, NY, NZ, rnx, rny, rnz, hx, hy, hz, NGX, NGY,
         tuple(float(v) for v in bdx0),
@@ -1373,7 +1464,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         prm.has_absorption, interpret, prm.use_ddmc, prm.tau_ddmc,
         prm.eps_imc, prm.eps_ddmc, K_reg, Kf_reg, wrap_axes,
         False, NZ,  # z_split, KZ (the spatial factory shards z)
-        nongray,
+        nongray, W_win,
     )
     kernel = functools.partial(
         _grid_kernel, prm_static=prm_static,
@@ -1403,10 +1494,17 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         (BSUB, LANES), lambda g, rr: (0, 0), memory_space=pltpu.VMEM
     )
     en_spec = part_spec if nongray else dummy_spec
-    slab = lambda rows: pl.BlockSpec(
-        (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R_pad), 0),
-        memory_space=pltpu.VMEM,
-    )
+    if W_win:
+        # prefetch is [grid, 1 + G]: (region, per-group window bases)
+        slab = lambda rows: pl.BlockSpec(
+            (rows, LANES), lambda g, rr: (jnp.minimum(rr[g, 0], R_pad), 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        slab = lambda rows: pl.BlockSpec(
+            (rows, LANES), lambda g, rr: (jnp.minimum(rr[g], R_pad), 0),
+            memory_space=pltpu.VMEM,
+        )
     coef_slab = slab(K_reg * GREP) if nongray else slab(GREP)
     stat_spec = pl.BlockSpec((1, 1), lambda g, rr: (0, 0), memory_space=pltpu.SMEM)
 
@@ -1496,8 +1594,20 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         """Bucket unfinished buffer slots into the tail buffer: the first
         ``tail_bufcap`` unfinished rows in region-sorted order get slots
         (overflow stays paused in place for the next round). Returns
-        (slot_src, tile_regions): the buffer row feeding each tail slot
-        (``bufcap`` = empty) and the region of each tail tile."""
+        (slot_src, pref): the buffer row feeding each tail slot (``bufcap``
+        = empty) and the kernel's scalar-prefetch array — per-tile regions,
+        plus per-group window bases when the windowed scan is on."""
+        if W_win:
+            slot_src, tile_regions, _, bases = _bucket_plan(
+                keyv, R_pad, tail_grid, include_dump=False,
+                want_dest_of_src=False, n_sub=K_SUB, want_bases=True,
+            )
+            pref = jnp.concatenate(
+                [tile_regions[:, None],
+                 clamp_bases(bases).reshape(tail_grid, G_grp)],
+                axis=1,
+            )
+            return slot_src, pref
         slot_src, tile_regions, _ = _bucket_plan(
             keyv, R_pad, tail_grid, include_dump=False,
             want_dest_of_src=False, n_sub=K_SUB,
@@ -1570,16 +1680,30 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         unfinished = (M[:, IAL] != 0) & (tau < 1.0)
         keyv = key_of(unfinished, M[:, IGI], M[:, IGJ], M[:, IGK])
         if BUCKET_APPLY == "sort":
-            rows_in, restore, tile_regions = _bucket_sort_apply(
+            rows_in, restore, tile_regions, buf_keys = _bucket_sort_apply(
                 keyv, M, jnp.arange(cap, dtype=i32), R_pad, grid, n_sub=K_SUB
             )
+            pref = tile_regions
+            if W_win:
+                # group base = sub part of the group's FIRST (minimum) sorted
+                # key; pure-pad/dump groups (odd or dump keys) get base 0
+                k2 = buf_keys.reshape(-1, GREP * LANES)[:, 0]
+                real = ((k2 & 1) == 0) & ((k2 >> 1) < R_pad * K_SUB)
+                bases = clamp_bases(
+                    jnp.where(real, (k2 >> 1) % K_SUB, 0).astype(i32)
+                )
+                pref = jnp.concatenate(
+                    [tile_regions[:, None], bases.reshape(grid, G_grp)],
+                    axis=1,
+                )
         else:
             src_of_slot, restore, tile_regions = bucket(keyv)
+            pref = tile_regions
             rows_in = jnp.concatenate(
                 [M, jnp.zeros((1, NCOL), i32)]
             )[src_of_slot]
         outs = run_kernel(
-            call, tile_regions, jnp.int32(0), rows_to_bufs(rows_in, bufcap),
+            call, pref, jnp.int32(0), rows_to_bufs(rows_in, bufcap),
             tabs,
         )
         return (
@@ -1844,7 +1968,7 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         prm.has_absorption, interpret, False, prm.tau_ddmc,
         prm.eps_imc, prm.eps_ddmc, K_reg, (1, 1, 1), wrap_axes,
         z_split, KZ,
-        nongray,
+        nongray, 0,  # windowed scans: particle-path transport_grid only
     )
     kernel = functools.partial(
         _grid_kernel, prm_static=prm_static,
@@ -1972,7 +2096,7 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         cols = (gx, gy, gz, p.vx, p.vy, p.vz, p.tau.astype(f32)) + en_col + (
                 gi, gj, gk, p.alive.astype(i32), p.absorbed.astype(i32), p.face)
         if BUCKET_APPLY == "sort":
-            rows_in, buf_lid, tile_regions = _bucket_sort_apply(
+            rows_in, buf_lid, tile_regions, _ = _bucket_sort_apply(
                 keyv, _pack_rows(cols, n_fcols=nfc), jnp.arange(cap, dtype=i32),
                 R_pad, grid, n_sub=K_SUB,
             )

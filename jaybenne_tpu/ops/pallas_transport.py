@@ -191,6 +191,35 @@ def _gather(tab_ref, idx, n_chunks=1):
 
 _gather_chunked = _gather  # call-site alias: explicit chunk count
 
+
+def _gather_window(tab_ref, idx, bases, W, n_chunks):
+    """Windowed variant of ``_gather``: each GREP group scans only the
+    STATIC-width chunk window ``[bases[s], bases[s] + W)`` of the table —
+    same 3-vector-op chunk step, but W unrolled iterations instead of
+    ``n_chunks``, with a dynamic (scalar) start offset per group. ``bases``
+    are host-computed per-group round-start base chunks (traced i32 scalars,
+    pre-clamped to ``[0, n_chunks - W]`` so every slice is in-bounds); lanes
+    whose chunk falls outside their group's window read zeros — the kernel
+    PAUSES them at refresh before any gathered value is consumed (see the
+    window block in ``pallas_grid._grid_kernel``). Unlike the ranged scan
+    (dynamic fori_loop BOUNDS — serialized, rejected in BENCH.md) the loop
+    here is static and pipelines; only the slice offsets are dynamic."""
+    del n_chunks
+    groups = []
+    for s in range(idx.shape[0] // GREP):
+        sl = idx[s * GREP : (s + 1) * GREP, :]
+        base = bases[s]
+        ch = sl >> 7
+        rel = sl & (LANES - 1)
+        g = jnp.zeros(sl.shape, tab_ref.dtype)
+        for k in range(W):
+            part = jnp.take_along_axis(
+                tab_ref[pl.ds((base + k) * GREP, GREP), :], rel, axis=1
+            )
+            g = jnp.where(ch == base + k, part, g)
+        groups.append(g)
+    return jnp.concatenate(groups, axis=0)
+
 # Ranged chunk scans (big-mesh kernels): instead of the static full-table scan,
 # each GREP group scans only [min, max] of the chunk ids its LIVE lanes hold,
 # with dynamic fori_loop bounds, after a composite (region, chunk) sort key

@@ -861,6 +861,59 @@ def test_grid_ranged_gather_ddmc(monkeypatch):
     assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
 
 
+def test_grid_window_gather_matches_xla(monkeypatch):
+    """Windowed chunk scans (static-width window around the host-computed
+    per-group base; escapees pause at refresh and re-bucket) forced on at
+    test region size: census complete, nothing lost, statistics unchanged vs
+    the XLA loop. W = half the slab here, so escapes DO happen and exercise
+    the pause -> tail-round path."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    monkeypatch.setattr(pg, "REGION_CELLS_DDMC", 1024)
+    monkeypatch.setattr(pg, "SIGMA_SCAN_MIN_CHUNKS", 0)
+    monkeypatch.setattr(pg, "SIGMA_REFRESH", 4)
+    monkeypatch.setattr(pg, "WINDOW_CHUNKS", 2)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big()
+    K_reg = pg._grid_layout(mesh)[3]
+    assert pg._window_for(K_reg) == 2 and pg._subkeys_for(K_reg) > 1
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, ev_p = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, ev_x = T.transport(p, coefs, mesh, key, prm, dt)
+    for out, name in ((pp, "grid"), (px_, "xla")):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n, name
+        assert not (np.asarray(out.tau)[alive] < 1.0).any(), name
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+    assert abs(gx_p.std() - gx_x.std()) / gx_x.std() < 0.05
+    assert abs(int(ev_p) - int(ev_x)) / int(ev_x) < 0.05
+
+
+def test_grid_window_gather_ddmc(monkeypatch):
+    """Windowed scans + DDMC: the face-pair gathers share the window plan and
+    escaped/paused lanes never consume out-of-window garbage."""
+    from jaybenne_tpu.ops import pallas_grid as pg
+
+    monkeypatch.setattr(pg, "REGION_CELLS_IMC", 1024)
+    monkeypatch.setattr(pg, "REGION_CELLS_DDMC", 1024)
+    monkeypatch.setattr(pg, "SIGMA_SCAN_MIN_CHUNKS", 0)
+    monkeypatch.setattr(pg, "SIGMA_REFRESH", 4)
+    monkeypatch.setattr(pg, "WINDOW_CHUNKS", 2)
+    cfg, mesh, prm, p, coefs, key, n = _setup_big(sigma_s=1.0e6, use_ddmc=True)
+    dt = jnp.float32(cfg.jaybenne.dt)
+    pp, _, _ = pg.transport_grid(p, coefs, mesh, key, prm, dt, interpret=True)
+    px_, _, _ = T.transport(p, coefs, mesh, key, prm, dt)
+    for out in (pp, px_):
+        alive = np.asarray(out.alive)
+        assert int(alive.sum()) == n
+        assert not (np.asarray(out.tau)[alive] < 1.0).any()
+    gx_p = np.asarray(pp.global_position(mesh)[0])[np.asarray(pp.alive)]
+    gx_x = np.asarray(px_.global_position(mesh)[0])[np.asarray(px_.alive)]
+    assert abs(gx_p.mean() - gx_x.mean()) < 2e-3
+
+
 def test_bucket_nsub_layout():
     """Composite-key bucketing (n_sub > 1): the region-level layout (tile
     regions, per-tile membership) is bit-identical to n_sub=1, rows are
@@ -897,7 +950,7 @@ def test_bucket_nsub_layout():
     # sort backend mirrors the plan layout
     rows = jnp.asarray(rng_.integers(-5, 5, size=(n, 2)), jnp.int32)
     lid = jnp.arange(n, dtype=jnp.int32)
-    br, bl, bt = pg._bucket_sort_apply(keyc, rows, lid, R, n_tiles,
+    br, bl, bt, _ = pg._bucket_sort_apply(keyc, rows, lid, R, n_tiles,
                                        btile=btile, n_sub=n_sub)
     assert np.array_equal(np.asarray(bt), np.asarray(tc))
     exp = np.concatenate([np.asarray(rows), np.zeros((1, 2), np.int32)])
@@ -1699,7 +1752,7 @@ def test_bucket_sort_apply_matches_plan_gather():
     kv = jnp.asarray(keyv)
     lid = jnp.arange(n, dtype=jnp.int32)
 
-    buf_s, lid_s, tr_s = pg._bucket_sort_apply(
+    buf_s, lid_s, tr_s, _ = pg._bucket_sort_apply(
         kv, rows, lid, n_regions, n_tiles, btile=btile
     )
     src_of_slot, tr_g, dest_of_src = pg._bucket_plan(

@@ -333,6 +333,17 @@ BUCKET_APPLY = os.environ.get("JB_BUCKET_APPLY", "sort")
 # _gather_window / the window block in _grid_kernel). Requires the composite
 # (region, chunk) bucketing key so group lanes start chunk-adjacent. 0 = off
 # (full static scan). Only engages when the slab has >= 2*W chunks.
+#
+# DEFAULT OFF — measured a LOSS on the v5e 64^3 probe (r4): W=48 -> 8.9e8
+# ev/s (19.0k summed iters), W=32 -> 3.4e8 (67.8k iters) vs 1.39e9 (9.4k)
+# for the full scan. The diffusive within-ROUND cell walk spans ~+-5 z-cells
+# ~ +-22 slab chunks (one z-crossing jumps the flat index by sdx*sdy/128 ~
+# 4.5 chunks), so any window much smaller than the slab pays escape-pause
+# re-bucket rounds (~15 ms each) faster than the 2.7x scan saving — the same
+# conclusion as the ranged-scan rejection above: the per-round reachable set
+# IS the region+halo slab under this (x,y,z)-flattened layout. A revisit
+# needs a locality-preserving in-slab cell order (Morton) so the reachable
+# set maps to a bounded chunk range — noted in BENCH.md "Known headroom".
 WINDOW_CHUNKS = int(os.environ.get("JB_WINDOW_CHUNKS", "0"))
 
 
@@ -803,10 +814,10 @@ def _grid_kernel(
             if R_ref == 1:
                 paused = jnp.maximum(paused, esc.astype(jnp.int32))
             else:
+                # scalar & vector-i1 AND (Mosaic cannot select between i1
+                # vectors at this tile shape — same workaround as `npaused`)
                 refresh_w = (it % jnp.int32(R_ref)) == 0
-                paused = jnp.maximum(
-                    paused, jnp.where(refresh_w, esc, False).astype(jnp.int32)
-                )
+                paused = jnp.maximum(paused, (esc & refresh_w).astype(jnp.int32))
 
         # ranged scans: lanes that can still transport this round (paused and
         # finished lanes may fall outside the scanned range and read zeros —

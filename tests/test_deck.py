@@ -95,7 +95,7 @@ def test_all_decks_build_full_config():
     decks = sorted(
         glob.glob(os.path.join(os.path.dirname(__file__), "../inputs/*.in"))
     )
-    assert len(decks) == 9  # 7 reference decks + 3D and Su-Olson extension decks
+    assert len(decks) == 10  # 7 reference decks + 3D, Su-Olson, level-2 SMR extensions
     for path in decks:
         cfg = cfg_mod.from_file(path)
         cfg.mcblock.build_eos()
@@ -104,5 +104,7 @@ def test_all_decks_build_full_config():
         mesh = build_mesh(cfg.mesh, use_native=False)
         assert mesh.n_blocks >= 1
         assert cfg.jaybenne.num_particles > 0
-        if "smr" in os.path.basename(path):
+        if "smr2" in os.path.basename(path):
+            assert mesh.max_level == 2
+        elif "smr" in os.path.basename(path):
             assert mesh.max_level == 1

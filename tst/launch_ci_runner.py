@@ -52,10 +52,12 @@ MATRIX = [
     # 128-cell block) and capacity headroom for the hot-side shards.
     # Default row: a reduced pinned config (32 cells in 16 2-cell blocks -> 2
     # blocks/shard at 8 devices, 16k particles) that preserves
-    # blocks-per-shard > 1 and real migration traffic at ~1/10 the cost of the
-    # full-size row (VERDICT r3 #7); accuracy margin holds (noise scales as
-    # sqrt(particles-per-cell): 500/cell here vs 781 full-size -> ~0.038
-    # expected vs the 0.05 gate). The full-size original is kept under --full.
+    # blocks-per-shard > 1 and real migration traffic at a fraction of the
+    # full-size row's cost (VERDICT r3 #7: 980 s measured COLD on the 1-core
+    # r4 host vs 6300 s for the original; warm-cache reruns are much faster).
+    # Accuracy margin holds (noise scales as sqrt(particles-per-cell):
+    # 500/cell here vs 781 full-size). The full-size original is kept under
+    # --full.
     ("stepdiff.py", "stepdiff.in", 8,
      ("--decomposition", "spatial",
       "--override", "parthenon/mesh/nx1=32",

@@ -112,6 +112,11 @@ class jhdf:
             if sname in ("Locations", "VolumeLocations"):
                 continue
             for vname in h[sname]:
+                if vname in ("counts", "offsets"):
+                    # per-block bookkeeping datasets, not swarm variables —
+                    # registering them would pollute the GetSwarm surface
+                    # with [B]-shaped arrays among [n_particles] ones
+                    continue
                 self._swarm[(sname, f"swarm.{vname}")] = h[f"{sname}/{vname}"][...]
                 self._swarm[(sname, vname)] = h[f"{sname}/{vname}"][...]
 

@@ -159,18 +159,24 @@ def write_dump_parthenon(path, state, mesh, cfg, variables, swarm_variables=()):
             vloc.create_dataset(axname, data=0.5 * (nodes[:, :-1] + nodes[:, 1:]))
 
         h.create_dataset("Levels", data=levels)
-        # level-local logical block coordinates: origin offset in block strides
-        root_size = np.asarray(
-            [(x1max - x1min) / nrb1, (x2max - x2min) / nrb2, (x3max - x3min) / nrb3]
+        # level-local logical block coordinates (origin offset in block
+        # strides) from EXACT integer data: each block's first (minimum)
+        # finest-granularity lookup-grid tile, shifted down to its own level.
+        # Rounding the f32-stored origins instead can mis-round by a whole
+        # fine-level stride on very large root grids / deep refinement.
+        lookup = np.asarray(mesh.lookup).reshape(-1)
+        order = np.argsort(lookup, kind="stable")
+        first = order[np.searchsorted(lookup[order], np.arange(B))]
+        tz, ty, tx = np.unravel_index(first, np.asarray(mesh.lookup).shape)
+        tiles = np.stack([tx, ty, tz], axis=1).astype(np.int64)
+        # refined dims shrink by 2 per level below max_level; unrefined dims
+        # (d >= ndim) keep one lookup tile per root block
+        shift = np.where(
+            np.arange(3)[None, :] < mesh.ndim,
+            np.int64(mesh.max_level) - levels[:, None],
+            0,
         )
-        bsize = root_size[None, :] / np.where(
-            np.arange(3)[None, :] < mesh.ndim, 2.0 ** levels[:, None], 1.0
-        )
-        gmin = np.asarray([x1min, x2min, x3min])
-        h.create_dataset(
-            "LogicalLocations",
-            data=np.rint((origin - gmin[None, :]) / bsize).astype(np.int64),
-        )
+        h.create_dataset("LogicalLocations", data=tiles >> shift)
         blocks = h.create_group("Blocks")
         blocks.create_dataset("xmin", data=origin[:, : max(mesh.ndim, 1)])
         lgl = np.zeros((B, 5), dtype=np.int32)

@@ -204,11 +204,15 @@ def _gather_window(tab_ref, idx, bases, W, n_chunks):
     window block in ``pallas_grid._grid_kernel``). Unlike the ranged scan
     (dynamic fori_loop BOUNDS — serialized, rejected in BENCH.md) the loop
     here is static and pipelines; only the slice offsets are dynamic."""
-    del n_chunks
+    # in-bounds guard against the PASSED table size (not the caller's clamp
+    # convention): a table with fewer than W chunks shrinks the window, and
+    # bases are re-clamped so every [base, base + W) slice stays inside THIS
+    # table — one scalar clip per group, no reliance on Kf_reg == K_reg
+    W = min(W, n_chunks)
     groups = []
     for s in range(idx.shape[0] // GREP):
         sl = idx[s * GREP : (s + 1) * GREP, :]
-        base = bases[s]
+        base = jnp.clip(bases[s], 0, max(n_chunks - W, 0))
         ch = sl >> 7
         rel = sl & (LANES - 1)
         g = jnp.zeros(sl.shape, tab_ref.dtype)

@@ -66,6 +66,31 @@ def make_transport_params(cfg: RunConfig, dtype) -> transport_ops.TransportParam
     )
 
 
+_TIMING_KNOBS = (
+    "JB_SKIP_TRANSPORT", "JB_SKIP_KERNEL", "JB_SKIP_SLABS",
+    "JB_SKIP_RESTORE", "JB_FLOOR_ITERS",
+)
+_warned_timing_knobs = False
+
+
+def _warn_timing_knobs():
+    """Timing-only skip/floor knobs produce PHYSICALLY WRONG results that still
+    look plausible (the step completes, tallies populate). A leaked env var in
+    a production or CI run must not pass silently — warn loudly, once."""
+    global _warned_timing_knobs
+    active = [k for k in _TIMING_KNOBS if os.environ.get(k)]
+    if active and not _warned_timing_knobs:
+        _warned_timing_knobs = True
+        import sys
+
+        print(
+            "WARNING: timing-only diagnostic knob(s) active — results are "
+            f"PHYSICALLY WRONG: {', '.join(active)}",
+            file=sys.stderr, flush=True,
+        )
+    return active
+
+
 def make_radiation_step(mesh, cfg: RunConfig):
     """Build the jitted single-device per-cycle step function."""
     return jax.jit(build_step_core(mesh, cfg))
@@ -81,6 +106,7 @@ def build_step_core(
     ``num_particles`` births (the per-shard share), transport needs zero
     communication, and tallies are ``psum``-ed — the TPU-first distribution strategy
     (SURVEY §2d/§5 mapping)."""
+    _warn_timing_knobs()
     eos = cfg.mcblock.build_eos()
     opacity = cfg.mcblock.build_opacity()
     scattering = cfg.mcblock.build_scattering()

@@ -31,6 +31,20 @@ _ROOT = os.path.dirname(_HERE)
 sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, "analysis"))
 
+# timing-only diagnostic knobs (JB_SKIP_*/JB_FLOOR_ITERS) make the physics
+# silently wrong; a leaked env var must fail the gate loudly, not let a
+# plausible-looking but meaningless tally pass the tolerance by luck
+_TIMING_KNOBS = (
+    "JB_SKIP_TRANSPORT", "JB_SKIP_KERNEL", "JB_SKIP_SLABS",
+    "JB_SKIP_RESTORE", "JB_FLOOR_ITERS",
+)
+_leaked = [k for k in _TIMING_KNOBS if os.environ.get(k)]
+if _leaked:
+    sys.exit(
+        f"regression harness refuses to run: timing-only diagnostic knob(s) "
+        f"set ({', '.join(_leaked)}) — results would be physically wrong"
+    )
+
 
 def soft_equiv(val, ref, tol=1.0e-5):
     """Fractional comparison with an absolute floor (reference ``:45-52``)."""

@@ -43,6 +43,11 @@ MATRIX = [
     ("stepdiff_smr2.py", "stepdiff_smr2.in", 1,
      ("--override", "jaybenne/use_ddmc=true",
       "--override", "jaybenne/tau_ddmc=2.5")),
+    # per-cell depth-2 correctness at the reference SMR tolerance (0.3): 400k
+    # particles bring fine-cell MC noise to ~0.19 (measured 1/sqrt(N)
+    # scaling), so the per-cell gate is affordable as a weekly-depth row
+    ("stepdiff_smr2.py", "stepdiff_smr2.in", 1,
+     ("--per-cell", "--override", "jaybenne/num_particles=400000"), "slow"),
     ("inf.py", "inf.in", 1, ()),
     ("inf_stiff.py", "inf_stiff.in", 1, ()),
     # TPU-build extensions beyond the reference matrix: 3D SMR+DDMC proof and

@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--imc", action="store_true",
                     help="probe the plain stepdiff deck instead (IMC baseline "
                     "for wall-clock/step comparison at the same tile width)")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="probe the genuine per-cell IMC/DDMC hybrid: the "
+                    "stepdiff_smr_hybrid deck at its native 128x64 SMR size, "
+                    "where tau_ddmc=5 puts the refined box (tau=3.9) on the "
+                    "IMC branch and the coarse cells (tau=7.8) on DDMC in "
+                    "the SAME kernel (reference transport_ddmc.cpp:135)")
     args = ap.parse_args()
 
     import jax
@@ -45,15 +51,38 @@ def main():
     from jaybenne_tpu.utils.deck import Deck
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    deck_name = "inputs/stepdiff.in" if args.imc else "inputs/stepdiff_ddmc.in"
-    deck = Deck.from_file(os.path.join(here, deck_name)).update(
-        {
-            "parthenon/mesh/nx1": args.nx,
-            "parthenon/meshblock/nx1": args.nx,
-            "jaybenne/num_particles": args.particles,
-        }
-    )
+    if args.hybrid:
+        # native deck size (128x64, 32^2 blocks, level-1 center box): the
+        # cell-size split across the refinement jump is what makes tau_ddmc=5
+        # select DIFFERENT branches per cell — shrinking the mesh (as the
+        # acceptance gate does) pushes every cell over the DDMC threshold
+        deck_name = "inputs/stepdiff_smr_hybrid.in"
+        deck = Deck.from_file(os.path.join(here, deck_name)).update(
+            {"jaybenne/num_particles": args.particles}
+        )
+    else:
+        deck_name = "inputs/stepdiff.in" if args.imc else "inputs/stepdiff_ddmc.in"
+        deck = Deck.from_file(os.path.join(here, deck_name)).update(
+            {
+                "parthenon/mesh/nx1": args.nx,
+                "parthenon/meshblock/nx1": args.nx,
+                "jaybenne/num_particles": args.particles,
+            }
+        )
     sim = Simulation(cfg_mod.from_deck(deck), quiet=True)
+    if args.hybrid:
+        # report the per-cell branch split this config actually exercises
+        dmin = np.asarray(sim.mesh.block_dx)[:, : sim.cfg.mesh.ndim].min(axis=1)
+        sig = float(sim.cfg.mcblock.scattering_constant_value)
+        tau = dmin * sig
+        ddmc_blocks = int((tau > sim.cfg.jaybenne.tau_ddmc).sum())
+        hybrid_split = {
+            "ddmc_blocks": ddmc_blocks,
+            "imc_blocks": int(tau.size - ddmc_blocks),
+        }
+        assert 0 < ddmc_blocks < tau.size, (
+            "config is not a genuine hybrid: every block on one branch"
+        )
     dt = jnp.float32(DT)
 
     t0 = time.perf_counter()
@@ -90,21 +119,32 @@ def main():
         erf(((xc + shift) + 0.5) / (2.0 * np.sqrt(t / tau_c)))
         - erf(((xc + shift) - 0.5) / (2.0 * np.sqrt(t / tau_c)))
     )
-    werr = (np.abs(sol - tally) / np.abs((sol + tally) / 2) * sol).sum() / sol.sum()
+    # sol-weighted fractional error; cells where BOTH sol and tally are zero
+    # (possible on the 2D SMR mesh's far field) contribute 0, not 0/0 = NaN
+    den = np.abs((sol + tally) / 2)
+    werr = (
+        np.where(den > 0, np.abs(sol - tally) / np.where(den > 0, den, 1.0), 0.0)
+        * sol
+    ).sum() / sol.sum()
 
-    print(json.dumps({
-        "mode": "imc" if args.imc else "ddmc",
+    # hybrid runs the 2D SMR acceptance deck, gated at its reference tolerance
+    tol = 0.3 if args.hybrid else 0.05
+    out_row = {
+        "mode": "hybrid" if args.hybrid else ("imc" if args.imc else "ddmc"),
         "events_per_sec": float(f"{events / elapsed:.4g}"),
         "step_ms": round(1e3 * elapsed / n_timed, 3),
         "events": events + events0,
         "iters": iters,
         "steps": args.steps,
         "werr": float(f"{werr:.4g}"),
-        "accuracy_pass": bool(werr <= 0.05),
+        "accuracy_pass": bool(werr <= tol),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
         "env": {k: v for k, v in os.environ.items() if k.startswith("JB_")},
-    }))
+    }
+    if args.hybrid:
+        out_row["hybrid_split"] = hybrid_split
+    print(json.dumps(out_row))
 
 
 if __name__ == "__main__":

@@ -1008,6 +1008,15 @@ def _subkeys_for(K_reg):
     return 1
 
 
+def _pg_tau_subkey():
+    """pallas_grid's remaining-work subkey width (read at call time so test
+    monkeypatches of pallas_grid.TAU_SUBKEY apply here too); 1 when off."""
+    from . import pallas_grid as _pg
+
+    t = _pg.TAU_SUBKEY
+    return t if t > 1 else 1
+
+
 def _bucket_and_run(p, call, R, bufcap, grid, regb, scal, seed, slab_tables,
                     geom_tables, reg_t, slot_t, nongray=False,
                     subb=None, n_sub=1):
@@ -1103,6 +1112,7 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
     perm2 = jnp.asarray(perm_np)            # [2, R, maxbpr]
     slot2 = jnp.asarray(slot_np)            # [2, B]: block slot within region
     K_SUB = _subkeys_for(K_reg)
+    T_SUB = _pg_tau_subkey() if K_SUB == 1 else 1
 
     # region-sliced coefficient slabs, built once per step, one per parity
     nongray = coefs.opacity is not None
@@ -1190,12 +1200,22 @@ def transport_bucketed(particles, coefs, mesh, key, prm, dt, interpret=False):
                  + (p.k * mesh.ny + p.j) * mesh.nx + p.i) >> 7,
                 0, K_SUB - 1,
             )
+            n_sub = K_SUB
+        elif T_SUB > 1:
+            # tau subkey: same-tile lanes carry similar remaining work (see
+            # pallas_grid.TAU_SUBKEY)
+            subb = jnp.clip(
+                (p.tau.astype(jnp.float32) * T_SUB).astype(jnp.int32),
+                0, T_SUB - 1,
+            )
+            n_sub = T_SUB
         else:
             subb = None
+            n_sub = 1
         p, it, ev = _bucket_and_run(
             p, call, R, bufcap, grid, region_of2[parity], scal, seed, slabs,
             geom, reg_t2[parity], slot_t2[parity], nongray=nongray,
-            subb=subb, n_sub=K_SUB,
+            subb=subb, n_sub=n_sub,
         )
         if prm.use_ddmc and mesh.max_level > 0 and prm.ndim >= 2:
             # host half of the coarse->fine DDMC leak: subface resample for
@@ -1422,6 +1442,7 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False,
                 reg_t2, slot_t2, regb2, slotb2)
 
     K_SUB = _subkeys_for(K_reg)
+    T_SUB = _pg_tau_subkey() if K_SUB == 1 else 1
 
     def round_fn(p, tables, key, rounds, dt):
         (pk_t2, t2_t2, f3_t2, fpx_t2, fpy_t2, fpz_t2,
@@ -1444,12 +1465,20 @@ def make_spatial_transport(mesh, prm, n_shards, cap, interpret=False,
                  + (p.k * mesh.ny + p.j) * mesh.nx + p.i) >> 7,
                 0, K_SUB - 1,
             )
+            n_sub = K_SUB
+        elif T_SUB > 1:
+            subb = jnp.clip(
+                (p.tau.astype(jnp.float32) * T_SUB).astype(jnp.int32),
+                0, T_SUB - 1,
+            )
+            n_sub = T_SUB
         else:
             subb = None
+            n_sub = 1
         return _bucket_and_run(
             p, call, R, bufcap, grid, regb2[parity], scal, seed, slabs,
             geom, reg_t2[parity], slot_t2[parity], nongray=nongray,
-            subb=subb, n_sub=K_SUB,
+            subb=subb, n_sub=n_sub,
         )
 
     return build_tables, round_fn

@@ -352,6 +352,18 @@ def _window_for(K_reg):
     return W if (W > 0 and K_reg >= 2 * W) else 0
 
 
+# Remaining-work (tau) bucketing subkey: within each region, particles are
+# sub-sorted by tau so same-tile lanes carry SIMILAR remaining work. A tile
+# iterates to the MAX lane iteration count while early finishers idle —
+# census particles start at tau = birth/dt ~ U[0,1) (sourcing draws birth
+# times uniformly over the step) and pausers resume at arbitrary tau, so an
+# unsorted tile's max remaining work is ~2x its mean and the whole tile pays
+# the difference as idle lane-iterations. Power of 2; 0/1 disables. Mutually
+# exclusive with the chunk-composite subkey (windowed/ranged scans need
+# chunk-adjacency; tau ordering would break their group bases).
+TAU_SUBKEY = int(os.environ.get("JB_TAU_SUBKEY", "16"))
+
+
 def _subkeys_for(K_reg):
     """Composite-key multiplier (power of 2) covering a slab's chunk ids, or 1
     when the kernel will use the static full scan. MUST stay in lockstep with
@@ -1579,23 +1591,36 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
 
     # composite bucketing key: region * K_SUB + slab-chunk, so same-tile lanes
     # land chunk-sorted and the kernel's ranged scans start tight (K_SUB = 1
-    # degrades to the plain region key)
+    # degrades to the plain region key). On the default (full-scan) path the
+    # subkey is the TAU bucket instead: same-tile lanes carry similar
+    # remaining work, so the per-tile max iteration count — which every lane
+    # pays — tracks the tile mean instead of the region-wide max.
     K_SUB = _subkeys_for(K_reg)
+    T_SUB = TAU_SUBKEY if (K_SUB == 1 and TAU_SUBKEY > 1) else 1
+    assert T_SUB & (T_SUB - 1) == 0, T_SUB
+    N_SUB = K_SUB * T_SUB
 
-    def key_of(unfinished, gi, gj, gk):
+    def key_of(unfinished, gi, gj, gk, tau):
         r = region_of(gi, gj, gk)
-        if K_SUB == 1:
-            return jnp.where(unfinished, r, R_pad).astype(i32)
-        li = gi - gi // rnx * rnx + hx
-        lj = gj - gj // rny * rny + hy
-        lk = gk - gk // rnz * rnz + hz
-        sub = ((lk * sdy + lj) * sdx + li) >> 7
-        return jnp.where(unfinished, r * K_SUB + sub, R_pad * K_SUB).astype(i32)
+        if K_SUB > 1:
+            li = gi - gi // rnx * rnx + hx
+            lj = gj - gj // rny * rny + hy
+            lk = gk - gk // rnz * rnz + hz
+            sub = ((lk * sdy + lj) * sdx + li) >> 7
+            return jnp.where(
+                unfinished, r * K_SUB + sub, R_pad * K_SUB
+            ).astype(i32)
+        if T_SUB > 1:
+            sub = jnp.clip((tau * T_SUB).astype(i32), 0, T_SUB - 1)
+            return jnp.where(
+                unfinished, r * T_SUB + sub, R_pad * T_SUB
+            ).astype(i32)
+        return jnp.where(unfinished, r, R_pad).astype(i32)
 
     def bucket(keyv):
         src_of_slot, tile_regions, dest_of_src = _bucket_plan(
             keyv, R_pad, grid, include_dump=True, want_dest_of_src=True,
-            n_sub=K_SUB,
+            n_sub=N_SUB,
         )
         return src_of_slot, dest_of_src, tile_regions
 
@@ -1611,7 +1636,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         if W_win:
             slot_src, tile_regions, _, bases = _bucket_plan(
                 keyv, R_pad, tail_grid, include_dump=False,
-                want_dest_of_src=False, n_sub=K_SUB, want_bases=True,
+                want_dest_of_src=False, n_sub=N_SUB, want_bases=True,
             )
             pref = jnp.concatenate(
                 [tile_regions[:, None],
@@ -1621,7 +1646,7 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
             return slot_src, pref
         slot_src, tile_regions, _ = _bucket_plan(
             keyv, R_pad, tail_grid, include_dump=False,
-            want_dest_of_src=False, n_sub=K_SUB,
+            want_dest_of_src=False, n_sub=N_SUB,
         )
         return slot_src, tile_regions
 
@@ -1689,10 +1714,10 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
         M = Bm[:cap]
         tau = jax.lax.bitcast_convert_type(M[:, 6], f32)
         unfinished = (M[:, IAL] != 0) & (tau < 1.0)
-        keyv = key_of(unfinished, M[:, IGI], M[:, IGJ], M[:, IGK])
+        keyv = key_of(unfinished, M[:, IGI], M[:, IGJ], M[:, IGK], tau)
         if BUCKET_APPLY == "sort":
             rows_in, restore, tile_regions, buf_keys = _bucket_sort_apply(
-                keyv, M, jnp.arange(cap, dtype=i32), R_pad, grid, n_sub=K_SUB
+                keyv, M, jnp.arange(cap, dtype=i32), R_pad, grid, n_sub=N_SUB
             )
             pref = tile_regions
             if W_win:
@@ -1735,7 +1760,10 @@ def transport_grid(particles, coefs, mesh, key, prm, dt, interpret=False):
             gj = gj - gj // NY * NY
         if per[2]:
             gk = gk - gk // NZ * NZ
-        keyv = key_of(unfinished, gi, gj, gk)
+        keyv = key_of(
+            unfinished, gi, gj, gk,
+            jax.lax.bitcast_convert_type(Bm[:, 6], f32),
+        )
         slot_src, tile_regions = bucket_tail(keyv)
         rows = jnp.concatenate([Bm, jnp.zeros((1, NCOL), i32)])[slot_src]
         if per[0] or per[1] or per[2]:
@@ -1936,6 +1964,8 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
     sdx, sdy, sdz = rnx + 2 * hx, rny + 2 * hy, rnz + 2 * hz
     R_pad = NGX * NGY * NGZ
     K_SUB = _subkeys_for(K_reg)
+    T_SUB = TAU_SUBKEY if (K_SUB == 1 and TAU_SUBKEY > 1) else 1
+    N_SUB = K_SUB * T_SUB
 
     per_bc = (
         prm.swarm_bc[0] == BC.periodic,
@@ -2088,9 +2118,7 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         owned = (gkl >= 0) & (gkl < KZ)
         unfinished = p.alive & (p.tau < 1.0) & owned
         region = (gkl // rnz * NGY + gj // rny) * NGX + gi // rnx
-        if K_SUB == 1:
-            keyv = jnp.where(unfinished, region, R_pad).astype(i32)
-        else:
+        if K_SUB > 1:
             # composite key: chunk-sort within regions for the ranged scans.
             # clip: un-owned rows hold arbitrary gkl but land in the dump
             gku = jnp.clip(gkl, 0, KZ - 1)
@@ -2101,6 +2129,17 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
             keyv = jnp.where(
                 unfinished, region * K_SUB + sub, R_pad * K_SUB
             ).astype(i32)
+        elif T_SUB > 1:
+            # tau subkey: same-tile lanes carry similar remaining work (see
+            # transport_grid's key_of)
+            sub = jnp.clip(
+                (p.tau.astype(f32) * T_SUB).astype(i32), 0, T_SUB - 1
+            )
+            keyv = jnp.where(
+                unfinished, region * T_SUB + sub, R_pad * T_SUB
+            ).astype(i32)
+        else:
+            keyv = jnp.where(unfinished, region, R_pad).astype(i32)
 
         en_col = (p.energy.astype(f32),) if nongray else ()
         nfc = 7 + len(en_col)
@@ -2109,12 +2148,12 @@ def make_spatial_grid(mesh, prm, n_shards, cap, interpret=False,
         if BUCKET_APPLY == "sort":
             rows_in, buf_lid, tile_regions, _ = _bucket_sort_apply(
                 keyv, _pack_rows(cols, n_fcols=nfc), jnp.arange(cap, dtype=i32),
-                R_pad, grid, n_sub=K_SUB,
+                R_pad, grid, n_sub=N_SUB,
             )
         else:
             src_of_slot, tile_regions, dest_of_src = _bucket_plan(
                 keyv, R_pad, grid, include_dump=True, want_dest_of_src=True,
-                n_sub=K_SUB,
+                n_sub=N_SUB,
             )
             rows_in = _permute_pack(cols, src_of_slot)
         bufs = _unpack_rows(

@@ -502,7 +502,8 @@ def build_spatial_step_core(mesh, cfg: RunConfig, n_shards: int, axis_name="shar
         dropped = dropped + mig_drop
 
         # 4./5. tallies + feedback, purely local (each cell owned by one shard)
-        f = tally.accumulate_absorption(f, p, mesh, block_offset=offset)
+        if prm.has_absorption:  # statically none -> mask provably all-false
+            f = tally.accumulate_absorption(f, p, mesh, block_offset=offset)
         f = tally.evaluate_radiation_energy(f, p, mesh, block_offset=offset)
         if jb.do_feedback:
             f = tally.update_fluid(f, mesh, block_offset=offset)

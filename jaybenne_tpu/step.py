@@ -286,7 +286,12 @@ def build_step_core(
 
         # absorption deposition + 4. radiation tally (jaybenne.cpp:134)
         with jax.named_scope("jaybenne.tally"):
-            f = tally.accumulate_absorption(f, p, mesh, axis_name)
+            if prm.has_absorption:
+                # statically no absorption model -> the absorbed mask is
+                # provably all-false; skip the capacity-sized segment_sum
+                # (measured ~8 ms at 663k rows on v5e) instead of summing
+                # zeros every step
+                f = tally.accumulate_absorption(f, p, mesh, axis_name)
             f = tally.evaluate_radiation_energy(f, p, mesh, axis_name)
 
             # 5. fluid feedback (jaybenne.cpp:138) + derived (mcblock.cpp:208-232)

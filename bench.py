@@ -355,6 +355,11 @@ def main():
                 "mcblock/opacity_model": "constant",
                 "mcblock/opacity_constant_value": 3.0,
                 "mcblock/specific_heat": 30.3,
+                # emission+absorption equilibrium population ~ 2.05x
+                # num_particles (measured small-scale), plus a sourced batch
+                # in flight: factor 2 leaves only ~8% headroom — any drop
+                # breaks conservation, so provision 3x
+                "jaybenne/capacity_factor": 3,
             }
         )
         fb_sim = Simulation(cfg_mod.from_deck(fb_deck), quiet=True)
@@ -388,15 +393,26 @@ def main():
         big_fb = {"error": f"{type(exc).__name__}: {exc}"}
 
     # genuine per-cell IMC/DDMC hybrid row: the stepdiff_smr_hybrid deck at
-    # its native 128x64 SMR size (tau_ddmc=5: refined box tau=3.9 -> IMC,
-    # coarse cells tau=7.8 -> DDMC, both branches live in ONE kernel —
-    # reference transport_ddmc.cpp:135). Gated on the erf solution at the
-    # reference SMR tolerance (0.3).
+    # the acceptance-gate mesh size with tau_ddmc=10, so the refinement jump
+    # splits the branches (fine cells tau = 7.8 -> IMC, coarse tau = 15.6 ->
+    # DDMC, both live in ONE kernel — reference transport_ddmc.cpp:135).
+    # Gated on the erf solution at the reference SMR tolerance (0.3); the
+    # deck's native 128x64 size has ~0.5 per-cell MC noise at 100k particles
+    # (measured r5) and cannot carry the gate.
     hyb = None
     try:
         hy_deck = Deck.from_file(
             os.path.join(here, "inputs/stepdiff_smr_hybrid.in")
-        ).update({"jaybenne/num_particles": N_PARTICLES})
+        ).update(
+            {
+                "parthenon/mesh/nx1": 64,
+                "parthenon/mesh/nx2": 32,
+                "parthenon/meshblock/nx1": 16,
+                "parthenon/meshblock/nx2": 16,
+                "jaybenne/tau_ddmc": 10.0,
+                "jaybenne/num_particles": N_PARTICLES,
+            }
+        )
         hy_sim = Simulation(cfg_mod.from_deck(hy_deck), quiet=True)
         hy_rate, hy_events, hy_state, hy_elapsed = _run_steps(hy_sim, dt, N_STEPS)
         tal = np.asarray(hy_state.fields.energy_tally).reshape(-1)

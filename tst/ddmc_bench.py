@@ -52,13 +52,24 @@ def main():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args.hybrid:
-        # native deck size (128x64, 32^2 blocks, level-1 center box): the
-        # cell-size split across the refinement jump is what makes tau_ddmc=5
-        # select DIFFERENT branches per cell — shrinking the mesh (as the
-        # acceptance gate does) pushes every cell over the DDMC threshold
+        # acceptance-gate mesh size (64x32, 16^2 blocks — where the 0.3
+        # per-cell gate is proven affordable at 100k particles) with
+        # tau_ddmc=10 so the refinement jump splits the branches: fine cells
+        # tau = sigma*dx = 7.8 -> IMC, coarse tau = 15.6 -> DDMC, both live
+        # in ONE kernel. (The deck's native 128x64 size achieves the same
+        # split at its own tau_ddmc=5, but its per-cell MC noise at 100k
+        # particles is ~0.5 — measured r5 — so it cannot carry an accuracy
+        # gate; tst/logs/r5_hybrid.json records that capability point.)
         deck_name = "inputs/stepdiff_smr_hybrid.in"
         deck = Deck.from_file(os.path.join(here, deck_name)).update(
-            {"jaybenne/num_particles": args.particles}
+            {
+                "parthenon/mesh/nx1": 64,
+                "parthenon/mesh/nx2": 32,
+                "parthenon/meshblock/nx1": 16,
+                "parthenon/meshblock/nx2": 16,
+                "jaybenne/tau_ddmc": 10.0,
+                "jaybenne/num_particles": args.particles,
+            }
         )
     else:
         deck_name = "inputs/stepdiff.in" if args.imc else "inputs/stepdiff_ddmc.in"

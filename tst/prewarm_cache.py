@@ -58,12 +58,12 @@ def main():
                     help="prewarm only configs whose deck name contains this")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
+    import shutil
+    import tempfile
 
-    from jaybenne_tpu import config as cfg_mod
-    from jaybenne_tpu.driver import Simulation
-    from jaybenne_tpu.utils.deck import Deck
+    import jax
+
+    from jaybenne_tpu.driver import run_file
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = []
@@ -71,15 +71,23 @@ def main():
         if args.only and args.only not in deck_name:
             continue
         label = deck_name + ("+ddmc" if extra.get("jaybenne/use_ddmc") else "")
-        deck = Deck.from_file(os.path.join(here, "inputs", deck_name)).update(
-            {**mesh_mods, **extra}
-        )
         t0 = time.time()
         try:
-            cfg = cfg_mod.from_deck(deck)
-            sim = Simulation(cfg, quiet=True)
-            state, _ = sim.step_fn(sim.state, jnp.float32(cfg.jaybenne.dt))
-            float(state.fields.energy_tally.sum())  # scalar fetch: sync
+            # a short FULL driver run (2 cycles + dumps into a temp dir), not
+            # a bare step: the round-5 TPU matrix showed the gates compile
+            # more than the step executable (radiation init, growth/dump
+            # paths) — a bare-step prewarm left rows paying 520-2600 s each
+            # on a slow tunnel session (BENCH.md round-5)
+            outdir = tempfile.mkdtemp(prefix="jbtpu_prewarm_")
+            try:
+                run_file(
+                    os.path.join(here, "inputs", deck_name),
+                    outdir=outdir,
+                    modified_inputs={**mesh_mods, **extra},
+                    quiet=True, nlim=2,
+                )
+            finally:
+                shutil.rmtree(outdir, ignore_errors=True)
             ok = True
         except Exception as exc:  # pragma: no cover - report and continue
             print(f"[FAIL] {label}: {type(exc).__name__}: {exc}", flush=True)
